@@ -1,0 +1,653 @@
+"""Executable extraction spec — pure-Python reimplementation of the reference's
+HTML→MDX kernel (duggal1/supercrawler, canonical variant ``src/supercrawler.rs``).
+
+This module is the single source of truth for the per-row invariant
+("byte-identical extracted text per url"): every function mirrors a cited span
+of the reference and is exercised by golden fixtures in ``tests/``. The Spark
+engine never calls the reference; it calls these functions from vectorized
+pandas UDFs (see ``supercrawler_spark.functions.udfs``).
+
+Reference citations (all into /root/reference):
+  - element_to_markdown      src/supercrawler.rs:81-131
+  - process_element          src/supercrawler.rs:133-345
+  - code-language inference  src/supercrawler.rs:170-213
+  - table → markdown         src/supercrawler.rs:250-310
+  - clean_to_mdx             src/supercrawler.rs:347-500
+  - link extraction          src/supercrawler.rs:736-757 (inline single-fetch variant)
+  - url_to_filename          src/supercrawler.rs:527-562
+  - PDF MDX wrapper          src/supercrawler.rs:720-723
+
+Implementation notes on parity:
+  - The reference parses with html5ever (WHATWG); we parse with stdlib
+    ``html.parser``. Fixture/synthetic HTML is restricted to well-formed
+    markup (explicit html/head/body, explicit closing tags) where the two
+    parse trees agree (SURVEY.md §5.2).
+  - Rust ``str::len`` is bytes; the ``len > 10`` loose-text rule and the
+    250-char description truncation use UTF-8 byte lengths here too.
+  - CSS selector groups in scraper match in *document order* across the whole
+    group (first element matching any alternative), reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Optional
+
+from supercrawler_spark.functions.urls import rust_url_parse, rust_url_join
+
+# --------------------------------------------------------------------------
+# Minimal DOM (html5ever-compatible on well-formed input)
+# --------------------------------------------------------------------------
+
+VOID_ELEMENTS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+# tags whose open implicitly closes a still-open <p> (html5ever behavior);
+# fixtures use explicit closes, this is defensive only.
+_P_CLOSERS = {
+    "p", "div", "ul", "ol", "li", "h1", "h2", "h3", "h4", "h5", "h6",
+    "blockquote", "pre", "table", "section", "article", "main", "header",
+    "footer", "nav", "aside", "form",
+}
+
+
+@dataclass
+class Node:
+    """DOM node: element (tag set) or text (tag is None)."""
+
+    tag: Optional[str]
+    attrs: dict = field(default_factory=dict)
+    children: list = field(default_factory=list)
+    text: str = ""
+    parent: Optional["Node"] = None
+
+    @property
+    def is_element(self) -> bool:
+        return self.tag is not None
+
+    def attr(self, name: str) -> Optional[str]:
+        return self.attrs.get(name)
+
+    def classes(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+    def iter_text(self):
+        """All descendant text nodes, document order (scraper's ``.text()``)."""
+        for child in self.children:
+            if child.tag is None:
+                yield child.text
+            else:
+                yield from child.iter_text()
+
+    def all_text(self) -> str:
+        return "".join(self.iter_text())
+
+    def descendants(self):
+        """All descendant elements, document order, excluding self
+        (scraper's ``element.select(sel)`` scope)."""
+        for child in self.children:
+            if child.is_element:
+                yield child
+                yield from child.descendants()
+
+    def select(self, pred):
+        return [el for el in self.descendants() if pred(el)]
+
+    def select_first(self, pred):
+        for el in self.descendants():
+            if pred(el):
+                return el
+        return None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node(tag="#document")
+        self.stack = [self.root]
+
+    def _open(self, tag, attrs, self_closing):
+        tag = tag.lower()
+        # implied </p> (html5ever): block-level start closes an open <p>
+        if tag in _P_CLOSERS:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "p":
+                    del self.stack[i:]
+                    break
+                if self.stack[i].tag in ("body", "html", "#document", "td", "th", "li"):
+                    break
+        node = Node(tag=tag, attrs={k.lower(): (v if v is not None else "") for k, v in attrs})
+        node.parent = self.stack[-1]
+        self.stack[-1].children.append(node)
+        if not self_closing and tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_starttag(self, tag, attrs):
+        self._open(tag, attrs, self_closing=False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs, self_closing=True)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray close tag: ignored (html5ever parse-error recovery)
+
+    def handle_data(self, data):
+        if data:
+            parent = self.stack[-1]
+            node = Node(tag=None, text=data)
+            node.parent = parent
+            parent.children.append(node)
+
+
+def parse_html(html: str) -> Node:
+    """Parse to a document node. html5ever always synthesizes html/head/body;
+    on well-formed fixtures the explicit tags are present so no synthesis is
+    needed — we only locate them."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def find_first(root: Node, tag: str) -> Optional[Node]:
+    return root.select_first(lambda el: el.tag == tag)
+
+
+# --------------------------------------------------------------------------
+# X1: element_to_markdown — inline conversion (src/supercrawler.rs:81-131)
+# --------------------------------------------------------------------------
+
+_INLINE_SKIP = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "pre",
+    "div", "img", "table", "thead", "tbody", "tr", "th", "td", "blockquote",
+}
+
+
+def element_to_markdown(element: Node) -> str:
+    out = []
+    for node in element.children:
+        if node.tag is None:
+            out.append(node.text)
+            continue
+        tag = node.tag
+        if tag == "a":
+            href = node.attr("href")
+            if href is None:
+                href = "#"
+            link_text = element_to_markdown(node).strip()
+            if link_text:
+                out.append(f"[{link_text}]({href})")
+        elif tag in ("strong", "b"):
+            inner = element_to_markdown(node)
+            if inner.strip():
+                out.append(f"**{inner.strip()}**")
+        elif tag in ("em", "i"):
+            inner = element_to_markdown(node)
+            if inner.strip():
+                out.append(f"*{inner.strip()}*")
+        elif tag == "code":
+            inner_text = node.all_text().strip()
+            if inner_text:
+                out.append(f"`{inner_text}`")
+        elif tag == "span":
+            out.append(element_to_markdown(node))
+        elif tag == "br":
+            out.append("\n")
+        elif tag in _INLINE_SKIP:
+            pass  # block-level handled by process_element (rs:120-122)
+        else:
+            out.append(element_to_markdown(node))
+    return "".join(out).strip()
+
+
+# --------------------------------------------------------------------------
+# X3: code-language inference (src/supercrawler.rs:170-213)
+# --------------------------------------------------------------------------
+
+_LANG_CLASS_RE = re.compile(r"(?:lang|language)-(\w+)")
+
+
+def infer_code_language(class_attr: str) -> str:
+    m = _LANG_CLASS_RE.search(class_attr)
+    if m:
+        return m.group(1).lower()
+    if "jsx" in class_attr or "javascript" in class_attr:
+        return "jsx"
+    if "typescript" in class_attr or "ts" in class_attr:
+        return "tsx"
+    if "bash" in class_attr or "shell" in class_attr or "sh" in class_attr:
+        return "bash"
+    if "python" in class_attr or "py" in class_attr:
+        return "python"
+    if "rust" in class_attr or "rs" in class_attr:
+        return "rust"
+    if "html" in class_attr:
+        return "html"
+    if "css" in class_attr:
+        return "css"
+    return ""
+
+
+# --------------------------------------------------------------------------
+# X2/X4: process_element — block conversion (src/supercrawler.rs:133-345)
+# --------------------------------------------------------------------------
+
+_CONTAINER_TAGS = {"div", "section", "article", "main", "header", "aside"}
+_BLOCKLIST_TAGS = {
+    "nav", "footer", "script", "style", "noscript", "iframe", "form",
+    "button", "input", "textarea", "select", "option", "label", "svg",
+    "canvas", "audio", "video",
+}
+
+
+def _byte_len(s: str) -> int:
+    return len(s.encode("utf-8"))
+
+
+def _container_children(element: Node) -> str:
+    # shared body of the div/unknown branches (rs:311-325, 329-343):
+    # loose text kept only when trimmed byte-length > 10 (canonical variant)
+    out = []
+    for child in element.children:
+        if child.is_element:
+            out.append(process_element(child))
+        else:
+            trimmed = child.text.strip()
+            if trimmed and _byte_len(trimmed) > 10:
+                out.append(trimmed)
+                out.append("\n\n")
+    return "".join(out)
+
+
+def _render_table(element: Node) -> str:
+    # src/supercrawler.rs:250-310
+    headers: list[str] = []
+    rows: list[list[str]] = []
+
+    thead = element.select_first(lambda el: el.tag == "thead")
+    if thead is not None:
+        tr = thead.select_first(lambda el: el.tag == "tr")
+        if tr is not None:
+            for cell in tr.select(lambda el: el.tag in ("th", "td")):
+                headers.append(element_to_markdown(cell))
+    else:
+        tr = element.select_first(lambda el: el.tag == "tr")
+        if tr is not None and tr.select_first(lambda el: el.tag == "th") is not None:
+            for cell in tr.select(lambda el: el.tag in ("th", "td")):
+                headers.append(element_to_markdown(cell))
+
+    rows_container = element.select_first(lambda el: el.tag == "tbody") or element
+    skip_first_row = bool(headers) and thead is None
+
+    for tr in rows_container.select(lambda el: el.tag == "tr"):
+        if skip_first_row:
+            skip_first_row = False
+            continue
+        row = [element_to_markdown(cell)
+               for cell in tr.select(lambda el: el.tag in ("td", "th"))]
+        if row:
+            rows.append(row)
+
+    out = []
+    if headers and rows:
+        out.append("| " + " | ".join(headers) + " |\n")
+        out.append("| " + " | ".join("---" for _ in headers) + " |\n")
+        for row in rows:
+            padded = [row[i] if i < len(row) else "" for i in range(len(headers))]
+            out.append("| " + " | ".join(padded) + " |\n")
+        out.append("\n")
+    elif rows:
+        for row in rows:
+            out.append("| " + " | ".join(row) + " |\n")
+        out.append("\n")
+    return "".join(out)
+
+
+def process_element(element: Node) -> str:
+    tag = element.tag
+    if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        try:
+            level = int(tag[1:])
+        except ValueError:
+            level = 1
+        text = element_to_markdown(element)
+        return "" if not text else "#" * level + f" {text}\n\n"
+    if tag == "p":
+        text = element_to_markdown(element)
+        return "" if not text else f"{text}\n\n"
+    if tag == "ul":
+        items = []
+        for li in element.select(lambda el: el.tag == "li"):
+            li_text = element_to_markdown(li)
+            if li_text:
+                items.append(f"* {li_text}\n")
+        return "" if not items else "".join(items) + "\n"
+    if tag == "ol":
+        items = []
+        count = 1
+        for li in element.select(lambda el: el.tag == "li"):
+            li_text = element_to_markdown(li)
+            if li_text:
+                items.append(f"{count}. {li_text}\n")
+                count += 1
+        return "" if not items else "".join(items) + "\n"
+    if tag == "pre":
+        code = element.select_first(lambda el: el.tag == "code")
+        if code is not None:
+            class_attr = code.attr("class") or ""
+            language = infer_code_language(class_attr)
+            trimmed_code = code.all_text().strip()
+            if not trimmed_code:
+                return ""
+            if not language and (
+                "import React" in trimmed_code
+                or "from 'react'" in trimmed_code
+                or "next/" in trimmed_code
+            ):
+                lang_hint = "jsx"
+            else:
+                lang_hint = language
+            return f"```{lang_hint}\n{trimmed_code}\n```\n\n"
+        trimmed_pre = element.all_text().strip()
+        return "" if not trimmed_pre else f"```\n{trimmed_pre}\n```\n\n"
+    if tag == "img":
+        src = element.attr("src") or ""
+        alt = element.attr("alt") or ""
+        if src == "" or src == "/":
+            return ""
+        return f"![{alt}]({src})\n\n"
+    if tag == "a":
+        href = element.attr("href")
+        if href is None:
+            href = "#"
+        text = element_to_markdown(element)
+        if not text or href == "#":
+            return ""
+        return f"[{text}]({href})\n\n"
+    if tag == "blockquote":
+        inner = "".join(process_element(ch) for ch in element.children if ch.is_element)
+        trimmed = inner.strip()
+        if not trimmed:
+            return ""
+        quoted = "\n".join(f"> {line}" for line in trimmed.splitlines())
+        return f"{quoted}\n\n"
+    if tag == "table":
+        return _render_table(element)
+    if tag in _CONTAINER_TAGS:
+        return _container_children(element)
+    if tag in _BLOCKLIST_TAGS:
+        return ""
+    return _container_children(element)
+
+
+# --------------------------------------------------------------------------
+# X5: clean_to_mdx — the full page → MDX transform (src/supercrawler.rs:347-500)
+# --------------------------------------------------------------------------
+
+_NOISE_RE = re.compile(
+    r"<script.*?</script>|<style.*?</style>|<noscript.*?</noscript>|<!--.*?-->",
+    re.IGNORECASE,  # deliberately no DOTALL: Rust regex `.` does not match \n
+)
+_BLANK_RE = re.compile(r"\n{3,}")
+
+_MAIN_CONTENT_CLASSES = {
+    "content", "main-content", "post", "entry", "article-body", "page-content",
+}
+_MAIN_CONTENT_IDS = {"content", "main-content"}
+
+
+def _is_main_content(el: Node) -> bool:
+    # selector group: main, article, [role='main'], .content, #content,
+    # .main-content, #main-content, .post, .entry, .article-body, .page-content
+    if el.tag in ("main", "article"):
+        return True
+    if el.attr("role") == "main":
+        return True
+    if any(c in _MAIN_CONTENT_CLASSES for c in el.classes()):
+        return True
+    if (el.attr("id") or "") in _MAIN_CONTENT_IDS:
+        return True
+    return False
+
+
+def _meta_first(root: Node, names=(), props=(), itemprops=()) -> Optional[str]:
+    """First <meta> in document order matching any alternative; its content."""
+    el = root.select_first(
+        lambda e: e.tag == "meta"
+        and (
+            (e.attr("name") or "") in names
+            or (e.attr("property") or "") in props
+            or (e.attr("itemprop") or "") in itemprops
+        )
+    )
+    if el is None:
+        return None
+    return el.attr("content")
+
+
+def _opt_meta(root: Node, **kw) -> Optional[str]:
+    val = _meta_first(root, **kw)
+    if val is None:
+        return None
+    val = val.strip()
+    return val or None
+
+
+_HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+def _is_related_link(el: Node) -> bool:
+    # a[rel='related'], .related a, .see-also a, .related-posts a, #related-links a
+    if el.tag != "a":
+        return False
+    if el.attr("rel") == "related":
+        return True
+    anc = el.parent
+    while anc is not None and anc.is_element:
+        classes = anc.classes()
+        if "related" in classes or "see-also" in classes or "related-posts" in classes:
+            return True
+        if (anc.attr("id") or "") == "related-links":
+            return True
+        anc = anc.parent
+    return False
+
+
+def _escape_quotes(s: str) -> str:
+    return s.replace('"', '\\"')
+
+
+def clean_to_mdx(content: str, source_url: str) -> str:
+    clean = _NOISE_RE.sub("", content)
+    doc = parse_html(clean)
+
+    mdx: list[str] = []
+
+    # title (rs:371-375)
+    title = "Untitled"
+    title_el = find_first(doc, "title")
+    if title_el is not None:
+        t = title_el.all_text().strip()
+        if t:
+            title = t
+
+    # description (rs:377-396)
+    description = _opt_meta(
+        doc, names=("description",), props=("og:description", "twitter:description")
+    )
+    if description is None:
+        body = find_first(doc, "body")
+        if body is not None:
+            p = body.select_first(lambda el: el.tag == "p")
+            if p is not None:
+                trimmed = p.all_text().strip()
+                if _byte_len(trimmed) > 250:
+                    # Rust byte-slice &trimmed[..250]; fixtures are ASCII-safe
+                    trimmed = trimmed.encode("utf-8")[:250].decode("utf-8", "ignore") + "..."
+                if trimmed:
+                    description = trimmed
+    if description is None:
+        description = "No description available"
+
+    keywords = _opt_meta(doc, names=("keywords",), props=("article:tag",)) \
+        or "No keywords available"
+    author = _opt_meta(doc, names=("author",), props=("article:author",))
+    published_date = _opt_meta(
+        doc, props=("article:published_time", "og:updated_time"),
+        itemprops=("datePublished",),
+    )
+
+    canonical_url = None
+    link_el = doc.select_first(lambda el: el.tag == "link" and el.attr("rel") == "canonical")
+    if link_el is not None:
+        href = (link_el.attr("href") or "").strip()
+        if href:
+            canonical_url = href
+
+    # frontmatter (rs:423-440)
+    mdx.append("---\n")
+    mdx.append(f'title: "{_escape_quotes(title)}"\n')
+    mdx.append(f'description: "{_escape_quotes(description)}"\n')
+    mdx.append(f'keywords: "{_escape_quotes(keywords)}"\n')
+    mdx.append(f'sourceUrl: "{_escape_quotes(source_url)}"\n')
+    if author is not None:
+        mdx.append(f'author: "{_escape_quotes(author)}"\n')
+    if published_date is not None:
+        mdx.append(f'date: "{_escape_quotes(published_date)}"\n')
+    mdx.append(f'canonicalUrl: "{_escape_quotes(canonical_url or source_url)}"\n')
+    mdx.append("---\n\n")
+
+    body = find_first(doc, "body")
+    main_content = doc.select_first(_is_main_content)
+
+    # ToC marker (rs:442-450)
+    scope = main_content or body
+    if scope is not None:
+        headings = scope.select(lambda el: el.tag in _HEADING_TAGS)
+        if len(headings) > 3:
+            mdx.append("## Table of Contents\n\n")
+            mdx.append("<!-- toc -->\n\n")
+
+    if body is not None:
+        main_node = main_content or body
+        for child in main_node.children:
+            if child.is_element:
+                mdx.append(process_element(child))
+            else:
+                trimmed = child.text.strip()
+                if trimmed and _byte_len(trimmed) > 10:
+                    mdx.append(trimmed)
+                    mdx.append("\n\n")
+
+        related = doc.select(_is_related_link)
+        if related:
+            rel_parts = ["\n## Related Resources\n\n"]
+            link_count = 0
+            base = rust_url_parse(source_url)
+            for link in related:
+                href = link.attr("href")
+                if href is None:
+                    continue
+                absolute = None
+                if base is not None:
+                    absolute = rust_url_join(base, href)
+                if absolute is None:
+                    absolute = href
+                text = element_to_markdown(link)
+                if text and absolute and absolute != "#":
+                    rel_parts.append(f"- [{text}]({absolute})\n")
+                    link_count += 1
+            if link_count > 0:
+                mdx.append("".join(rel_parts))
+    else:
+        mdx.append("Error: Could not parse body content.\n")
+
+    return _BLANK_RE.sub("\n\n", "".join(mdx)).strip()
+
+
+# --------------------------------------------------------------------------
+# X6: link extraction (src/supercrawler.rs:736-757, single-fetch variant)
+# --------------------------------------------------------------------------
+
+
+def extract_links(content: str, source_url: str) -> list[str]:
+    """All a[href] in document order from the RAW html (the reference parses
+    the unstripped body for links, rs:738), prefiltered (F1), absolutized
+    (F2), fragment-stripped (F3); duplicates preserved."""
+    base = rust_url_parse(source_url)
+    if base is None:
+        return []
+    doc = parse_html(content)
+    urls: list[str] = []
+    for el in doc.descendants():
+        if el.tag != "a":
+            continue
+        href = el.attr("href")
+        if href is None:
+            continue
+        trimmed = href.strip()
+        if (
+            not trimmed
+            or trimmed.startswith("#")
+            or trimmed.startswith("javascript:")
+            or trimmed.startswith("mailto:")
+        ):
+            continue
+        absolute = rust_url_join(base, trimmed, strip_fragment=True)
+        if absolute is not None:
+            urls.append(absolute)
+    return urls
+
+
+# --------------------------------------------------------------------------
+# X7: url_to_filename → doc key (src/supercrawler.rs:527-562)
+# --------------------------------------------------------------------------
+
+_FILENAME_MAP = set("/?&=:%#")
+
+
+def url_to_filename(url: str) -> str:
+    parsed = rust_url_parse(url)
+    if parsed is None:
+        safe = "".join(c for c in url if c.isalnum() or c in "-_")
+        return f"./output/invalid_url/{safe}.mdx"
+    domain = parsed.host or "unknown_domain"
+    path_part = parsed.path + (f"_{parsed.query}" if parsed.query is not None else "")
+    sanitized = "".join(
+        ch
+        for ch in ("_" if c in _FILENAME_MAP else c for c in path_part)
+        if ch.isalnum() or ch in "-_"
+    )
+    truncated = sanitized.encode("utf-8")[:100].decode("utf-8", "ignore") \
+        if _byte_len(sanitized) > 100 else sanitized
+    if truncated == "" or truncated == "_":
+        final = "index"
+    else:
+        final = truncated.strip("_")
+    return f"./output/{domain}/{final}.mdx"
+
+
+# --------------------------------------------------------------------------
+# X8: PDF MDX wrapper (src/supercrawler.rs:720-723)
+# --------------------------------------------------------------------------
+
+
+def pdf_to_mdx(url: str, pdf_text: str) -> str:
+    # Rust: url.split('/').last().unwrap_or("document.pdf") — split of a
+    # non-empty string always yields an item, so empty last segments survive
+    last_segment = url.split("/")[-1]
+    return (
+        f'---\ntitle: "PDF Document: {last_segment}"\n'
+        f'description: "Extracted text from PDF."\nsourceUrl: "{url}"\n---\n\n{pdf_text}'
+    )

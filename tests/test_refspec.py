@@ -1,0 +1,332 @@
+"""Unit tests for the executable extraction spec (refspec.py), table-driven
+from the cited reference code paths (SURVEY.md §2.6, src/supercrawler.rs)."""
+
+import pytest
+
+from supercrawler_spark.refspec import (
+    clean_to_mdx,
+    element_to_markdown,
+    extract_links,
+    infer_code_language,
+    parse_html,
+    pdf_to_mdx,
+    process_element,
+    url_to_filename,
+)
+from supercrawler_spark.functions.urls import (
+    canonicalize_url,
+    rust_url_join,
+    rust_url_parse,
+    url_host,
+)
+
+
+def _first_body_el(html):
+    doc = parse_html(html)
+    body = doc.select_first(lambda el: el.tag == "body")
+    return next(ch for ch in body.children if ch.is_element)
+
+
+def render(html):
+    return process_element(_first_body_el(f"<html><body>{html}</body></html>"))
+
+
+# ---- X1 element_to_markdown (rs:81-131) ----
+
+@pytest.mark.parametrize("html,expected", [
+    ("<p>plain text</p>", "plain text\n\n"),
+    ("<p><strong>bold</strong> and <b> b </b></p>", "**bold** and **b**\n\n"),
+    ("<p><em>it</em> <i>i</i></p>", "*it* *i*\n\n"),
+    ("<p><code> x&lt;1 </code></p>", "`x<1`\n\n"),
+    ("<p>a<br>b</p>", "a\nb\n\n"),
+    ("<p><span>sp</span>anned</p>", "spanned\n\n"),
+    ("<p><a href='/x'>lnk</a></p>", "[lnk](/x)\n\n"),
+    ("<p><a href='/x'>  </a>after</p>", "after\n\n"),      # empty link text skipped
+    ("<p><a>noref</a></p>", "[noref](#)\n\n"),              # missing href → '#'
+    ("<p><strong>  </strong>x</p>", "x\n\n"),               # empty strong skipped
+    ("<p><u>under</u></p>", "under\n\n"),                   # unknown inline → recurse
+])
+def test_inline(html, expected):
+    assert render(html) == expected
+
+
+# ---- X2 headings / paragraphs / lists (rs:136-168) ----
+
+@pytest.mark.parametrize("html,expected", [
+    ("<h1>T</h1>", "# T\n\n"),
+    ("<h3>T</h3>", "### T\n\n"),
+    ("<h6>T</h6>", "###### T\n\n"),
+    ("<h2></h2>", ""),
+    ("<p>  </p>", ""),
+    ("<ul><li>a</li><li>b</li></ul>", "* a\n* b\n\n"),
+    ("<ul><li></li></ul>", ""),
+    ("<ol><li>a</li><li></li><li>c</li></ol>", "1. a\n2. c\n\n"),  # counter skips empty
+])
+def test_blocks(html, expected):
+    assert render(html) == expected
+
+
+# ---- X3 code language inference (rs:170-213) ----
+
+@pytest.mark.parametrize("cls,lang", [
+    ("language-python", "python"),
+    ("lang-RUST", "rust"),
+    ("highlight jsx", "jsx"),
+    ("typescript", "tsx"),
+    ("listing-ts", "tsx"),          # substring 'ts'
+    ("shell-session", "bash"),      # substring 'sh'
+    ("py-block", "python"),
+    ("rs-code", "rust"),
+    ("htmlmixed", "html"),
+    ("css-x", "css"),
+    ("plain", ""),
+])
+def test_lang_inference(cls, lang):
+    assert infer_code_language(cls) == lang
+
+
+def test_pre_code():
+    assert render("<pre><code class='language-go'>x := 1</code></pre>") == "```go\nx := 1\n```\n\n"
+    assert render("<pre><code>import React from 'react'</code></pre>") == \
+        "```jsx\nimport React from 'react'\n```\n\n"
+    assert render("<pre>raw text</pre>") == "```\nraw text\n```\n\n"
+    assert render("<pre><code>  </code></pre>") == ""
+
+
+# ---- X2 img / a / blockquote (rs:215-248) ----
+
+def test_img_a_blockquote():
+    assert render("<img src='/i.png' alt='x'>") == "![x](/i.png)\n\n"
+    assert render("<img src='' alt='x'>") == ""
+    assert render("<img src='/' alt='x'>") == ""
+    assert render("<img src='/i.png'>") == "![](/i.png)\n\n"
+    assert render("<a href='/x'>text</a>") == "[text](/x)\n\n"
+    assert render("<a href='#'>text</a>") == ""
+    assert render("<a href='/x'></a>") == ""
+    assert render("<blockquote><p>a</p><p>b</p></blockquote>") == "> a\n> \n> b\n\n"
+    assert render("<blockquote><p></p></blockquote>") == ""
+
+
+# ---- X4 tables (rs:250-310) ----
+
+def test_table_thead():
+    got = render("<table><thead><tr><th>A</th><td>B</td></tr></thead>"
+                 "<tbody><tr><td>1</td><td>2</td><td>3</td></tr></tbody></table>")
+    assert got == "| A | B |\n| --- | --- |\n| 1 | 2 |\n\n"  # rows truncated to header width
+
+
+def test_table_first_row_th():
+    got = render("<table><tr><th>A</th><th>B</th></tr><tr><td>1</td></tr></table>")
+    assert got == "| A | B |\n| --- | --- |\n| 1 |  |\n\n"   # padded to header width
+
+
+def test_table_headerless():
+    got = render("<table><tr><td>1</td><td>2</td></tr><tr><td>3</td></tr></table>")
+    assert got == "| 1 | 2 |\n| 3 |\n\n"
+
+
+def test_table_empty():
+    assert render("<table></table>") == ""
+
+
+# ---- container/blocklist/loose text (rs:311-343) ----
+
+def test_container_loose_text():
+    # trimmed byte length must exceed 10
+    assert render("<div>exactly10!</div>") == ""
+    assert render("<div>exactly11!!</div>") == "exactly11!!\n\n"
+    assert render("<div><p>x</p>tiny</div>") == "x\n\n"
+    assert render("<nav><p>gone</p></nav>") == ""
+    assert render("<form><p>gone</p></form>") == ""
+    assert render("<article><p>kept</p></article>") == "kept\n\n"
+    assert render("<details><p>kept</p></details>") == "kept\n\n"  # unknown → container
+
+
+# ---- X5 clean_to_mdx (rs:347-500) ----
+
+BASE = "https://example.com/page"
+
+
+def test_frontmatter_defaults():
+    mdx = clean_to_mdx("<html><head></head><body></body></html>", BASE)
+    assert mdx == (
+        '---\ntitle: "Untitled"\ndescription: "No description available"\n'
+        'keywords: "No keywords available"\nsourceUrl: "https://example.com/page"\n'
+        f'canonicalUrl: "{BASE}"\n---'
+    )
+
+
+def test_frontmatter_fields_and_escaping():
+    html = ('<html><head><title>A "B"</title>'
+            '<meta name="description" content="d1">'
+            '<meta name="keywords" content="k1,k2">'
+            '<meta name="author" content="au">'
+            '<meta property="article:published_time" content="2024-01-01">'
+            '<link rel="canonical" href="https://c.example/x">'
+            '</head><body></body></html>')
+    mdx = clean_to_mdx(html, BASE)
+    assert 'title: "A \\"B\\""' in mdx
+    assert 'description: "d1"' in mdx
+    assert 'keywords: "k1,k2"' in mdx
+    assert 'author: "au"' in mdx
+    assert 'date: "2024-01-01"' in mdx
+    assert 'canonicalUrl: "https://c.example/x"' in mdx
+
+
+def test_description_fallback_truncation():
+    long_p = "x" * 300
+    html = f"<html><head></head><body><p>{long_p}</p></body></html>"
+    mdx = clean_to_mdx(html, BASE)
+    assert f'description: "{"x" * 250}..."' in mdx
+
+
+def test_description_meta_document_order():
+    # selector group matches first meta in document order across alternatives
+    html = ('<html><head>'
+            '<meta property="og:description" content="og-first">'
+            '<meta name="description" content="named">'
+            '</head><body></body></html>')
+    assert 'description: "og-first"' in clean_to_mdx(html, BASE)
+
+
+def test_toc_marker():
+    heads = "".join(f"<h2>h{i}</h2>" for i in range(4))
+    mdx = clean_to_mdx(f"<html><head></head><body>{heads}</body></html>", BASE)
+    assert "## Table of Contents\n\n<!-- toc -->" in mdx
+    mdx3 = clean_to_mdx("<html><head></head><body><h2>a</h2><h2>b</h2><h2>c</h2></body></html>", BASE)
+    assert "Table of Contents" not in mdx3
+
+
+def test_main_content_scoping():
+    html = ('<html><head><meta name="description" content="d"></head>'
+            '<body><p>outside</p>'
+            '<main><p>inside</p></main></body></html>')
+    mdx = clean_to_mdx(html, BASE)
+    assert "inside" in mdx and "outside" not in mdx
+
+
+def test_main_content_class_selector():
+    html = ('<html><head><meta name="description" content="d"></head>'
+            '<body><p>outside</p>'
+            '<div class="page-content extra"><p>inside</p></div></body></html>')
+    mdx = clean_to_mdx(html, BASE)
+    assert "inside" in mdx and "outside" not in mdx
+
+
+def test_related_resources():
+    html = ('<html><head></head><body><p>body text</p>'
+            '<div class="related"><a href="/r1">R1</a></div>'
+            '<a rel="related" href="https://other.example/r2#f">R2</a>'
+            '</body></html>')
+    mdx = clean_to_mdx(html, BASE)
+    assert "\n## Related Resources\n\n" in mdx
+    assert "- [R1](https://example.com/r1)\n" in mdx
+    # absolutization keeps fragments (only rel-extraction strips them? no —
+    # related links keep the joined URL as-is, rs:474-477)
+    assert "- [R2](https://other.example/r2#f)" in mdx
+
+
+def test_noise_regex_no_dotall():
+    # single-line script removed by the regex
+    html = ('<html><head></head><body><p>keep</p>'
+            "<script>var x = 'inline';</script></body></html>")
+    mdx = clean_to_mdx(html, BASE)
+    assert "inline" not in mdx
+    # multi-line script survives the regex (Rust `.` ≠ \n) but is blocklisted in X2
+    html2 = ('<html><head></head><body><p>keep</p>'
+             "<script>\nvar y = 1;\n</script></body></html>")
+    mdx2 = clean_to_mdx(html2, BASE)
+    assert "var y" not in mdx2 and "keep" in mdx2
+
+
+def test_blank_collapse():
+    html = "<html><head></head><body><div><p>a</p></div><div></div><p>b</p></body></html>"
+    mdx = clean_to_mdx(html, BASE)
+    assert "\n\n\n" not in mdx
+
+
+# ---- X6 extract_links (rs:736-757) ----
+
+def test_extract_links_prefilter_and_join():
+    html = ('<html><body>'
+            '<a href="/a">1</a>'
+            '<a href="b/c">2</a>'
+            '<a href="#frag">3</a>'
+            '<a href="javascript:void(0)">4</a>'
+            '<a href="mailto:x@y">5</a>'
+            '<a href="">6</a>'
+            '<a href="https://Other.Example:443/Z#f">7</a>'
+            '<a href="../up">8</a>'
+            '<a>nohref</a>'
+            '</body></html>')
+    links = extract_links(html, "https://example.com/dir/page")
+    assert links == [
+        "https://example.com/a",
+        "https://example.com/dir/b/c",
+        "https://other.example/Z",
+        "https://example.com/up",
+    ]
+
+
+def test_extract_links_duplicates_preserved_in_doc_order():
+    html = '<html><body><a href="/a">1</a><a href="/a">2</a></body></html>'
+    assert extract_links(html, "https://e.com/") == ["https://e.com/a", "https://e.com/a"]
+
+
+# ---- X7 url_to_filename (rs:527-562) ----
+
+@pytest.mark.parametrize("url,expected", [
+    ("https://example.com/a/b", "./output/example.com/a_b.mdx"),
+    ("https://example.com/", "./output/example.com/index.mdx"),
+    ("https://example.com/a?x=1&y=2", "./output/example.com/a_x_1_y_2.mdx"),
+    ("https://example.com/" + "p" * 200, "./output/example.com/" + "p" * 99 + ".mdx"),
+    ("not a url", "./output/invalid_url/notaurl.mdx"),
+])
+def test_url_to_filename(url, expected):
+    assert url_to_filename(url) == expected
+
+
+# ---- X8 pdf wrapper (rs:720-723) ----
+
+def test_pdf_to_mdx():
+    got = pdf_to_mdx("https://e.com/doc/file.pdf", "BODY")
+    assert got == ('---\ntitle: "PDF Document: file.pdf"\n'
+                   'description: "Extracted text from PDF."\n'
+                   'sourceUrl: "https://e.com/doc/file.pdf"\n---\n\nBODY')
+
+
+# ---- F4 canonicalization ----
+
+@pytest.mark.parametrize("url,expected", [
+    ("HTTPS://Example.COM:443/a/./b/../c?q=2#frag", "https://example.com/a/c?q=2"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/a?utm_source=t&q=1&fbclid=z", "https://example.com/a?q=1"),
+    ("https://example.com/a?utm_source=t", "https://example.com/a"),
+    ("javascript:void(0)", None),
+    ("not a url", None),
+])
+def test_canonicalize(url, expected):
+    assert canonicalize_url(url) == expected
+
+
+def test_canonicalize_parity_mode_keeps_tracking():
+    assert canonicalize_url("https://e.com/a?utm_source=t", strip_tracking=False) == \
+        "https://e.com/a?utm_source=t"
+
+
+def test_url_host():
+    assert url_host("https://A.B.example.com/x") == "a.b.example.com"
+    assert url_host(":::") is None
+
+
+def test_join_relative_forms():
+    base = rust_url_parse("https://e.com/d1/d2/page?old=1")
+    assert rust_url_join(base, "x") == "https://e.com/d1/d2/x"
+    assert rust_url_join(base, "/abs") == "https://e.com/abs"
+    assert rust_url_join(base, "?q=2") == "https://e.com/d1/d2/page?q=2"
+    assert rust_url_join(base, "//other.com/p") == "https://other.com/p"
+    assert rust_url_join(base, "../up") == "https://e.com/d1/up"
+    assert rust_url_join(base, "a#f", strip_fragment=True) == "https://e.com/d1/d2/a"
+    assert rust_url_join(base, "") == "https://e.com/d1/d2/page?old=1"

@@ -1,0 +1,54 @@
+"""Property-based tests (SURVEY.md §5.5): URL canonicalization invariants."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from supercrawler_spark.functions.urls import canonicalize_url, rust_url_parse
+
+_host = st.from_regex(r"[a-z]([a-z0-9-]{0,10}[a-z0-9])?(\.[a-z]{2,6}){1,2}", fullmatch=True)
+_pathseg = st.text(alphabet=string.ascii_letters + string.digits + "-_.", min_size=0, max_size=8)
+_query = st.text(alphabet=string.ascii_letters + string.digits + "=&_-", min_size=0, max_size=20)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https"]))
+    host = draw(_host)
+    segs = draw(st.lists(_pathseg | st.sampled_from([".", ".."]), max_size=5))
+    path = "/" + "/".join(segs) if segs else ""
+    q = draw(st.none() | _query)
+    frag = draw(st.none() | st.text(alphabet=string.ascii_letters, max_size=5))
+    u = f"{scheme}://{host}{path}"
+    if q is not None:
+        u += f"?{q}"
+    if frag is not None:
+        u += f"#{frag}"
+    return u
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(u):
+    c1 = canonicalize_url(u)
+    assert c1 is not None
+    assert canonicalize_url(c1) == c1
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_parse_serialize_roundtrip_stable(u):
+    p = rust_url_parse(u)
+    assert p is not None
+    s = p.to_string()
+    p2 = rust_url_parse(s)
+    assert p2 is not None and p2.to_string() == s
+
+
+@given(urls())
+@settings(max_examples=200, deadline=None)
+def test_canonical_has_no_fragment_or_tracking(u):
+    c = canonicalize_url(u)
+    assert "#" not in c
+    assert "utm_" not in c.split("?")[-1] if "?" in c else True
