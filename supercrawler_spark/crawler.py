@@ -1,0 +1,439 @@
+"""Round-synchronous BFS crawl engine over Spark DataFrames.
+
+Re-expresses the reference scheduler (src/supercrawler.rs:1259-1369) as
+micro-batch rounds: each round is one declarative DataFrame plan
+
+    frontier_r → (politeness) → fetch-join pages → extract (Arrow UDF)
+               → docs_r  +  explode links → canonicalize → scope semi-join
+               → seen anti-join + intra-round first-seen dedup
+               → frontier_{r+1}, seen delta, per-partition metrics
+
+with per-round atomic commits to a CrawlStore (checkpoint lineage, resume).
+The reference semantics mapped here (SURVEY.md §2):
+
+  - fetch = lookup join against the ``pages`` table (S1; no live network in
+    the graft) — missing row ≙ failed fetch (F7/E4).
+  - scope: exact host match against the seed-host set, broadcast semi-join
+    (F8/J2/J3; src/supercrawler.rs:1236-1239,1341).
+  - seen dedup at enqueue time (J1; rs:1244,1343): left-anti against the
+    accumulated seen deltas + first-seen-wins within the round, ordered by
+    the deterministic crawl order.
+  - crawl ordering contract (SURVEY.md §7.0): seq = dense rank over
+    (parent_seq, link_pos) per round — identical to a concurrency-1 reference
+    run; computed scale-safely (range partition + per-partition offsets, no
+    single-partition window).
+  - depth guards F9/F10, empty-MDX filter F12, invalid-URL filter F13,
+    time budget L2 (checked between rounds; a round is the atomic unit).
+
+Scale notes (the 100 TB design point):
+  - pages is bucket-partitioned by pmod(xxhash64(url), B); each round prunes
+    the pages scan to the buckets present in the frontier (partition pruning
+    on disk) and broadcasts the frontier when it is small.
+  - the extract UDF is the compute hotspot: Arrow-vectorized, bounded batch
+    size, runs once per round (results are checkpointed, never recomputed).
+  - per-host politeness (north-rule extension; the reference has only a
+    global semaphore): robots disallow-prefix filter + per-host crawl-delay
+    budgets enforced via *salted* per-(host, salt) sub-windows so a hot host
+    never serializes into one task.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict, dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supercrawler_spark.functions import udfs
+from supercrawler_spark.store import CrawlStore
+
+FRONTIER_COLS = ["url", "host", "depth", "seq", "bucket"]
+
+
+@dataclass
+class CrawlConfig:
+    crawl_depth: int = 2            # clamp [0,5] default 2 (rs:1151)
+    max_urls: Optional[int] = None  # seed clamp [5,120] (rs:1149) when set
+    time_limit_secs: Optional[float] = None  # clamp [150,600] (rs:1152) when set
+    strip_tracking: bool = True     # north-rule canonicalization extension
+    politeness: bool = False        # robots + crawl-delay (north-rule extension)
+    round_budget_ms: int = 60_000   # per-round wall budget for crawl-delay math
+    politeness_salt: int = 8        # sub-windows per host for delay budgeting
+    num_buckets: int = 32           # url-hash buckets (pages layout parity)
+    compact_seen_every: int = 8     # seen-delta compaction cadence
+
+    def validated(self) -> "CrawlConfig":
+        cfg = CrawlConfig(**asdict(self))
+        cfg.crawl_depth = max(0, min(5, cfg.crawl_depth))
+        if cfg.max_urls is not None:
+            cfg.max_urls = max(5, min(120, cfg.max_urls))
+        if cfg.time_limit_secs is not None:
+            cfg.time_limit_secs = max(150.0, min(600.0, float(cfg.time_limit_secs)))
+        return cfg
+
+
+@dataclass
+class CrawlResult:
+    docs: DataFrame       # url, depth, seq, mdx, doc_key
+    seen: DataFrame       # url, url_hash, bucket, depth
+    metrics: DataFrame    # round, stage, partition_id, counters…
+    frontiers: dict       # round -> DataFrame(url, host, depth, seq, bucket)
+    rounds_run: int
+    store: CrawlStore
+
+
+def _canon_udf(cfg: CrawlConfig):
+    return udfs.make_canonicalize(cfg.strip_tracking)
+
+
+def _with_bucket(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    return df.withColumn("bucket", udfs.bucket_col(F.col("url"), cfg.num_buckets))
+
+
+def _path_col():
+    # url path+query for robots prefix matching (scheme://host stripped)
+    return F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+
+
+def attach_dense_seq(
+    df: DataFrame, order_cols: list[str], out_col: str = "seq"
+) -> tuple[DataFrame, int]:
+    """Deterministic dense 0-based rank by ``order_cols`` without a
+    single-partition window: range-repartition on the order key, rank within
+    partitions, then add per-partition offsets (tiny driver collect of one
+    row per partition). Requires the order key to be unique. Returns
+    ``(df_with_seq, total_rows)`` — the total comes free from the offsets
+    pass, saving the caller a count job."""
+    d = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    d = d.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = {r["_pid"]: r["cnt"]
+              for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "_pid INT, _offset BIGINT")
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    out = (d.withColumn("_rn", F.row_number().over(w))
+           .join(F.broadcast(offsets_df), "_pid")
+           .withColumn(out_col, (F.col("_offset") + F.col("_rn") - F.lit(1)))
+           .drop("_pid", "_rn", "_offset"))
+    return out, acc
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: CrawlConfig | None = None,
+        store_dir: str | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = (config or CrawlConfig()).validated()
+        if store_dir is None:
+            import tempfile
+            store_dir = tempfile.mkdtemp(prefix="crawlstore_")
+        self.store = CrawlStore(store_dir)
+        self.pages = pages
+        self.robots = robots
+        self._pages_bucketed = "bucket" in pages.columns
+
+    # -- init: seed enqueue (rs:1236-1252) ---------------------------------
+
+    def _init_frontier(self, seeds: DataFrame) -> None:
+        cfg = self.cfg
+        canon = _canon_udf(cfg)
+        s = seeds
+        if "seed_order" not in s.columns:
+            s, _ = attach_dense_seq(s.select("url"), ["url"], "seed_order")
+        if cfg.max_urls is not None:  # O2: bounds the seed set only
+            s = s.filter(F.col("seed_order") < cfg.max_urls)
+        s = (s.withColumn("curl", canon(F.col("url")))
+             .filter(F.col("curl").isNotNull())        # F13 invalid-seed drop
+             .withColumn("host", udfs.parse_host(F.col("curl"))))
+        # first-seen dedup among seeds, keep request order (rs:1244)
+        w = Window.partitionBy("curl").orderBy("seed_order")
+        s = (s.withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") == 1).drop("_rk"))
+        frontier0 = _with_bucket(
+            s.select(F.col("curl").alias("url"), "host",
+                     F.lit(0).alias("depth"),
+                     F.col("seed_order").cast("long").alias("seq")),
+            cfg)
+        frontier0.write.mode("overwrite").parquet(self.store.init_frontier_path())
+        frontier0 = self.spark.read.parquet(self.store.init_frontier_path())
+        seen0 = (frontier0
+                 .select("url", F.xxhash64("url").alias("url_hash"),
+                         "bucket", "depth")
+                 .repartition(cfg.num_buckets, "bucket"))
+        seen0.write.mode("overwrite").parquet(self.store.init_seen_path())
+        n = frontier0.count()
+        self.store.commit_init(
+            {"seeds": n},
+            {"frontier": self.store.init_frontier_path(),
+             "seen_delta": self.store.init_seen_path()})
+
+    def _scope_df(self) -> DataFrame:
+        frontier0 = self.spark.read.parquet(self.store.init_frontier_path())
+        return frontier0.select("host").distinct()
+
+    def _seen_df(self, up_to_round: int) -> DataFrame:
+        paths = self.store.seen_paths_up_to(up_to_round)
+        return self.spark.read.parquet(*paths)
+
+    # -- one round ----------------------------------------------------------
+
+    def _run_round(self, r: int, frontier: DataFrame, scope: DataFrame) -> dict:
+        cfg, spark, store = self.cfg, self.spark, self.store
+        canon = _canon_udf(cfg)
+
+        work = frontier
+        # --- politeness (north-rule extension; off ≙ reference parity) ---
+        if cfg.politeness and self.robots is not None:
+            rob = F.broadcast(self.robots)
+            work = (work.join(rob, "host", "left")
+                    .withColumn(
+                        "robots_blocked",
+                        F.coalesce(
+                            F.exists(
+                                F.col("disallow_prefixes"),
+                                lambda p: _path_col().startswith(p)),
+                            F.lit(False))))
+            # crawl-delay budget: a host with delay D gets ≤ round_budget/D
+            # fetches this round, enforced inside salted sub-windows so the
+            # hot host stays parallel; the remainder is deferred (re-queued
+            # at the same depth next round).
+            cap = (F.when(F.col("crawl_delay_ms") > 0,
+                          F.greatest(
+                              F.lit(1),
+                              (F.lit(cfg.round_budget_ms)
+                               / F.col("crawl_delay_ms")
+                               / F.lit(cfg.politeness_salt)).cast("long")))
+                   .otherwise(F.lit(None)))
+            salt = F.pmod(F.xxhash64("url"), F.lit(cfg.politeness_salt))
+            wsub = Window.partitionBy("host", salt).orderBy("seq")
+            work = (work.withColumn("_cap", cap)
+                    .withColumn("_rk", F.row_number().over(wsub))
+                    .withColumn("deferred",
+                                (~F.col("robots_blocked"))
+                                & F.col("_cap").isNotNull()
+                                & (F.col("_rk") > F.col("_cap")))
+                    .drop("_rk", "_cap", "disallow_prefixes", "crawl_delay_ms"))
+        else:
+            work = (work.withColumn("robots_blocked", F.lit(False))
+                    .withColumn("deferred", F.lit(False)))
+
+        fetchable = work.filter(~F.col("robots_blocked") & ~F.col("deferred"))
+
+        # one small collect yields frontier size, politeness counts, AND the
+        # bucket list for pages-scan partition pruning (single Spark action)
+        stats = (work.groupBy("bucket", "robots_blocked", "deferred")
+                 .agg(F.count("*").alias("cnt")).collect())
+        frontier_count = sum(r["cnt"] for r in stats)
+        n_deferred = sum(r["cnt"] for r in stats if r["deferred"])
+        live_buckets = sorted({r["bucket"] for r in stats
+                               if not r["robots_blocked"] and not r["deferred"]})
+
+        # --- fetch = lookup join against pages (S1), bucket-pruned --------
+        pages = self.pages
+        if self._pages_bucketed:
+            pages = pages.filter(F.col("bucket").isin(live_buckets))
+        pages = pages.select("url", "html")
+        fetched = fetchable.join(pages, "url", "left")
+
+        # --- extract (the Arrow UDF hotspot) -------------------------------
+        extracted = (fetched
+                     .withColumn("page", udfs.extract_page("url", "html"))
+                     .select("url", "host", "depth", "seq", "bucket",
+                             (F.col("html").isNotNull()).alias("fetched"),
+                             F.col("page.mdx").alias("mdx"),
+                             F.col("page.links").alias("links"))
+                     .withColumn("_pid", F.spark_partition_id()))
+        # checkpoint the round's expensive work exactly once
+        extracted_path = store.round_dir(r, "extracted")
+        extracted.write.mode("overwrite").parquet(extracted_path)
+        extracted = spark.read.parquet(extracted_path)
+
+        # --- docs (F12 empty-MDX filter; X7 doc key) -----------------------
+        docs = (extracted
+                .filter(F.col("mdx").isNotNull()
+                        & (F.length(F.trim(F.col("mdx"))) > 0))
+                .select("url", "depth", "seq", "mdx",
+                        udfs.doc_key(F.col("url")).alias("doc_key")))
+        docs.write.mode("overwrite").parquet(store.docs_path(r))
+
+        # --- expand: links → candidates → survivors ------------------------
+        expanding = r < cfg.crawl_depth  # F10 enqueue-side depth guard
+        new_count = 0
+        if expanding:
+            links = (extracted
+                     .filter(F.col("links").isNotNull())
+                     .select(F.col("seq").alias("parent_seq"),
+                             F.posexplode("links").alias("link_pos", "link")))
+            candidates = (links
+                          .withColumn("url", canon(F.col("link")))
+                          .filter(F.col("url").isNotNull())     # F13
+                          .withColumn("host", udfs.parse_host(F.col("url")))
+                          .join(F.broadcast(scope), "host", "left_semi"))  # F8
+            candidates = _with_bucket(candidates, cfg)
+            seen = self._seen_df(r - 1)
+            cand = (candidates
+                    .join(seen.select("url").withColumn("_seen", F.lit(True)),
+                          "url", "left")
+                    .withColumn("_pid", F.spark_partition_id()))
+            # intra-round first-seen-wins in crawl order (rs:1343 semantics)
+            w_first = Window.partitionBy("url").orderBy("parent_seq", "link_pos")
+            cand = (cand
+                    .withColumn("_rk", F.row_number().over(w_first))
+                    .withColumn("is_new",
+                                F.col("_seen").isNull() & (F.col("_rk") == 1)))
+            cand_path = store.round_dir(r, "candidates")
+            cand.write.mode("overwrite").parquet(cand_path)
+            cand = spark.read.parquet(cand_path)
+
+            survivors = cand.filter(F.col("is_new")) \
+                .select("url", "host", "bucket", "parent_seq", "link_pos")
+            nxt, new_count = attach_dense_seq(
+                survivors, ["parent_seq", "link_pos"], "seq")
+            nxt = nxt.select("url", "host",
+                             F.lit(r + 1).alias("depth"), "seq", "bucket")
+            # deferred politeness rows re-enter at their original depth/seq
+            deferred = work.filter(F.col("deferred")).select(*FRONTIER_COLS)
+            frontier_next = nxt.select(*FRONTIER_COLS).unionByName(deferred)
+            frontier_next.write.mode("overwrite") \
+                .parquet(store.frontier_path(r + 1))
+            seen_delta = (nxt.select("url", F.xxhash64("url").alias("url_hash"),
+                                     "bucket", "depth")
+                          .repartition(cfg.num_buckets, "bucket"))
+            seen_delta.write.mode("overwrite").parquet(store.seen_delta_path(r))
+
+            dedup_metrics = (cand.groupBy(F.col("_pid").alias("partition_id"))
+                             .agg(F.count("*").alias("candidates"),
+                                  F.sum((~F.col("is_new")).cast("long")).alias("deduped"),
+                                  F.sum(F.col("is_new").cast("long")).alias("frontier_added"))
+                             .withColumn("stage", F.lit("expand")))
+        else:
+            if n_deferred > 0:
+                work.filter(F.col("deferred")).select(*FRONTIER_COLS) \
+                    .write.mode("overwrite").parquet(store.frontier_path(r + 1))
+            dedup_metrics = None
+
+        # --- per-partition metrics (A4 / north-rule) ------------------------
+        fetch_metrics = (extracted.groupBy(F.col("_pid").alias("partition_id"))
+                         .agg(F.count("*").alias("processed"),
+                              F.sum(F.col("fetched").cast("long")).alias("fetched"),
+                              F.sum((~F.col("fetched")).cast("long")).alias("failed"))
+                         .withColumn("stage", F.lit("fetch")))
+        rb = (work.groupBy(F.lit(0).alias("partition_id"))
+              .agg(F.sum(F.col("robots_blocked").cast("long")).alias("robots_blocked"),
+                   F.sum(F.col("deferred").cast("long")).alias("deferred"))
+              .withColumn("stage", F.lit("politeness")))
+        metric_frames = [fetch_metrics, rb] + ([dedup_metrics] if dedup_metrics is not None else [])
+        metrics = None
+        for mf in metric_frames:
+            metrics = mf if metrics is None else metrics.unionByName(mf, allowMissingColumns=True)
+        metrics = metrics.withColumn("round", F.lit(r))
+        metrics.write.mode("overwrite").parquet(store.metrics_path(r))
+
+        counts = {
+            "frontier": int(frontier_count),
+            "new_urls": int(new_count),
+            "deferred": int(n_deferred),
+        }
+        paths = {
+            "extracted": extracted_path,
+            "docs": store.docs_path(r),
+            "metrics": store.metrics_path(r),
+        }
+        if expanding:
+            paths["seen_delta"] = store.seen_delta_path(r)
+            paths["frontier_next"] = store.frontier_path(r + 1)
+        # seen compaction: bound delta read amplification
+        if expanding and r > 0 and (r + 1) % cfg.compact_seen_every == 0:
+            compact = self._seen_df(r).repartition(cfg.num_buckets, "bucket")
+            compact.write.mode("overwrite").parquet(store.seen_compact_path(r))
+            paths["seen_compact"] = store.seen_compact_path(r)
+        store.commit_round(r, counts, paths)
+        return counts
+
+    # -- driver loop (L1/L2) -------------------------------------------------
+
+    def run(self, seeds: DataFrame | None = None) -> CrawlResult:
+        cfg, spark, store = self.cfg, self.spark, self.store
+        start = time.monotonic()
+        store.init_config(asdict(cfg))
+        last = store.last_committed_round()
+        if store.read_manifest()["init"] is None:
+            if seeds is None:
+                raise ValueError("fresh crawl needs a seeds DataFrame")
+            self._init_frontier(seeds)
+        scope = F.broadcast(self._scope_df())
+
+        r = last + 1
+        while r <= cfg.crawl_depth:
+            if (cfg.time_limit_secs is not None
+                    and time.monotonic() - start > cfg.time_limit_secs):
+                break  # L2: budget checked between rounds (round = atomic unit)
+            frontier_path = (store.init_frontier_path() if r == 0
+                             else store.frontier_path(r))
+            import os
+            if not os.path.exists(frontier_path):
+                break  # frontier exhausted early
+            frontier = spark.read.parquet(frontier_path)
+            counts = self._run_round(r, frontier, scope)
+            if counts["frontier"] == 0:
+                break
+            if counts["new_urls"] == 0 and counts["deferred"] == 0:
+                break  # frontier exhausted — nothing enqueued for next round
+            r += 1
+        store.mark_done()
+        return self.result()
+
+    def result(self) -> CrawlResult:
+        spark, store = self.spark, self.store
+        manifest = store.read_manifest()
+        rounds = [e["round"] for e in manifest["rounds"]]
+        docs = spark.read.parquet(*[e["paths"]["docs"] for e in manifest["rounds"]]) \
+            if rounds else None
+        metrics = spark.read.parquet(*[e["paths"]["metrics"] for e in manifest["rounds"]]) \
+            if rounds else None
+        seen = self._seen_df(max(rounds)) if rounds else self._seen_df(-1)
+        frontiers = {}
+        if manifest["init"]:
+            frontiers[0] = spark.read.parquet(store.init_frontier_path())
+        for e in manifest["rounds"]:
+            if "frontier_next" in e["paths"]:
+                frontiers[e["round"] + 1] = spark.read.parquet(e["paths"]["frontier_next"])
+        return CrawlResult(docs=docs, seen=seen, metrics=metrics,
+                           frontiers=frontiers, rounds_run=len(rounds),
+                           store=store)
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    config: CrawlConfig | None = None,
+    store_dir: str | None = None,
+    robots: DataFrame | None = None,
+) -> CrawlResult:
+    """One-shot crawl (fresh store). See Crawler for resume semantics."""
+    return Crawler(spark, pages, config, store_dir, robots).run(seeds)
+
+
+def resume(
+    spark: SparkSession,
+    pages: DataFrame,
+    store_dir: str,
+    config: CrawlConfig | None = None,
+    robots: DataFrame | None = None,
+) -> CrawlResult:
+    """Resume an interrupted crawl from its last committed round."""
+    return Crawler(spark, pages, config, store_dir, robots).run(seeds=None)

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+same confs apply per-executor. Settings are chosen for the 100 TB design
+point and scale *down* to the sandbox, not the other way around:
+
+  - AQE on (runtime coalescing of small crawl rounds, skew-join splitting for
+    the hot-host pages lookup).
+  - Runtime Bloom-filter join pushdown on: the seen anti-join's build side
+    generates a Bloom filter that prunes frontier rows before the shuffle —
+    the reference's in-memory HashSet analog at scale (SURVEY §4).
+  - Arrow batches capped small (256): html blobs are KB–MB sized, so the
+    default 10k-row batches would hold GBs in the Python worker.
+  - shuffle.partitions defaults to 2× cores locally; on a cluster size it to
+    keep post-shuffle partitions ≤ maxPartitionBytes at the target SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "supercrawler-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE: two measured pathologies on this PySpark 4.1.2 local build —
+        # runtimeFilter.semiJoinReduction=true deadlocks trivial parquet
+        # reads, and runtime.bloomFilter=true injects per-join aggregation
+        # subqueries that multiply small-job latency ~4x (127s → never-
+        # finishes on the sf0.001 crawl). Both stay off by default; on a real
+        # cluster with 10^10-row seen tables the Bloom runtime filter is
+        # worth re-enabling via SPARK_GRAFT_BLOOM=1.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_BLOOM") == "1" else "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,129 @@
+"""CrawlStore — per-round atomic checkpoint lineage (north-rule L6 extension).
+
+The reference keeps frontier + visited set in memory and loses both on crash
+(SURVEY.md §2.8 L6). At 10^10-URL scale the engine instead commits each round
+atomically: round artifacts (extracted pages, docs, next frontier, seen
+delta, metrics) are written as parquet, then a manifest entry is committed
+via write-temp + rename. Resume = read the last committed manifest entry and
+continue from its frontier; partially-written rounds are ignored (their
+directories are simply orphaned, never referenced).
+
+With an Iceberg runtime this maps 1:1 onto table snapshots + a bucket(B, url)
+partition transform; no Iceberg jar ships with this sandbox's PySpark, so the
+parquet+manifest backend below provides the same semantics (SURVEY.md §7.0).
+The ``seen`` set is stored as per-round deltas, each repartitioned by
+``pmod(xxhash64(url), B)`` so the anti-join reads co-bucketed data; deltas
+are compacted every ``compact_every`` rounds to bound read amplification.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class CrawlStore:
+    MANIFEST = "manifest.json"
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, self.MANIFEST)
+
+    def read_manifest(self) -> dict:
+        path = self._manifest_path()
+        if not os.path.exists(path):
+            return {"rounds": [], "config": None, "init": None, "done": False}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path())  # atomic commit
+
+    def init_config(self, config_dict: dict) -> None:
+        manifest = self.read_manifest()
+        if manifest["config"] is None:
+            manifest["config"] = config_dict
+            self._write_manifest(manifest)
+        elif manifest["config"] != config_dict:
+            raise ValueError(
+                f"checkpoint at {self.root} was created with a different "
+                f"config: {manifest['config']} != {config_dict}")
+
+    def last_committed_round(self) -> int:
+        rounds = self.read_manifest()["rounds"]
+        return rounds[-1]["round"] if rounds else -1
+
+    def commit_init(self, counts: dict, paths: dict) -> None:
+        """Commit the seed-enqueue step (frontier_0 + seed seen delta)."""
+        manifest = self.read_manifest()
+        manifest["init"] = {"committed_at": time.time(),
+                            "counts": counts, "paths": paths}
+        self._write_manifest(manifest)
+
+    def commit_round(self, round_no: int, counts: dict, paths: dict) -> None:
+        manifest = self.read_manifest()
+        assert all(r["round"] < round_no for r in manifest["rounds"])
+        manifest["rounds"].append({
+            "round": round_no,
+            "committed_at": time.time(),
+            "counts": counts,
+            "paths": paths,
+        })
+        self._write_manifest(manifest)
+
+    def mark_done(self) -> None:
+        manifest = self.read_manifest()
+        manifest["done"] = True
+        self._write_manifest(manifest)
+
+    # -- paths --------------------------------------------------------------
+
+    def round_dir(self, round_no: int, name: str) -> str:
+        return os.path.join(self.root, f"round={round_no:04d}", name)
+
+    def frontier_path(self, round_no: int) -> str:
+        return self.round_dir(round_no, "frontier")
+
+    def docs_path(self, round_no: int) -> str:
+        return self.round_dir(round_no, "docs")
+
+    def seen_delta_path(self, round_no: int) -> str:
+        return self.round_dir(round_no, "seen_delta")
+
+    def seen_compact_path(self, round_no: int) -> str:
+        return self.round_dir(round_no, "seen_compact")
+
+    def metrics_path(self, round_no: int) -> str:
+        return self.round_dir(round_no, "metrics")
+
+    def init_frontier_path(self) -> str:
+        return os.path.join(self.root, "init", "frontier")
+
+    def init_seen_path(self) -> str:
+        return os.path.join(self.root, "init", "seen_delta")
+
+    def seen_paths_up_to(self, round_no: int) -> list[str]:
+        """Paths whose union is the seen set after processing round
+        ``round_no`` (-1 ≙ just the seed delta): the latest compaction plus
+        subsequent deltas."""
+        manifest = self.read_manifest()
+        paths: list[str] = []
+        if manifest.get("init") and "seen_delta" in manifest["init"]["paths"]:
+            paths.append(manifest["init"]["paths"]["seen_delta"])
+        for entry in manifest["rounds"]:
+            if entry["round"] > round_no:
+                break
+            if "seen_compact" in entry["paths"]:
+                paths = [entry["paths"]["seen_compact"]]
+            elif "seen_delta" in entry["paths"]:
+                paths.append(entry["paths"]["seen_delta"])
+        return paths
