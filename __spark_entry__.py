@@ -1,38 +1,503 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship program: the full crawl engine (Arrow-UDF
+extraction, scope semi-join, seen anti-join, checkpointed rounds) over a
+pages table derived from sf0.001 ``documents``. ``queries()`` exposes each
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+operators; ``oracle_sql()`` gives the DuckDB twin for every SQL-expressible
+one (non-SQL-expressible ops — the live engine crawl aside from its seen-set
+CTE oracle, and mapInPandas feature extraction beyond its metadata subset —
+are noted inline).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supercrawler_spark.crawler import CrawlConfig, crawl
+from supercrawler_spark.functions import udfs
+from supercrawler_spark.operators import dedup, graph, multimodal, similarity, textquality
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: the crawl engine end-to-end (sf0.001 smoke)
+# --------------------------------------------------------------------------
+
+
+def run_engine_crawl(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pages = graph.pages_from_documents(docs, n)
+    seeds = graph.seeds(docs).select(
+        "url", F.col("doc_id").cast("long").alias("seed_order"))
+    cfg = CrawlConfig(crawl_depth=2, num_buckets=8)
+    res = crawl(spark, pages, seeds, cfg,
+                store_dir=tempfile.mkdtemp(prefix="entrycrawl_"))
+    return res
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    res = run_engine_crawl(spark, "/root/testdata/sf0.001")
+    return (res.docs
+            .select("url", "depth", "seq",
+                    F.length("mdx").alias("mdx_len"), "doc_key")
+            .orderBy("depth", "seq"))
+
+
+# --------------------------------------------------------------------------
+# queries (spark side)
+# --------------------------------------------------------------------------
+
+
+def q_crawl_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE engine-parity query: full crawl engine seen-set (url, depth at
+    first enqueue) vs a 12-line recursive-CTE BFS oracle."""
+    res = run_engine_crawl(spark, sf_dir)
+    return res.seen.select("url", F.col("depth").cast("long").alias("min_depth"))
+
+
+def q_scope_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    e = graph.url_edges(docs, docs.count())
+    scope = graph.seeds(docs).select("host").distinct()
+    return (e.join(F.broadcast(scope),
+                   e.dst_host == scope.host, "left_semi")
+            .select("src_id", "k", "dst_id", "dst_url"))
+
+
+def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    e = graph.edges(docs, docs.count())
+    seeds = graph.seeds(docs).select("doc_id")
+    return (e.filter(F.col("src_id") < graph.N_SEEDS)
+            .select("dst_id").distinct()
+            .join(seeds, F.col("dst_id") == seeds.doc_id, "left_anti")
+            .select("dst_id"))
+
+
+def q_bfs_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-algebra BFS (iterative DataFrame loop) — scope-restricted,
+    depth ≤ 2, min-depth per reached doc."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = graph.url_edges(docs, n).select("src_id", "dst_id", "dst_host")
+    scope = graph.seeds(docs).select("host").distinct()
+    e_in = e.join(F.broadcast(scope), e.dst_host == scope.host, "left_semi") \
+            .select("src_id", "dst_id")
+    seen = graph.seeds(docs).select(F.col("doc_id").alias("id"),
+                                    F.lit(0).alias("min_depth"))
+    frontier = seen.select("id")
+    for depth in (1, 2):
+        nxt = (e_in.join(frontier, e_in.src_id == frontier.id)
+               .select(F.col("dst_id").alias("id")).distinct()
+               .join(seen.select("id"), "id", "left_anti")
+               .withColumn("min_depth", F.lit(depth)))
+        seen = seen.unionByName(nxt)
+        frontier = nxt.select("id")
+    return seen.select(F.col("id").alias("doc_id"),
+                       F.col("min_depth").cast("long").alias("min_depth"))
+
+
+def q_href_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 href prefilter over synthesized hrefs (empty/#/javascript:/mailto:
+    dropped)."""
+    docs = _docs(spark, sf_dir)
+    href = F.expr(
+        "CASE CAST(doc_id % 6 AS INT) "
+        "WHEN 0 THEN '' WHEN 1 THEN '  #top' WHEN 2 THEN 'javascript:void(0)' "
+        "WHEN 3 THEN 'mailto:x@example.com' "
+        "WHEN 4 THEN concat('/p', CAST(doc_id AS STRING)) "
+        "ELSE concat('https://', source, '.example.com/q', CAST(doc_id AS STRING)) END")
+    d = docs.withColumn("href", href)
+    t = F.trim(F.col("href"))
+    return (d.filter(~((t == "") | t.startswith("#")
+                       | t.startswith("javascript:") | t.startswith("mailto:")))
+            .select("doc_id", "href"))
+
+
+def q_depth_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    frontier = docs.select("doc_id", (F.col("doc_id") % 7).alias("depth"))
+    return (frontier.filter(F.col("depth") <= 5)
+            .groupBy("depth").agg(F.count("*").alias("n"))
+            )
+
+
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-round first-seen-wins dedup: first (src,k) reference per dst."""
+    docs = _docs(spark, sf_dir)
+    e = graph.edges(docs, docs.count())
+    return (e.groupBy("dst_id")
+            .agg(F.min(F.col("src_id") * 3 + F.col("k")).alias("first_rank"),
+                 F.count("*").alias("n_refs")))
+
+
+def q_queued_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-page newly-queued-children count (in-scope, non-seed dsts)."""
+    docs = _docs(spark, sf_dir)
+    e = graph.url_edges(docs, docs.count())
+    scope = graph.seeds(docs).select("host").distinct()
+    return (e.join(F.broadcast(scope), e.dst_host == scope.host, "left_semi")
+            .filter(F.col("dst_id") >= graph.N_SEEDS)
+            .groupBy("src_id").agg(F.count("*").alias("queued")))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: the canonicalize pandas UDF over dirty urls (case, tracking
+    params, fragments) vs clean SQL construction."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.expr(
+        "concat('HTTPS://', upper(source), '.Example.COM/doc/', "
+        "CAST(doc_id AS STRING), "
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '?utm_source=x&utm_medium=y' "
+        "WHEN 1 THEN '#frag' ELSE '' END)")
+    return (docs.withColumn("dirty", dirty)
+            .select("doc_id",
+                    udfs.canonicalize_url_udf(F.col("dirty")).alias("url")))
+
+
+def q_doc_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: url→doc-key (output filename) mapping."""
+    docs = _docs(spark, sf_dir)
+    d = graph.with_url(docs)
+    return d.select("doc_id", udfs.doc_key(F.col("url")).alias("doc_key"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.quality_score(_docs(spark, sf_dir))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.langid(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.fingerprint(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # restrict to a slice so the exact O(n^2) pass stays bounded at sf0.1
+    return similarity.embedding_near_dups(
+        emb.filter(F.col("vec_id") < 200), threshold=0.2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.docs_as_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    # oracle-checkable metadata subset (the fake feature vector itself is
+    # pytest-verified; real decode is stubbed in this sandbox)
+    return feats.select("media_id", "media_type", "byte_len", "payload_hash")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_seen": q_crawl_seen,
+        "scope_semi_join": q_scope_semi_join,
+        "seen_anti_join": q_seen_anti_join,
+        "bfs_depth2": q_bfs_depth2,
+        "href_prefilter": q_href_prefilter,
+        "depth_filter": q_depth_filter,
+        "frontier_dedup": q_frontier_dedup,
+        "queued_count": q_queued_count,
+        "url_canonicalize": q_url_canonicalize,
+        "doc_key": q_doc_key,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_GRAPH_CTE = """
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.com' AS host
+  FROM documents
+),
+edges AS (
+  SELECT d.doc_id AS src_id, k.x AS k,
+         (d.doc_id * 31 + 7 * k.x + 3) % (SELECT COUNT(*) FROM documents) AS dst_id
+  FROM documents d, range(3) k(x)
+),
+seeds AS (SELECT * FROM urls WHERE doc_id < 10),
+scope AS (SELECT DISTINCT host FROM seeds)
+"""
+
+_MD5LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_STOP_EN = "('the','and','of','to','a','in','is','it','for','on')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    md5long_text = _MD5LONG.format(x="text")
+    md5long_sh = _MD5LONG.format(x="shingle")
+    md5long_tok = _MD5LONG.format(x="tok")
+    shingle_cte = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+    minhash_core = f"""
+sig AS (
+  SELECT doc_id, p.hash_id,
+         MIN(((p.hash_id*2+1) * (({md5long_sh}) % 1000000007)
+              + (p.hash_id*7+13)) % 1000000007) AS min_hash
+  FROM sh, (SELECT x AS hash_id FROM range(8) r(x)) p
+  GROUP BY doc_id, p.hash_id
+)
+"""
+    cosine_cte = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT q.query_id, n.neighbor_id,
+         list_sum(list_transform(generate_series(1, len(qv)),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(nv)),
+                  i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))) AS sim
+  FROM q JOIN n ON q.query_id <> n.neighbor_id
+)
+"""
+    recursive_cte = _GRAPH_CTE.replace("WITH urls AS", "WITH RECURSIVE urls AS", 1)
+    return {
+        "crawl_seen": recursive_cte + """,
+bfs AS (
+  SELECT doc_id, 0 AS depth FROM seeds
+  UNION ALL
+  SELECT e.dst_id, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src_id = b.doc_id
+  JOIN urls u ON u.doc_id = e.dst_id
+  WHERE b.depth < 2 AND u.host IN (SELECT host FROM scope)
+)
+SELECT u.url, CAST(MIN(b.depth) AS BIGINT) AS min_depth
+FROM bfs b JOIN urls u USING (doc_id)
+GROUP BY u.url""",
+        "scope_semi_join": _GRAPH_CTE + """
+SELECT e.src_id, e.k, e.dst_id, u.url AS dst_url
+FROM edges e JOIN urls u ON u.doc_id = e.dst_id
+WHERE u.host IN (SELECT host FROM scope)""",
+        "seen_anti_join": _GRAPH_CTE + """
+SELECT DISTINCT dst_id FROM edges
+WHERE src_id < 10 AND dst_id NOT IN (SELECT doc_id FROM seeds)""",
+        "bfs_depth2": recursive_cte + """,
+bfs AS (
+  SELECT doc_id, 0 AS depth FROM seeds
+  UNION ALL
+  SELECT e.dst_id, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src_id = b.doc_id
+  JOIN urls u ON u.doc_id = e.dst_id
+  WHERE b.depth < 2 AND u.host IN (SELECT host FROM scope)
+)
+SELECT doc_id, CAST(MIN(depth) AS BIGINT) AS min_depth FROM bfs GROUP BY doc_id""",
+        "href_prefilter": """
+WITH h AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN '' WHEN 1 THEN '  #top' WHEN 2 THEN 'javascript:void(0)'
+           WHEN 3 THEN 'mailto:x@example.com'
+           WHEN 4 THEN '/p' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://' || source || '.example.com/q' || CAST(doc_id AS VARCHAR)
+         END AS href
+  FROM documents)
+SELECT doc_id, href FROM h
+WHERE NOT (trim(href) = '' OR starts_with(trim(href), '#')
+           OR starts_with(trim(href), 'javascript:')
+           OR starts_with(trim(href), 'mailto:'))""",
+        "depth_filter": """
+SELECT doc_id % 7 AS depth, COUNT(*) AS n FROM documents
+WHERE doc_id % 7 <= 5 GROUP BY 1""",
+        "frontier_dedup": _GRAPH_CTE + """
+SELECT dst_id, MIN(src_id * 3 + k) AS first_rank, COUNT(*) AS n_refs
+FROM edges GROUP BY dst_id""",
+        "queued_count": _GRAPH_CTE + """
+SELECT e.src_id, COUNT(*) AS queued
+FROM edges e JOIN urls u ON u.doc_id = e.dst_id
+WHERE u.host IN (SELECT host FROM scope) AND e.dst_id >= 10
+GROUP BY e.src_id""",
+        "url_canonicalize": """
+SELECT doc_id,
+       'https://' || lower(source) || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+       AS url
+FROM documents""",
+        "doc_key": """
+SELECT doc_id,
+       './output/' || source || '.example.com/doc_' || CAST(doc_id AS VARCHAR)
+       || '.mdx' AS doc_key
+FROM documents""",
+        "exact_dedup": f"""
+SELECT {md5long_text} AS content_hash, MIN(doc_id) AS keeper_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1""",
+        "minhash_signatures": shingle_cte + "," + minhash_core + """
+SELECT doc_id, hash_id, min_hash FROM sig""",
+        "minhash_lsh_pairs": shingle_cte + "," + minhash_core + """,
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         array_to_string(list_sort(list(CAST(hash_id AS VARCHAR) || ':' ||
+                                        CAST(min_hash AS VARCHAR))), ',') AS band_key
+  FROM sig GROUP BY doc_id, hash_id // 2
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+        "simhash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id, b.x AS bit,
+         SUM((({md5long_tok} >> CAST(b.x AS INT)) & 1) * 2 - 1) AS s
+  FROM toks, range(16) b(x)
+  GROUP BY doc_id, b.x
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id""",
+        "ngram_jaccard_pairs": shingle_cte + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2""",
+        "token_count": f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
+FROM documents""",
+        "quality_score": f"""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars, len({_TOKS}) AS n_tokens,
+         len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS non_alnum
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       round((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len,
+       round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       round(non_alnum / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       round(least(1.0, n_tokens / 100.0) * 0.4
+             + round(stop_hits / CAST(n_tokens AS DOUBLE), 6) * 0.4
+             + (1.0 - round(non_alnum / CAST(n_chars AS DOUBLE), 6)) * 0.2, 6)
+         AS quality
+FROM f""",
+        "langid": f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','zu','auf'))) AS score_de,
+    len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) AS score_en,
+    len(list_filter({_TOKS}, t -> t IN ('el','la','los','las','y','es','un','una','no','por'))) AS score_es,
+    len(list_filter({_TOKS}, t -> t IN ('le','la','les','et','est','un','une','pas','pour','dans'))) AS score_fr
+  FROM documents)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s""",
+        "fingerprint": f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_TOKS},
+                     t -> {_MD5LONG.format(x='t')} % 1000000007)),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents""",
+        "cosine_topk": cosine_cte + """
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       round(sim, 6) AS sim
+FROM scored
+QUALIFY rank <= 3""",
+        "embedding_near_dups": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         , 6) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id, sim FROM p WHERE sim >= 0.2""",
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       md5(text) AS payload_hash
+FROM documents""",
+    }

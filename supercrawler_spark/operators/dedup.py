@@ -1,0 +1,159 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's URL-level dedup (J1, src/supercrawler.rs:1244,1343),
+a 100 TB webtext pipeline needs *content* dedup. All operators here are pure
+DataFrame programs over built-in JVM functions (no Python UDFs): hashes are
+md5-prefix bigints so the DuckDB oracle can reproduce them bit-for-bit
+(Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT``).
+
+Scale notes:
+  - exact_dedup: one shuffle on the content hash; min-doc-id winner keeps the
+    result deterministic under any partitioning.
+  - minhash_lsh: shingle explode → per-(doc, hashfn) min aggregate (map-side
+    partial agg shrinks the shuffle to n_docs × n_hashes rows) → band-bucket
+    self-join restricted to equal buckets. The self-join is the classic LSH
+    candidate generation: only documents agreeing on a full band collide, so
+    the join fan-out stays near-linear for non-duplicate corpora. Skewed
+    buckets (boilerplate shingles) are handled by AQE skew-join locally and
+    by salting the band key at cluster scale.
+  - simhash: 16-bit signature via per-bit majority vote over token hashes —
+    explode is bounded (16 rows/token); Hamming-near pairs via exact
+    signature-equality buckets (radius-0) which is the common first pass.
+  - ngram_jaccard: exact Jaccard on shingle sets via shingle-equality
+    self-join; quadratic only within identical-shingle groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# portable 60-bit content hash (see module docstring)
+def _md5_long(col):
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text, keeping the
+    smallest id (deterministic winner); dup_count = group size."""
+    return (docs
+            .withColumn("content_hash", _md5_long(F.col(text_col)))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count("*").alias("dup_count"))
+            )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Word n-gram shingles, distinct per doc: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # shingle i = tokens[i..i+n-1] joined by ' ' — built-in transform/slice,
+    # no Python
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (docs
+            .filter(F.size(toks) >= n)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, hash_id, min_hash): num_hashes permutation-free minhashes
+    h_i(s) = (a_i * (md5long(s) mod p) + b_i) mod p, aggregated map-side.
+    p is 30-bit so a*h+b stays < 2^63 in BOTH engines (DuckDB raises on
+    BIGINT overflow where the JVM would silently wrap)."""
+    p = 1_000_000_007
+    spark = docs.sparkSession
+    params = spark.range(num_hashes).select(
+        F.col("id").alias("hash_id"),
+        (F.col("id") * 2 + 1).alias("a"),
+        (F.col("id") * 7 + 13).alias("b"))
+    sh = shingles(docs, text_col, id_col) \
+        .withColumn("h", _md5_long(F.col("shingle")) % p)
+    return (sh.crossJoin(F.broadcast(params))
+            .select("doc_id", "hash_id",
+                    F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(p)).alias("hv"))
+            .groupBy("doc_id", "hash_id")
+            .agg(F.min("hv").alias("min_hash")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: docs whose signatures agree on at least one full
+    band of ``band_size`` consecutive minhashes. Output (a_id, b_id, n_bands)
+    with a_id < b_id."""
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col)
+    bands = (sig
+             .withColumn("band", (F.col("hash_id") / band_size).cast("long"))
+             .groupBy("doc_id", "band")
+             .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                 F.concat_ws(":", F.col("hash_id"), F.col("min_hash")))))
+                 .alias("band_key")))
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("n_bands")))
+
+
+def simhash(docs: DataFrame, bits: int = 16,
+            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): ``bits``-bit simhash — majority vote per bit over
+    token hashes, bounded explode of ``bits`` rows per token."""
+    spark = docs.sparkSession
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+            .withColumn("h", _md5_long(F.col("tok"))))
+    bit_ids = spark.range(bits).withColumnRenamed("id", "bit")
+    votes = (toks.crossJoin(F.broadcast(bit_ids))
+             .select("doc_id", "bit",
+                     # shiftright with a column shift amount needs the SQL form
+                     F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1")
+                     .alias("vote"))
+             .groupBy("doc_id", "bit")
+             .agg(F.sum("vote").alias("s")))
+    return (votes
+            .withColumn("bitval",
+                        F.when(F.col("s") > 0,
+                               F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+                        .otherwise(F.lit(0).cast("long")))
+            .groupBy("doc_id")
+            .agg(F.sum("bitval").alias("simhash")))
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = 16,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Documents sharing an identical simhash (radius-0 near-dup buckets)."""
+    sh = simhash(docs, bits, text_col, id_col)
+    return (sh.groupBy("simhash")
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count("*").alias("group_size"))
+            .filter(F.col("group_size") > 1))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact word-n-gram Jaccard for pairs sharing ≥1 shingle; keeps pairs
+    with similarity ≥ threshold. Output (a_id, b_id, jaccard rounded 1e-6)."""
+    sh = shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.count("*").alias("inter")))
+    sz_a = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    return (inter.join(sz_a, "a_id").join(sz_b, "b_id")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))

@@ -1,0 +1,94 @@
+"""Deterministic doc-graph derivation over the driver's ``documents`` table.
+
+The driver's DuckDB-oracle harness (CORRECTNESS gate) compares Spark
+DataFrame programs against ANSI SQL over the same parquet views. The crawl
+engine's frontier algebra (scope semi-join F8, seen anti-join J1, depth
+filters F9/F10, dedup, per-source counts A3, BFS loop L1) is exercised over
+a link graph derived *arithmetically* from ``documents`` so both engines
+compute the identical graph:
+
+    url(d)      = 'https://' || source || '.example.com/doc/' || doc_id
+    edges(d, k) = (doc_id * 31 + 7k + 3) mod N,  k ∈ {0,1,2}
+    seeds       = doc_id < 10
+
+SQL equivalents live in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_SEEDS = 10
+N_EDGES = 3
+
+URL_EXPR = "concat('https://', source, '.example.com/doc/', cast(doc_id as string))"
+HOST_EXPR = "concat(source, '.example.com')"
+
+
+def with_url(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("url", F.expr(URL_EXPR)) \
+               .withColumn("host", F.expr(HOST_EXPR))
+
+
+def doc_count(docs: DataFrame) -> int:
+    return docs.count()
+
+
+def edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(src_id, dst_id, k) — three deterministic out-edges per document."""
+    spark = docs.sparkSession
+    ks = spark.range(N_EDGES).withColumnRenamed("id", "k")
+    return (docs.select("doc_id").crossJoin(F.broadcast(ks))
+            .select(F.col("doc_id").alias("src_id"), "k",
+                    ((F.col("doc_id") * 31 + 7 * F.col("k") + 3) % n_docs)
+                    .alias("dst_id")))
+
+
+def url_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Edges joined back to urls/hosts on both endpoints."""
+    d = with_url(docs).select("doc_id", "url", "host")
+    e = edges(docs, n_docs)
+    src = d.select(F.col("doc_id").alias("src_id"),
+                   F.col("url").alias("src_url"))
+    dst = d.select(F.col("doc_id").alias("dst_id"),
+                   F.col("url").alias("dst_url"),
+                   F.col("host").alias("dst_host"))
+    return e.join(src, "src_id").join(dst, "dst_id") \
+            .select("src_id", "src_url", "k", "dst_id", "dst_url", "dst_host")
+
+
+def seeds(docs: DataFrame) -> DataFrame:
+    return with_url(docs).filter(F.col("doc_id") < N_SEEDS) \
+        .select("doc_id", "url", "host")
+
+
+def pages_from_documents(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Reshape ``documents`` into the engine's pages table
+    (url, warc_ts, html binary, text, lang) — FIXTURES.md §6. The html embeds
+    the deterministic edge links as <a href> anchors (document order = k), so
+    the full engine (UDF link extraction included) crawls exactly the
+    arithmetic graph that the DuckDB recursive-CTE oracle walks."""
+    e = url_edges(docs, n_docs)
+    links = (e.groupBy("src_id")
+             .agg(F.concat_ws("", F.transform(
+                 F.array_sort(F.collect_list(F.struct("k", "dst_url"))),
+                 lambda s: F.concat(F.lit('<p><a href="'), s["dst_url"],
+                                    F.lit('">link</a></p>'))))
+                 .alias("links_html")))
+    d = with_url(docs)
+    return (d.join(links, d.doc_id == links.src_id, "left")
+            .select(
+                "url",
+                F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+                F.concat(
+                    F.lit("<html><head><title>Doc "),
+                    F.col("doc_id").cast("string"),
+                    F.lit("</title></head><body><p>"),
+                    F.col("text"),
+                    F.lit("</p>"),
+                    F.coalesce(F.col("links_html"), F.lit("")),
+                    F.lit("</body></html>"),
+                ).cast("binary").alias("html"),
+                F.col("text"),
+                F.col("lang"),
+            ))

@@ -1,0 +1,96 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — all built-in JVM expressions (no Python UDFs),
+each with an exact DuckDB-oracle twin in __spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny function-word lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "no", "por"],
+}
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (ceil(chars/4) per the
+    common ~4-chars/token heuristic) per document."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score:
+    length, mean word length, stopword ratio, non-alnum ratio."""
+    toks = _tokens(text_col)
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    non_alnum = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+    mean_wlen = F.round((n_chars - n_toks + 1) / n_toks, 6)
+    stop_ratio = F.round(stop_hits / n_toks, 6)
+    punct_ratio = F.round(non_alnum / n_chars, 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_toks / F.lit(100.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.2, 6)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def langid(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID across {en, de, fr, es}; 'und'
+    (undetermined) when no list scores > 0. Ties break alphabetically
+    (deterministic, mirrored in SQL)."""
+    toks = _tokens(text_col)
+    scores = {lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+              for lang, words in STOPWORDS.items()}
+    langs = sorted(scores)  # alphabetic tie-break
+    best_score = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best_score, F.lit(lg)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.coalesce(scores[lg], F.lit(0)).alias(f"score_{lg}") for lg in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive polynomial rolling fingerprint over tokens:
+    fp = fold(tokens, 0, (acc, t) -> (acc*31 + md5long(t)) mod (1e9+7)).
+    Detects exact text equality cheaply and is SQL-portable (list_reduce)."""
+    p = 1_000_000_007
+    toks = _tokens(text_col)
+    h = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % p)
+    fp = F.aggregate(h, F.lit(0).cast("long"),
+                     lambda acc, x: (acc * 31 + x) % p)
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
