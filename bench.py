@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set:
+  - crawl_scan  : full-corpus fetch+extract (depth-0 crawl, every url a seed)
+                  over the synthetic Common-Crawl-style pages table — the
+                  BASELINE.json "frontier URLs processed/sec" number and the
+                  scaling-efficiency job (BENCH/BASELINE.md runs it at
+                  local[8] vs local[32]).
+  - crawl_bfs   : multi-round BFS (sampled seeds, depth 2) — "fetch-extract
+                  rounds wall-time".
+  - crawl_bfs_polite : same with robots + crawl-delay politeness on.
+  - dedup/similarity/text ops over the driver testdata tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local cores (default 32)
+  SPARK_GRAFT_BENCH_ONLY  comma-separated subset of bench names
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only = set(only.split(",")) if only else None
+    sf = 0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    from pyspark.sql import functions as F
+
+    from supercrawler_spark.crawler import CrawlConfig, crawl
+    from supercrawler_spark.operators import dedup, similarity, textquality
+    from supercrawler_spark.session import get_spark
+    from supercrawler_spark.sources import synth
+
+    synth_sf = float(os.environ.get("SPARK_GRAFT_SYNTH_SF", sf))
+    corpus_dir = synth.ensure_corpus(synth_sf)  # cached after first generation
+    spark = get_spark("supercrawler-bench", cores=cpus)
+    pages, seeds, robots = synth.load_tables(spark, corpus_dir)
+    n_pages = pages.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # warm JVM codegen + Arrow + python-worker paths so benches measure
+    # steady state (one-time session costs are not the 100 TB design point)
+    from supercrawler_spark.functions import udfs
+    (pages.limit(32).select("url", "html")
+     .withColumn("p", udfs.extract_page("url", "html"))
+     .withColumn("c", udfs.make_canonicalize(True)(F.col("url")))
+     .write.mode("overwrite").parquet(tempfile.mkdtemp(prefix="bw_") + "/w"))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name, fn):
+        if only is not None and name not in only:
+            return
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    def crawl_scan():
+        all_seeds = pages.select(
+            "url", F.pmod(F.xxhash64("url"), F.lit(1 << 40)).alias("seed_order"))
+        cfg = CrawlConfig(crawl_depth=0, num_buckets=32)
+        res = crawl(spark, pages, all_seeds, cfg,
+                    store_dir=tempfile.mkdtemp(prefix="bench_scan_"))
+        extras["crawl_scan_urls"] = n_pages
+        extras["crawl_scan_docs"] = res.docs.count()
+
+    def crawl_bfs():
+        some_seeds = (pages
+                      .filter(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
+                      .select("url", F.pmod(F.xxhash64("url"), F.lit(1 << 40))
+                              .alias("seed_order")))
+        cfg = CrawlConfig(crawl_depth=2, num_buckets=32)
+        res = crawl(spark, pages, some_seeds, cfg,
+                    store_dir=tempfile.mkdtemp(prefix="bench_bfs_"))
+        m = res.metrics.agg(F.sum("processed")).collect()[0][0]
+        extras["crawl_bfs_processed"] = int(m or 0)
+        extras["crawl_bfs_rounds"] = res.rounds_run
+
+    def crawl_bfs_polite():
+        some_seeds = (pages
+                      .filter(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
+                      .select("url", F.pmod(F.xxhash64("url"), F.lit(1 << 40))
+                              .alias("seed_order")))
+        cfg = CrawlConfig(crawl_depth=2, num_buckets=32, politeness=True)
+        res = crawl(spark, pages, some_seeds, cfg,
+                    store_dir=tempfile.mkdtemp(prefix="bench_bfsp_"),
+                    robots=robots)
+        extras["crawl_polite_blocked"] = int(
+            res.metrics.agg(F.sum("robots_blocked")).collect()[0][0] or 0)
+
+    bench("crawl_scan", crawl_scan)
+    bench("crawl_bfs", crawl_bfs)
+    bench("crawl_bfs_polite", crawl_bfs_polite)
+    bench("exact_dedup", lambda: dedup.exact_dedup(docs).count())
+    bench("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs).count())
+    bench("simhash", lambda: dedup.simhash(docs).count())
+    bench("token_quality", lambda: textquality.quality_score(docs)
+          .agg(F.sum("n_tokens")).collect())
+    bench("fingerprint", lambda: textquality.fingerprint(docs).count())
+    bench("cosine_topk", lambda: similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3).count())
+    bench("lsh_ann_topk", lambda: similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3).count())
+
+    if "crawl_scan" in timings:
+        extras["crawl_scan_urls_per_sec"] = round(
+            n_pages / timings["crawl_scan"], 1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CRITICAL measured fix: the extract stage is CPU-bound Python work
+        # over small-ish bytes, so AQE's default 64m byte-based coalescing
+        # collapses it to a handful of tasks and serializes the UDF (84s →
+        # 22s at local[32] on the sf0.1 scan with 8m). Bytes are a bad proxy
+        # for cost when rows carry multi-ms UDF work.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # NOTE: two measured pathologies on this PySpark 4.1.2 local build —
         # runtimeFilter.semiJoinReduction=true deadlocks trivial parquet
         # reads, and runtime.bloomFilter=true injects per-join aggregation

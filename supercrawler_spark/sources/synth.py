@@ -153,10 +153,20 @@ def _build_html(seed: int, page: SynthPage, hrefs: list[str]) -> str:
     parts.append(f"<h1>Page {g}</h1>")
     parts.append(f"<p>{_sentence(seed, g, 'lead', 24)}.</p>")
 
-    link_iter = iter(hrefs)
-    emitted = 0
+    # realistic page weight: several content sections per page (heavier
+    # extraction per row → compute-dominated benches that actually scale)
+    for sec in range(3 + _det(seed, "nsec", g) % 3):
+        parts.append(f"<h2>Topic {sec}</h2>")
+        parts.append(f"<p>{_sentence(seed, g, f'body{sec}', 40)} "
+                     f"<strong>{_sentence(seed, g, f'bs{sec}', 3)}</strong> "
+                     f"{_sentence(seed, g, f'bt{sec}', 30)}.</p>")
+        if sec % 2 == 0:
+            parts.append("<ul>" + "".join(
+                f"<li>{_sentence(seed, g, f'li{sec}-{i}', 6)}</li>" for i in range(4))
+                + "</ul>")
+
     # interleave content blocks with anchor links (document order = hrefs order)
-    for idx, href in enumerate(link_iter):
+    for idx, href in enumerate(hrefs):
         if v == 0 and idx == 1:
             parts.append(f"<h2>Section {idx}</h2><p>{_sentence(seed, g, f's{idx}', 12)} "
                          f"with <strong>bold</strong> and <em>em</em>.</p>")
@@ -175,7 +185,6 @@ def _build_html(seed: int, page: SynthPage, hrefs: list[str]) -> str:
         if v == 6 and idx == 1:
             parts.append(f'<img src="/img/{g}.png" alt="figure {g}"><img src="" alt="skipped">')
         parts.append(f'<p>See <a href="{href}">link {idx}</a> for more.</p>')
-        emitted += 1
     if v == 7:
         # >3 headings → ToC marker branch
         parts.extend(f"<h2>H{i}</h2><p>{_sentence(seed, g, f'h{i}', 10)}.</p>" for i in range(4))
@@ -202,21 +211,51 @@ class Corpus:
         return {p.url: p for p in self.pages}
 
 
-def generate_corpus(sf: float, seed: int = 42, with_goldens: bool = True) -> Corpus:
-    n = max(10, int(round(500 * sf / 0.001)))
-    host_of = {g: _assign_host(seed, g) for g in range(n)}
-    path_of = {g: _page_path(seed, g) for g in range(n)}
-    url_of = {g: f"https://{host_of[g]}{path_of[g]}" for g in range(n)}
+GENERATOR_VERSION = 2  # bump when page templates change (invalidates caches)
 
-    pages: list[SynthPage] = []
-    for g in range(n):
+
+def _build_pages_chunk(args) -> list:
+    seed, gids, n, host_items, path_items, with_goldens = args
+    host_of = dict(host_items)
+    path_of = dict(path_items)
+    url_of = {g: f"https://{host_of[g]}{path_of[g]}" for g in host_of}
+    out = []
+    for g in gids:
         page = SynthPage(gid=g, host=host_of[g], path=path_of[g], url=url_of[g],
                          lang=_LANGS[_det(seed, "lang", g) % len(_LANGS)])
         hrefs = _gen_link_hrefs(seed, page, n, url_of, host_of)
         page.html = _build_html(seed, page, hrefs)
         if with_goldens:
             page.text = refspec.clean_to_mdx(page.html, page.url)
-        pages.append(page)
+        out.append(page)
+    return out
+
+
+def generate_corpus(sf: float, seed: int = 42, with_goldens: bool = True,
+                    workers: int | None = None) -> Corpus:
+    n = max(10, int(round(500 * sf / 0.001)))
+    host_of = {g: _assign_host(seed, g) for g in range(n)}
+    path_of = {g: _page_path(seed, g) for g in range(n)}
+    url_of = {g: f"https://{host_of[g]}{path_of[g]}" for g in range(n)}
+
+    host_items = list(host_of.items())
+    path_items = list(path_of.items())
+    if workers is None:
+        workers = min(os.cpu_count() or 4, 32) if n > 2000 else 1
+    if workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        chunk = (n + workers - 1) // workers
+        jobs = [(seed, list(range(lo, min(lo + chunk, n))), n,
+                 host_items, path_items, with_goldens)
+                for lo in range(0, n, chunk)]
+        pages = []
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            for part in pool.map(_build_pages_chunk, jobs):
+                pages.extend(part)
+        pages.sort(key=lambda p: p.gid)
+    else:
+        pages = _build_pages_chunk(
+            (seed, list(range(n)), n, host_items, path_items, with_goldens))
 
     n_seeds = 3 if n <= 1000 else 10
     # seeds spread across scope hosts, request order fixed by rank
@@ -309,7 +348,8 @@ def ensure_corpus(sf: float, seed: int = 42, cache_root: str | None = None,
     """Generate-once cache; returns the corpus directory."""
     cache_root = cache_root or os.environ.get(
         "SPARK_GRAFT_SYNTH_CACHE", "/tmp/supercrawler_synth")
-    out_dir = os.path.join(cache_root, f"sf{sf}_seed{seed}_b{num_buckets}")
+    out_dir = os.path.join(
+        cache_root, f"v{GENERATOR_VERSION}_sf{sf}_seed{seed}_b{num_buckets}")
     manifest_path = os.path.join(out_dir, "manifest.json")
     if os.path.exists(manifest_path):
         return out_dir
