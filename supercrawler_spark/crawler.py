@@ -245,17 +245,43 @@ class Crawler:
         pages = self.pages
         if self._pages_bucketed:
             pages = pages.filter(F.col("bucket").isin(live_buckets))
-        pages = pages.select("url", "html")
+        has_ct = "content_type" in pages.columns
+        pages = pages.select("url", "html", *(
+            ["content_type"] if has_ct else []))
         fetched = fetchable.join(pages, "url", "left")
 
-        # --- extract (the Arrow UDF hotspot) -------------------------------
-        extracted = (fetched
-                     .withColumn("page", udfs.extract_page("url", "html"))
-                     .select("url", "host", "depth", "seq", "bucket",
-                             (F.col("html").isNotNull()).alias("fetched"),
-                             F.col("page.mdx").alias("mdx"),
-                             F.col("page.links").alias("links"))
-                     .withColumn("_pid", F.spark_partition_id()))
+        # --- extract (the Arrow UDF hotspot); F5 content-type dispatch ----
+        meta_cols = ["url", "host", "depth", "seq", "bucket"]
+        fetched_flag = F.col("html").isNotNull().alias("fetched")
+        if has_ct:
+            # split by content type so each Arrow UDF only sees its rows
+            # (a when() over both UDFs would evaluate both on every row)
+            is_html = F.col("content_type").contains("text/html")
+            is_pdf = F.col("content_type").contains("application/pdf")
+            html_part = (fetched.filter(F.col("html").isNull()
+                                        | F.coalesce(is_html, F.lit(False)))
+                         .withColumn("page", udfs.extract_page("url", "html"))
+                         .select(*meta_cols, fetched_flag,
+                                 F.col("page.mdx").alias("mdx"),
+                                 F.col("page.links").alias("links")))
+            pdf_part = (fetched.filter(F.coalesce(is_pdf, F.lit(False)))
+                        .select(*meta_cols, fetched_flag,
+                                udfs.extract_pdf_mdx("url", "html").alias("mdx"),
+                                F.lit(None).cast("array<string>").alias("links")))
+            other_part = (fetched.filter(
+                F.col("html").isNotNull()
+                & F.coalesce(~is_html & ~is_pdf, F.lit(True)))
+                .select(*meta_cols, fetched_flag,
+                        F.lit(None).cast("string").alias("mdx"),
+                        F.lit(None).cast("array<string>").alias("links")))
+            extracted = html_part.unionByName(pdf_part).unionByName(other_part)
+        else:
+            extracted = (fetched
+                         .withColumn("page", udfs.extract_page("url", "html"))
+                         .select(*meta_cols, fetched_flag,
+                                 F.col("page.mdx").alias("mdx"),
+                                 F.col("page.links").alias("links")))
+        extracted = extracted.withColumn("_pid", F.spark_partition_id())
         # checkpoint the round's expensive work exactly once
         extracted_path = store.round_dir(r, "extracted")
         extracted.write.mode("overwrite").parquet(extracted_path)

@@ -101,43 +101,17 @@ def doc_key(url: pd.Series) -> pd.Series:
     return url.map(lambda u: None if u is None else refspec.url_to_filename(u))
 
 
-try:  # pypdf is not bundled in this sandbox; gate it (S3 stays a real
-    # Spark-side operator with a deterministic fallback for tests)
-    import pypdf  # type: ignore  # noqa: F401
-    _HAVE_PYPDF = True
-except ImportError:
-    _HAVE_PYPDF = False
-
-
-def _pdf_text(raw: bytes) -> str:
-    if _HAVE_PYPDF:
-        import io
-
-        import pypdf  # type: ignore
-        reader = pypdf.PdfReader(io.BytesIO(raw))
-        return "\n".join(page.extract_text() or "" for page in reader.pages)
-    # Deterministic fake for the sandbox: our synthetic "PDF" fixtures embed
-    # their text between BT/ET markers (tests/fixtures); anything else is
-    # unsupported without the real decoder.
-    text = raw.decode("latin-1", errors="replace")
-    start, end = text.find("BT\n"), text.rfind("\nET")
-    if start != -1 and end > start:
-        return text[start + 3:end]
-    raise NotImplementedError(
-        "PDF text extraction requires pypdf (not available in this sandbox); "
-        "synthetic fixtures use BT/ET-delimited text"
-    )
-
-
 @pandas_udf(StringType())
 def extract_pdf_mdx(url: pd.Series, pdf: pd.Series) -> pd.Series:
+    """S3+X8: PDF bytes → wrapped MDX (src/supercrawler.rs:627-633,720-723);
+    decode itself lives in refspec.extract_pdf_text (pypdf-gated)."""
     out = []
     for u, raw in zip(url, pdf):
         if raw is None:
             out.append(None)
             continue
         try:
-            out.append(refspec.pdf_to_mdx(u, _pdf_text(bytes(raw))))
+            out.append(refspec.pdf_to_mdx(u, refspec.extract_pdf_text(bytes(raw))))
         except Exception:
             out.append(None)  # E4: per-URL failure isolation
     return pd.Series(out)

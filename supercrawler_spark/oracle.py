@@ -31,13 +31,14 @@ class OracleResult:
 
 
 def oracle_bfs(
-    pages: dict[str, str],
+    pages: dict,
     seed_urls: list[str],
     crawl_depth: int = 2,
     strip_tracking: bool = True,
     robots: list[dict] | None = None,
 ) -> OracleResult:
-    """BFS over ``pages`` (canonical url → html string).
+    """BFS over ``pages`` (canonical url → body string, or
+    (body, content_type) tuple for the F5 content-type dispatch).
 
     ``robots`` (north-rule extension; None ≙ reference parity) is a list of
     {host, disallow_prefixes, crawl_delay_ms}; blocked URLs are counted,
@@ -85,11 +86,27 @@ def oracle_bfs(
             m["robots_blocked"] += 1
             continue
         res.processed_count += 1    # A1 (rs:1291)
-        html = pages.get(url)       # S1: fetch ≙ pages-table lookup
-        if html is None:
+        entry = pages.get(url)      # S1: fetch ≙ pages-table lookup
+        if entry is None:
             m["failed"] += 1        # F7/E4: missing ≙ failed fetch
             continue
         m["fetched"] += 1
+        if isinstance(entry, tuple):
+            html, content_type = entry
+        else:
+            html, content_type = entry, "text/html; charset=utf-8"
+        # F5 content-type dispatch (rs:717-770)
+        if "application/pdf" in content_type:
+            try:
+                mdx = refspec.pdf_to_mdx(url, refspec.extract_pdf_text(
+                    html.encode("latin-1") if isinstance(html, str) else html))
+            except Exception:
+                mdx = None          # E4: pdf extraction failure isolated
+            if mdx and mdx.strip():
+                res.docs.append((url, depth, mdx))
+            continue                # F6: no link extraction for PDFs
+        if "text/html" not in content_type:
+            continue                # unsupported type skipped (rs:767-770)
         mdx = refspec.clean_to_mdx(html, url)
         if mdx.strip():             # F12 empty-MDX filter
             res.docs.append((url, depth, mdx))

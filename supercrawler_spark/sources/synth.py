@@ -53,9 +53,10 @@ class SynthPage:
     path: str
     url: str
     links: list[str] = field(default_factory=list)
-    html: str = ""
+    html: str = ""          # raw body (HTML markup or fake-PDF bytes as str)
     text: str = ""
     lang: str = "en"
+    content_type: str = "text/html; charset=utf-8"
 
 
 def _assign_host(seed: int, gid: int) -> str:
@@ -65,7 +66,20 @@ def _assign_host(seed: int, gid: int) -> str:
     return SCOPE_HOSTS[1 + (r % (len(SCOPE_HOSTS) - 1))]
 
 
+def _content_kind(seed: int, gid: int) -> str:
+    """~4% PDF pages (F5/S3/X8 dispatch), ~1% unsupported content type
+    (reference skips those with a log, src/supercrawler.rs:767-770)."""
+    r = _det(seed, "ctype", gid) % 100
+    if r < 4:
+        return "pdf"
+    if r < 5:
+        return "other"
+    return "html"
+
+
 def _page_path(seed: int, gid: int) -> str:
+    if _content_kind(seed, gid) == "pdf":
+        return f"/files/f{gid}.pdf"
     # every 20th page sits under a robots-disallowed prefix
     if _det(seed, "priv", gid) % 20 == 0:
         return f"/private/p{gid}"
@@ -211,7 +225,7 @@ class Corpus:
         return {p.url: p for p in self.pages}
 
 
-GENERATOR_VERSION = 2  # bump when page templates change (invalidates caches)
+GENERATOR_VERSION = 3  # bump when page templates change (invalidates caches)
 
 
 def _build_pages_chunk(args) -> list:
@@ -223,10 +237,22 @@ def _build_pages_chunk(args) -> list:
     for g in gids:
         page = SynthPage(gid=g, host=host_of[g], path=path_of[g], url=url_of[g],
                          lang=_LANGS[_det(seed, "lang", g) % len(_LANGS)])
-        hrefs = _gen_link_hrefs(seed, page, n, url_of, host_of)
-        page.html = _build_html(seed, page, hrefs)
-        if with_goldens:
-            page.text = refspec.clean_to_mdx(page.html, page.url)
+        kind = _content_kind(seed, g)
+        if kind == "pdf":
+            body = _sentence(seed, g, "pdfbody", 60)
+            page.html = f"%PDF-1.4\nBT\n{body}\nET\n%%EOF"
+            page.content_type = "application/pdf"
+            if with_goldens:
+                page.text = refspec.pdf_to_mdx(page.url, body)
+        elif kind == "other":
+            page.html = f"BINARYPAYLOAD:{g}:" + _sentence(seed, g, "bin", 10)
+            page.content_type = "application/octet-stream"
+            page.text = ""   # reference skips unsupported types (rs:767-770)
+        else:
+            hrefs = _gen_link_hrefs(seed, page, n, url_of, host_of)
+            page.html = _build_html(seed, page, hrefs)
+            if with_goldens:
+                page.text = refspec.clean_to_mdx(page.html, page.url)
         out.append(page)
     return out
 
@@ -273,6 +299,11 @@ def generate_corpus(sf: float, seed: int = 42, with_goldens: bool = True,
         i += 1
         if i > 10 * n_seeds:
             break
+    # guarantee the PDF dispatch path is exercised: one PDF page as an
+    # extra seed (its host is already in scope or becomes so)
+    pdf_gids = [g for g in range(n) if _content_kind(seed, g) == "pdf"]
+    if pdf_gids:
+        seeds.append(url_of[pdf_gids[_det(seed, "pdfseed") % len(pdf_gids)]])
 
     robots = [
         {"host": h,
@@ -298,18 +329,21 @@ def write_corpus(corpus: Corpus, out_dir: str, num_buckets: int = 32) -> dict:
     for p in corpus.pages:
         b = url_bucket(p.url, num_buckets)
         cols = rows_by_bucket.setdefault(
-            b, {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []})
+            b, {"url": [], "warc_ts": [], "html": [], "text": [],
+                "lang": [], "content_type": []})
         cols["url"].append(p.url)
         cols["warc_ts"].append(_EPOCH + timedelta(seconds=p.gid))
         cols["html"].append(p.html.encode("utf-8"))
         cols["text"].append(p.text)
         cols["lang"].append(p.lang)
+        cols["content_type"].append(p.content_type)
     schema = pa.schema([
         pa.field("url", pa.string()),
         pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
         pa.field("html", pa.binary()),
         pa.field("text", pa.string()),
         pa.field("lang", pa.string()),
+        pa.field("content_type", pa.string()),
     ])
     for b, cols in sorted(rows_by_bucket.items()):
         bdir = os.path.join(pages_dir, f"bucket={b}")

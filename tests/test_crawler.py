@@ -23,7 +23,8 @@ def corpus():
 
 @pytest.fixture(scope="module")
 def oracle(corpus):
-    return oracle_bfs({p.url: p.html for p in corpus.pages}, corpus.seeds,
+    return oracle_bfs({p.url: (p.html, p.content_type) for p in corpus.pages},
+                      corpus.seeds,
                       crawl_depth=CFG.crawl_depth, strip_tracking=True)
 
 
@@ -77,6 +78,20 @@ def test_metrics_totals_match_oracle(engine_result, oracle):
         assert (got["added"] or 0) == om["frontier_added"], f"round {depth} added"
 
 
+def test_pdf_dispatch(engine_result, oracle, corpus):
+    """F5/S3/X8/F6: reachable PDF pages yield PDF-wrapped MDX and contribute
+    no outgoing links; unsupported content types yield no docs."""
+    pdf_urls = {p.url for p in corpus.pages if p.content_type == "application/pdf"}
+    other_urls = {p.url for p in corpus.pages
+                  if p.content_type == "application/octet-stream"}
+    docs = {r["url"]: r["mdx"] for r in engine_result.docs.collect()}
+    crawled_pdfs = set(docs) & pdf_urls
+    assert crawled_pdfs == {u for u, _, _ in oracle.docs} & pdf_urls
+    for u in crawled_pdfs:
+        assert docs[u].startswith('---\ntitle: "PDF Document: ')
+    assert not set(docs) & other_urls
+
+
 def test_metrics_are_per_partition(engine_result):
     rows = engine_result.metrics.filter(F.col("stage") == "fetch").collect()
     assert all(r["partition_id"] is not None for r in rows)
@@ -87,7 +102,8 @@ def test_robots_politeness(spark, corpus_sf0001, corpus, tmp_path_factory):
     cfg = CrawlConfig(crawl_depth=2, num_buckets=8, politeness=True)
     store_dir = str(tmp_path_factory.mktemp("store_rob"))
     res = crawl(spark, pages, seeds, cfg, store_dir=store_dir, robots=robots)
-    orc = oracle_bfs({p.url: p.html for p in corpus.pages}, corpus.seeds,
+    orc = oracle_bfs({p.url: (p.html, p.content_type) for p in corpus.pages},
+                     corpus.seeds,
                      crawl_depth=2, strip_tracking=True, robots=corpus.robots)
     blocked = res.metrics.agg(F.sum("robots_blocked")).collect()[0][0]
     expected_blocked = sum(m["robots_blocked"] for m in orc.metrics_by_depth.values())
