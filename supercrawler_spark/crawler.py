@@ -63,6 +63,8 @@ class CrawlConfig:
     politeness_salt: int = 8        # sub-windows per host for delay budgeting
     num_buckets: int = 32           # url-hash buckets (pages layout parity)
     compact_seen_every: int = 8     # seen-delta compaction cadence
+    broadcast_frontier_max: int = 1_000_000  # rows; below this the fetch
+    # join broadcasts the FRONTIER and streams pages (see _run_round)
 
     def validated(self) -> "CrawlConfig":
         cfg = CrawlConfig(**asdict(self))
@@ -242,13 +244,25 @@ class Crawler:
                                if not r["robots_blocked"] and not r["deferred"]})
 
         # --- fetch = lookup join against pages (S1), bucket-pruned --------
+        # Join strategy matters at 10^10 pages: a LEFT-outer (frontier
+        # preserved) forces Spark to build/broadcast the PAGES side (build
+        # side must be non-preserved), which cannot scale. Instead, when the
+        # frontier is small enough to broadcast we run an INNER join with the
+        # frontier as the build side — the pages scan streams with NO shuffle
+        # and no html bytes ever move — and recover failed fetches afterwards
+        # with a tiny anti-join against the extracted urls (both sides are
+        # frontier-sized). Large frontiers fall back to a shuffle join.
         pages = self.pages
         if self._pages_bucketed:
             pages = pages.filter(F.col("bucket").isin(live_buckets))
         has_ct = "content_type" in pages.columns
         pages = pages.select("url", "html", *(
             ["content_type"] if has_ct else []))
-        fetched = fetchable.join(pages, "url", "left")
+        broadcast_fetch = frontier_count <= cfg.broadcast_frontier_max
+        if broadcast_fetch:
+            fetched = pages.join(F.broadcast(fetchable), "url", "inner")
+        else:
+            fetched = fetchable.join(pages, "url", "left")
 
         # --- extract (the Arrow UDF hotspot); F5 content-type dispatch ----
         meta_cols = ["url", "host", "depth", "seq", "bucket"]
@@ -285,6 +299,18 @@ class Crawler:
         # checkpoint the round's expensive work exactly once
         extracted_path = store.round_dir(r, "extracted")
         extracted.write.mode("overwrite").parquet(extracted_path)
+        if broadcast_fetch:
+            # recover failed fetches (urls with no pages row): frontier-sized
+            # anti-join, appended as fetched=false rows
+            got = spark.read.parquet(extracted_path).select("url")
+            missing = (fetchable.select(*FRONTIER_COLS)
+                       .join(F.broadcast(got), "url", "left_anti")
+                       .select("url", "host", "depth", "seq", "bucket",
+                               F.lit(False).alias("fetched"),
+                               F.lit(None).cast("string").alias("mdx"),
+                               F.lit(None).cast("array<string>").alias("links"))
+                       .withColumn("_pid", F.spark_partition_id()))
+            missing.write.mode("append").parquet(extracted_path)
         extracted = spark.read.parquet(extracted_path)
 
         # --- docs (F12 empty-MDX filter; X7 doc key) -----------------------

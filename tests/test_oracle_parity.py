@@ -11,7 +11,11 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+# default sf0.001 for speed; the driver gate runs sf0.01 — override with
+# SPARK_GRAFT_PARITY_DIR=/root/testdata/sf0.01 to pre-verify at gate scale
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
