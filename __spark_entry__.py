@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
-from supercrawler_spark.operators import dedup, graph, multimodal, similarity, textquality
+from supercrawler_spark.operators import (
+    dedup, graph, multimodal, similarity, textquality, yt,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,12 +226,24 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 200), threshold=0.2)
 
 
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
     # oracle-checkable metadata subset (the fake feature vector itself is
     # pytest-verified; real decode is stubbed in this sandbox)
     return feats.select("media_id", "media_type", "byte_len", "payload_hash")
+
+
+def q_yt_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/X11: YouTube search-result markdown (src/yt_crawler.rs:119-161)
+    over a deterministic videos projection of documents."""
+    videos = yt.videos_from_documents(_docs(spark, sf_dir), limit=5)
+    return yt.generate_markdown(videos, limit=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -254,8 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
+        "yt_markdown": q_yt_markdown,
     }
 
 
@@ -325,6 +341,32 @@ scored AS (
 )
 """
     recursive_cte = _GRAPH_CTE.replace("WITH urls AS", "WITH RECURSIVE urls AS", 1)
+    def _plane_dot(p: int) -> str:
+        # mirrors similarity.hyperplane_buckets: component d of plane p is
+        # ((p*131 + d*31 + 7) % 97) - 48, dot in double, sequential sum
+        return ("list_sum(list_transform(generate_series(1, len(embedding)), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ((({p}*131 + (i-1)*31 + 7) % 97) - 48)))")
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {_plane_dot(p)} >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(4))
+    lsh_cte = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+n AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM b),
+scored AS (
+  SELECT q.query_id, n.neighbor_id,
+         list_sum(list_transform(generate_series(1, len(qv)),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(nv)),
+                  i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))) AS sim
+  FROM q JOIN n ON q.bucket = n.bucket AND q.query_id <> n.neighbor_id
+)
+"""
     return {
         "crawl_seen": recursive_cte + """,
 bfs AS (
@@ -480,6 +522,13 @@ SELECT query_id, neighbor_id,
        round(sim, 6) AS sim
 FROM scored
 QUALIFY rank <= 3""",
+        "lsh_ann_topk": lsh_cte + """
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       round(sim, 6) AS sim
+FROM scored
+QUALIFY rank <= 3""",
         "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (
@@ -493,6 +542,19 @@ p AS (
          , 6) AS sim
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT a_id, b_id, sim FROM p WHERE sim >= 0.2""",
+        "yt_markdown": """
+WITH v AS (
+  SELECT doc_id AS rank, 'vid' || CAST(doc_id AS VARCHAR) AS id,
+         'Video about ' || substr(text, 1, 30) AS title,
+         substr(text, 1, 120) AS description
+  FROM documents WHERE doc_id < 5)
+SELECT e'# YouTube Search Results\\n\\n' ||
+       string_agg(e'---\\n\\n## ' || CAST(rank + 1 AS VARCHAR) || '. ' || title
+                  || e'\\n\\n**Video URL:** https://www.youtube.com/watch?v=' || id
+                  || e'\\n\\n**Description:**\\n' || trim(description) || e'\\n\\n',
+                  '' ORDER BY rank) AS markdown,
+       COUNT(*) AS n_videos
+FROM v""",
         "multimodal_features": """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'

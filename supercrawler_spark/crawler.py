@@ -407,9 +407,13 @@ class Crawler:
         if expanding:
             paths["seen_delta"] = store.seen_delta_path(r)
             paths["frontier_next"] = store.frontier_path(r + 1)
-        # seen compaction: bound delta read amplification
+        # seen compaction: bound delta read amplification. Round r is not in
+        # the manifest yet, so union the manifest-visible seen (≤ r-1) with
+        # this round's just-written delta explicitly.
         if expanding and r > 0 and (r + 1) % cfg.compact_seen_every == 0:
-            compact = self._seen_df(r).repartition(cfg.num_buckets, "bucket")
+            compact = (self._seen_df(r - 1)
+                       .unionByName(spark.read.parquet(store.seen_delta_path(r)))
+                       .repartition(cfg.num_buckets, "bucket"))
             compact.write.mode("overwrite").parquet(store.seen_compact_path(r))
             paths["seen_compact"] = store.seen_compact_path(r)
         store.commit_round(r, counts, paths)

@@ -41,7 +41,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     scored = (q.join(n, F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("sim", 6).alias("sim")))
@@ -75,13 +75,15 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     mirrors the same bucketing, verifying the implementation not the
     recall)."""
     b = hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim)
-    q = b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket")
+    qids = queries.select(F.col(id_col).alias("vec_id"))
+    q = (b.join(F.broadcast(qids), "vec_id", "left_semi")
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"))
     n = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
     scored = (q.join(n, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("sim", 6).alias("sim")))

@@ -27,7 +27,7 @@ def token_count(docs: DataFrame, text_col: str = "text",
     toks = _tokens(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_tokens_bpe"),
     )
 
@@ -50,8 +50,8 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         + (F.lit(1.0) - punct_ratio) * 0.2, 6)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_toks.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
         mean_wlen.alias("mean_word_len"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
@@ -75,7 +75,8 @@ def langid(docs: DataFrame, text_col: str = "text",
     pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        *[F.coalesce(scores[lg], F.lit(0)).alias(f"score_{lg}") for lg in langs],
+        *[F.coalesce(scores[lg], F.lit(0)).cast("long").alias(f"score_{lg}")
+          for lg in langs],
         pred.alias("pred_lang"),
     )
 

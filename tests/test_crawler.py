@@ -138,6 +138,23 @@ def test_resume_equals_uninterrupted(spark, corpus_sf0001, tmp_path_factory):
     assert got_docs == full_docs
 
 
+def test_seen_compaction(spark, corpus_sf0001, oracle, tmp_path_factory):
+    """With a tight compaction cadence the seen set compacts mid-crawl and
+    the final seen set is unchanged."""
+    import json as _json
+    import os as _os
+
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    cfg = CrawlConfig(crawl_depth=2, num_buckets=8, compact_seen_every=2)
+    store_dir = str(tmp_path_factory.mktemp("store_compact"))
+    res = crawl(spark, pages, seeds, cfg, store_dir=store_dir)
+    manifest = _json.load(open(_os.path.join(store_dir, "manifest.json")))
+    assert any("seen_compact" in e["paths"] for e in manifest["rounds"]), \
+        "compaction never triggered"
+    got = {r["url"] for r in res.seen.select("url").collect()}
+    assert got == oracle.seen
+
+
 def test_depth_zero_crawl(spark, corpus_sf0001, tmp_path_factory):
     pages, seeds, _ = load_tables(spark, corpus_sf0001)
     cfg = CrawlConfig(crawl_depth=0, num_buckets=8)
