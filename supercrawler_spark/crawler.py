@@ -232,6 +232,12 @@ class Crawler:
             work = (work.withColumn("robots_blocked", F.lit(False))
                     .withColumn("deferred", F.lit(False)))
 
+        if cfg.politeness:
+            # the robots join + salted delay windows feed several actions this
+            # round (stats, extract, metrics, deferred re-queue) — cache the
+            # small frontier-sized result instead of recomputing the windows
+            work = work.persist()
+
         fetchable = work.filter(~F.col("robots_blocked") & ~F.col("deferred"))
 
         # one small collect yields frontier size, politeness counts, AND the
@@ -417,6 +423,8 @@ class Crawler:
             compact.write.mode("overwrite").parquet(store.seen_compact_path(r))
             paths["seen_compact"] = store.seen_compact_path(r)
         store.commit_round(r, counts, paths)
+        if cfg.politeness:
+            work.unpersist()
         return counts
 
     # -- driver loop (L1/L2) -------------------------------------------------

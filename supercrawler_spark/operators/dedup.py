@@ -68,18 +68,20 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
     p is 30-bit so a*h+b stays < 2^63 in BOTH engines (DuckDB raises on
     BIGINT overflow where the JVM would silently wrap)."""
     p = 1_000_000_007
-    spark = docs.sparkSession
-    params = spark.range(num_hashes).select(
-        F.col("id").alias("hash_id"),
-        (F.col("id") * 2 + 1).alias("a"),
-        (F.col("id") * 7 + 13).alias("b"))
+    # one row per (doc, shingle); the num_hashes permutations become wide
+    # columns min-aggregated per doc (map-side partial agg; no 8x explode),
+    # then unpivoted back to (hash_id, min_hash) rows
     sh = shingles(docs, text_col, id_col) \
         .withColumn("h", _md5_long(F.col("shingle")) % p)
-    return (sh.crossJoin(F.broadcast(params))
-            .select("doc_id", "hash_id",
-                    F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(p)).alias("hv"))
-            .groupBy("doc_id", "hash_id")
-            .agg(F.min("hv").alias("min_hash")))
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.pmod((2 * i + 1) * F.col("h") + (7 * i + 13), F.lit(p)))
+        .alias(f"_h{i}")
+        for i in range(num_hashes)
+    ])
+    stack = ", ".join(f"{i}L, _h{i}" for i in range(num_hashes))
+    return mins.selectExpr(
+        "doc_id",
+        f"stack({num_hashes}, {stack}) as (hash_id, min_hash)")
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
