@@ -146,6 +146,22 @@ class Crawler:
         self.pages = pages
         self.robots = robots
         self._pages_bucketed = "bucket" in pages.columns
+        if self._pages_bucketed:
+            # bucket pruning is only sound if the pages layout used the SAME
+            # modulus as cfg.num_buckets — a mismatch would silently prune
+            # away real pages (every fetch "fails"). Validate on a sample and
+            # fall back to unpruned scans rather than corrupt the crawl.
+            mismatch = (pages.select("url", "bucket").limit(200)
+                        .filter(F.col("bucket")
+                                != F.pmod(F.xxhash64("url"),
+                                          F.lit(self.cfg.num_buckets)))
+                        .count())
+            if mismatch > 0:
+                import warnings
+                warnings.warn(
+                    f"pages bucket layout does not match num_buckets="
+                    f"{self.cfg.num_buckets}; disabling bucket pruning")
+                self._pages_bucketed = False
 
     # -- init: seed enqueue (rs:1236-1252) ---------------------------------
 
