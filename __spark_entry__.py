@@ -195,7 +195,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    # max_shingle_df=5 genuinely filters hot shingles at sf0.01 (max df=7),
+    # proving the df-cap semantics against the oracle, not just the happy path
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2,
+                                     max_shingle_df=5)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), bits=16, radius=3)
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,10 +227,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    # restrict to a slice so the exact O(n^2) pass stays bounded at sf0.1
-    return similarity.embedding_near_dups(
-        emb.filter(F.col("vec_id") < 200), threshold=0.2)
+    # FULL table — candidates are LSH-banded (16 planes x 4 bands), never an
+    # all-pairs cartesian; threshold 0.4 is meaningful for this corpus (max
+    # pairwise cosine ~0.45, no planted dups)
+    return similarity.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "langid": q_langid,
@@ -342,31 +350,60 @@ scored AS (
 """
     recursive_cte = _GRAPH_CTE.replace("WITH urls AS", "WITH RECURSIVE urls AS", 1)
     def _plane_dot(p: int) -> str:
-        # mirrors similarity.hyperplane_buckets: component d of plane p is
+        # mirrors similarity._plane: component d of plane p is
         # ((p*131 + d*31 + 7) % 97) - 48, dot in double, sequential sum
         return ("list_sum(list_transform(generate_series(1, len(embedding)), "
                 f"i -> CAST(embedding[i] AS DOUBLE) * ((({p}*131 + (i-1)*31 + 7) % 97) - 48)))")
 
-    bucket_expr = " + ".join(
-        f"(CASE WHEN {_plane_dot(p)} >= 0 THEN {2**p} ELSE 0 END)"
-        for p in range(4))
-    lsh_cte = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
-n AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM b),
-scored AS (
-  SELECT q.query_id, n.neighbor_id,
-         list_sum(list_transform(generate_series(1, len(qv)),
-                  i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
-                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-          * sqrt(list_sum(list_transform(generate_series(1, len(nv)),
-                  i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))) AS sim
-  FROM q JOIN n ON q.bucket = n.bucket AND q.query_id <> n.neighbor_id
+    # banded multi-plane signatures (16 planes x 4 bands of 4 bits) —
+    # mirrors similarity.hyperplane_band_buckets exactly
+    n_planes, n_bands = 16, 4
+    ppb = n_planes // n_bands
+    band_exprs = [
+        " + ".join(f"(CASE WHEN {_plane_dot(b * ppb + j)} >= 0 THEN {2**j} "
+                   f"ELSE 0 END)" for j in range(ppb))
+        for b in range(n_bands)
+    ]
+    band_case = "CASE band.x " + " ".join(
+        f"WHEN {b} THEN ({e})" for b, e in enumerate(band_exprs[:-1])) \
+        + f" ELSE ({band_exprs[-1]}) END"
+    bb_cte = f"""
+WITH bb AS (
+  SELECT vec_id, band.x AS band, {band_case} AS bucket
+  FROM embeddings, range({n_bands}) band(x)
 )
 """
+    _COS_E = """
+         list_sum(list_transform(generate_series(1, len(e1.embedding)),
+                  i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(e1.embedding)),
+                  i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(e2.embedding)),
+                  i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))))"""
+    lsh_cte = bb_cte + f""",
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM bb q JOIN bb n ON q.band = n.band AND q.bucket = n.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_COS_E} AS sim
+  FROM cand c JOIN embeddings e1 ON e1.vec_id = c.query_id
+              JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
+)
+"""
+    near_dup_sql = bb_cte + f""",
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id, round({_COS_E}, 6) AS sim
+  FROM pairs p JOIN embeddings e1 ON e1.vec_id = p.a_id
+               JOIN embeddings e2 ON e2.vec_id = p.b_id
+)
+SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.4"""
     return {
         "crawl_seen": recursive_cte + """,
 bfs AS (
@@ -463,11 +500,42 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
                 ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id""",
+        "simhash_near_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id, b.x AS bit,
+         SUM((({md5long_tok} >> CAST(b.x AS INT)) & 1) * 2 - 1) AS s
+  FROM toks, range(16) b(x)
+  GROUP BY doc_id, b.x
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+ch AS (
+  SELECT doc_id, simhash, c.x AS chunk,
+         (simhash >> CAST(c.x * 4 AS INT)) & 15 AS chunk_val
+  FROM sigs, range(4) c(x)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.simhash AS a_sig, b.simhash AS b_sig
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(a_sig, b_sig)) <= 3""",
         "ngram_jaccard_pairs": shingle_cte + """,
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 5),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT a_id, b_id,
        round(i / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -529,19 +597,7 @@ SELECT query_id, neighbor_id,
        round(sim, 6) AS sim
 FROM scored
 QUALIFY rank <= 3""",
-        "embedding_near_dups": """
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-p AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         round(list_sum(list_transform(generate_series(1, len(a.embedding)),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-          * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-         , 6) AS sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT a_id, b_id, sim FROM p WHERE sim >= 0.2""",
+        "embedding_near_dups": near_dup_sql,
         "yt_markdown": """
 WITH v AS (
   SELECT doc_id AS rank, 'vid' || CAST(doc_id AS VARCHAR) AS id,

@@ -111,19 +111,35 @@ def main() -> None:
         extras["crawl_polite_blocked"] = int(
             res.metrics.agg(F.sum("robots_blocked")).collect()[0][0] or 0)
 
+    def lsh_ann_with_recall():
+        """Banded ANN top-k, plus measured recall@3 vs the exact baseline
+        (recorded in the bench JSON and BENCH/BASELINE.md)."""
+        q = emb.filter(F.col("vec_id") < 20)
+        ann = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.lsh_ann_topk(emb, q, k=3).collect()}
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in similarity.cosine_topk(emb, q, k=3).collect()}
+        extras["lsh_ann_recall_at3"] = round(
+            len(ann & exact) / max(1, len(exact)), 4)
+
     bench("crawl_scan", crawl_scan)
     bench("crawl_bfs", crawl_bfs)
     bench("crawl_bfs_polite", crawl_bfs_polite)
     bench("exact_dedup", lambda: dedup.exact_dedup(docs).count())
     bench("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs).count())
     bench("simhash", lambda: dedup.simhash(docs).count())
+    bench("simhash_near_pairs", lambda: dedup.simhash_near_pairs(
+        docs, bits=16, radius=3).count())
+    bench("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_df=1000).count())
     bench("token_quality", lambda: textquality.quality_score(docs)
           .agg(F.sum("n_tokens")).collect())
     bench("fingerprint", lambda: textquality.fingerprint(docs).count())
     bench("cosine_topk", lambda: similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3).count())
-    bench("lsh_ann_topk", lambda: similarity.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=3).count())
+    bench("lsh_ann_topk", lsh_ann_with_recall)
+    bench("embedding_near_dups", lambda: similarity.embedding_near_dups(
+        emb, threshold=0.4).count())
 
     if "crawl_scan" in timings:
         extras["crawl_scan_urls_per_sec"] = round(

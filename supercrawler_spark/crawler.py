@@ -65,6 +65,14 @@ class CrawlConfig:
     compact_seen_every: int = 8     # seen-delta compaction cadence
     broadcast_frontier_max: int = 1_000_000  # rows; below this the fetch
     # join broadcasts the FRONTIER and streams pages (see _run_round)
+    snapshot_dedup: bool = True     # latest-warc_ts-wins when pages carries
+    # multiple Common-Crawl snapshots per url (set False only if the pages
+    # table is known url-unique; ties on (url, warc_ts) assumed impossible)
+    # E1 fetch retry/backoff (src/supercrawler.rs:673-695): the graft's fetch
+    # is a deterministic pages-table lookup, so these are inert offline; a
+    # live-HTTP fetcher plugged in place of the lookup join applies them.
+    fetch_retries: int = 3
+    retry_backoff_ms: int = 500
 
     def validated(self) -> "CrawlConfig":
         cfg = CrawlConfig(**asdict(self))
@@ -101,13 +109,16 @@ def _path_col():
 
 def attach_dense_seq(
     df: DataFrame, order_cols: list[str], out_col: str = "seq"
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Deterministic dense 0-based rank by ``order_cols`` without a
     single-partition window: range-repartition on the order key, rank within
     partitions, then add per-partition offsets (tiny driver collect of one
     row per partition). Requires the order key to be unique. Returns
-    ``(df_with_seq, total_rows)`` — the total comes free from the offsets
-    pass, saving the caller a count job."""
+    ``(df_with_seq, total_rows, cache)`` — the total comes free from the
+    offsets pass, saving the caller a count job; ``cache`` is the persisted
+    intermediate the CALLER MUST ``unpersist()`` once the result is
+    materialized (a long crawl would otherwise leak one cached plan per
+    round into executor storage)."""
     d = df.repartitionByRange(*[F.col(c) for c in order_cols])
     d = d.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"]
@@ -125,7 +136,7 @@ def attach_dense_seq(
            .join(F.broadcast(offsets_df), "_pid")
            .withColumn(out_col, (F.col("_offset") + F.col("_rn") - F.lit(1)))
            .drop("_pid", "_rn", "_offset"))
-    return out, acc
+    return out, acc, d
 
 
 class Crawler:
@@ -169,8 +180,10 @@ class Crawler:
         cfg = self.cfg
         canon = _canon_udf(cfg)
         s = seeds
+        seq_cache = None
         if "seed_order" not in s.columns:
-            s, _ = attach_dense_seq(s.select("url"), ["url"], "seed_order")
+            s, _, seq_cache = attach_dense_seq(s.select("url"), ["url"],
+                                               "seed_order")
         if cfg.max_urls is not None:  # O2: bounds the seed set only
             s = s.filter(F.col("seed_order") < cfg.max_urls)
         s = (s.withColumn("curl", canon(F.col("url")))
@@ -186,17 +199,24 @@ class Crawler:
                      F.col("seed_order").cast("long").alias("seq")),
             cfg)
         frontier0.write.mode("overwrite").parquet(self.store.init_frontier_path())
+        if seq_cache is not None:
+            seq_cache.unpersist()
         frontier0 = self.spark.read.parquet(self.store.init_frontier_path())
         seen0 = (frontier0
                  .select("url", F.xxhash64("url").alias("url_hash"),
                          "bucket", "depth")
                  .repartition(cfg.num_buckets, "bucket"))
         seen0.write.mode("overwrite").parquet(self.store.init_seen_path())
+        # A6: materialized seed-URL preview (first five in request order —
+        # the reference logs these at startup, src/supercrawler.rs:1254)
+        frontier0.orderBy("seq").limit(5).select("url", "seq") \
+            .write.mode("overwrite").parquet(self.store.seed_preview_path())
         n = frontier0.count()
         self.store.commit_init(
             {"seeds": n},
             {"frontier": self.store.init_frontier_path(),
-             "seen_delta": self.store.init_seen_path()})
+             "seen_delta": self.store.init_seen_path(),
+             "seed_preview": self.store.seed_preview_path()})
 
     def _scope_df(self) -> DataFrame:
         frontier0 = self.spark.read.parquet(self.store.init_frontier_path())
@@ -212,7 +232,10 @@ class Crawler:
         cfg, spark, store = self.cfg, self.spark, self.store
         canon = _canon_udf(cfg)
 
-        work = frontier
+        # F9 dequeue-side depth guard (rs:1284-1289). By construction every
+        # enqueued row satisfies depth <= crawl_depth, so this is a no-op
+        # safety predicate, not a shuffle.
+        work = frontier.filter(F.col("depth") <= cfg.crawl_depth)
         # --- politeness (north-rule extension; off ≙ reference parity) ---
         if cfg.politeness and self.robots is not None:
             rob = F.broadcast(self.robots)
@@ -256,57 +279,120 @@ class Crawler:
 
         fetchable = work.filter(~F.col("robots_blocked") & ~F.col("deferred"))
 
-        # one small collect yields frontier size, politeness counts, AND the
-        # bucket list for pages-scan partition pruning (single Spark action)
+        # one small collect yields frontier size, politeness counts, the
+        # bucket list for pages-scan partition pruning, AND whether any
+        # fetchable parent is still below the depth budget (single action)
         stats = (work.groupBy("bucket", "robots_blocked", "deferred")
-                 .agg(F.count("*").alias("cnt")).collect())
+                 .agg(F.count("*").alias("cnt"),
+                      F.min("depth").alias("min_depth")).collect())
         frontier_count = sum(r["cnt"] for r in stats)
         n_deferred = sum(r["cnt"] for r in stats if r["deferred"])
         live_buckets = sorted({r["bucket"] for r in stats
                                if not r["robots_blocked"] and not r["deferred"]})
+        # F10 enqueue guard is per-PARENT (a deferred depth-d row fetched in a
+        # later round r > d still expands while d < crawl_depth — rs:1335
+        # keys on the dequeued item's depth, not on the round number)
+        expanding = any(r["min_depth"] < cfg.crawl_depth for r in stats
+                        if not r["robots_blocked"] and not r["deferred"])
 
         # --- fetch = lookup join against pages (S1), bucket-pruned --------
         # Join strategy matters at 10^10 pages: a LEFT-outer (frontier
         # preserved) forces Spark to build/broadcast the PAGES side (build
-        # side must be non-preserved), which cannot scale. Instead, when the
-        # frontier is small enough to broadcast we run an INNER join with the
-        # frontier as the build side — the pages scan streams with NO shuffle
-        # and no html bytes ever move — and recover failed fetches afterwards
-        # with a tiny anti-join against the extracted urls (both sides are
-        # frontier-sized). Large frontiers fall back to a shuffle join.
+        # side must be non-preserved), which cannot scale. Three strategies:
+        #   1. frontier <= broadcast_frontier_max: INNER join with the
+        #      frontier broadcast as build side — the pages scan streams with
+        #      NO shuffle, html bytes never move; failed fetches recovered
+        #      afterwards by a frontier-sized anti-join.
+        #   2. larger frontiers over a bucketed pages layout: bucket-wise
+        #      emulated storage-partitioned join — one broadcast inner join
+        #      per live bucket (pages side partition-pruned to that bucket,
+        #      frontier slice bucket-filtered), unioned. Pages STILL never
+        #      shuffles; each broadcast is ~frontier/B rows. This is what an
+        #      Iceberg storage-partitioned join would give us natively.
+        #   3. unbucketed pages + huge frontier: plain shuffle left join
+        #      (the only case where html bytes cross the wire).
         pages = self.pages
         if self._pages_bucketed:
             pages = pages.filter(F.col("bucket").isin(live_buckets))
         has_ct = "content_type" in pages.columns
-        pages = pages.select("url", "html", *(
-            ["content_type"] if has_ct else []))
+        snap = cfg.snapshot_dedup and "warc_ts" in pages.columns
+        page_cols = (["url"] + (["warc_ts"] if snap else [])
+                     + ["html"] + (["content_type"] if has_ct else []))
+        pages = pages.select(*page_cols)
+
+        def _resolve_snapshots(frontier_side: DataFrame,
+                               pages_side: DataFrame) -> DataFrame:
+            # Common-Crawl tables hold one row per (url, warc_ts) snapshot;
+            # latest wins. Resolved WITHOUT touching html: a column-pruned
+            # (url, warc_ts) scan joined to the frontier, max-aggregated, and
+            # folded into the broadcast side so the html join keys on
+            # (url, warc_ts==max). Parquet reads two tiny columns here —
+            # the html bytes are only read by the final pruned join.
+            ts = (pages_side.select("url", "warc_ts")
+                  .join(F.broadcast(frontier_side.select("url")), "url")
+                  .groupBy("url").agg(F.max("warc_ts").alias("warc_ts")))
+            return frontier_side.join(F.broadcast(ts), "url", "inner")
+
         broadcast_fetch = frontier_count <= cfg.broadcast_frontier_max
+        fetch_cache = None
         if broadcast_fetch:
-            fetched = pages.join(F.broadcast(fetchable), "url", "inner")
+            build = _resolve_snapshots(fetchable, pages) if snap else fetchable
+            keys = ["url", "warc_ts"] if snap else ["url"]
+            fetched = pages.join(F.broadcast(build), keys, "inner")
+            inner_fetch = True
+        elif self._pages_bucketed:
+            # bucket-wise join: B independent broadcast joins, each over a
+            # partition-pruned pages slice. fetchable is persisted so the B
+            # frontier-slice filters read one cached copy, not B re-scans.
+            fetch_cache = fetchable.persist()
+            parts = []
+            for b in live_buckets:
+                pb = self.pages.filter(F.col("bucket") == b).select(*page_cols)
+                fb = fetch_cache.filter(F.col("bucket") == b)
+                if snap:
+                    fb = _resolve_snapshots(fb, pb)
+                keys = ["url", "warc_ts"] if snap else ["url"]
+                parts.append(pb.join(F.broadcast(fb), keys, "inner"))
+            fetched = parts[0]
+            for p in parts[1:]:
+                fetched = fetched.unionByName(p)
+            inner_fetch = True
         else:
             fetched = fetchable.join(pages, "url", "left")
+            if snap:
+                w_snap = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+                fetched = (fetched.withColumn("_sn", F.row_number().over(w_snap))
+                           .filter(F.col("_sn") == 1).drop("_sn"))
+            inner_fetch = False
+        if snap:
+            fetched = fetched.drop("warc_ts")
 
         # --- extract (the Arrow UDF hotspot); F5 content-type dispatch ----
         meta_cols = ["url", "host", "depth", "seq", "bucket"]
         fetched_flag = F.col("html").isNotNull().alias("fetched")
         if has_ct:
             # split by content type so each Arrow UDF only sees its rows
-            # (a when() over both UDFs would evaluate both on every row)
-            is_html = F.col("content_type").contains("text/html")
-            is_pdf = F.col("content_type").contains("application/pdf")
-            html_part = (fetched.filter(F.col("html").isNull()
-                                        | F.coalesce(is_html, F.lit(False)))
+            # (a when() over both UDFs would evaluate both on every row).
+            # PDF takes precedence over html — the reference dispatches
+            # application/pdf FIRST (src/supercrawler.rs:717-730), so a
+            # pathological "text/html, application/pdf" content type must
+            # land in exactly one branch (the three filters partition rows).
+            is_pdf = F.coalesce(
+                F.col("content_type").contains("application/pdf"), F.lit(False))
+            is_html = F.coalesce(
+                F.col("content_type").contains("text/html"), F.lit(False)) \
+                & ~is_pdf
+            html_part = (fetched.filter(F.col("html").isNull() | is_html)
                          .withColumn("page", udfs.extract_page("url", "html"))
                          .select(*meta_cols, fetched_flag,
                                  F.col("page.mdx").alias("mdx"),
                                  F.col("page.links").alias("links")))
-            pdf_part = (fetched.filter(F.coalesce(is_pdf, F.lit(False)))
+            pdf_part = (fetched.filter(F.col("html").isNotNull() & is_pdf)
                         .select(*meta_cols, fetched_flag,
                                 udfs.extract_pdf_mdx("url", "html").alias("mdx"),
                                 F.lit(None).cast("array<string>").alias("links")))
             other_part = (fetched.filter(
-                F.col("html").isNotNull()
-                & F.coalesce(~is_html & ~is_pdf, F.lit(True)))
+                F.col("html").isNotNull() & ~is_html & ~is_pdf)
                 .select(*meta_cols, fetched_flag,
                         F.lit(None).cast("string").alias("mdx"),
                         F.lit(None).cast("array<string>").alias("links")))
@@ -321,7 +407,7 @@ class Crawler:
         # checkpoint the round's expensive work exactly once
         extracted_path = store.round_dir(r, "extracted")
         extracted.write.mode("overwrite").parquet(extracted_path)
-        if broadcast_fetch:
+        if inner_fetch:
             # recover failed fetches (urls with no pages row): frontier-sized
             # anti-join, appended as fetched=false rows
             got = spark.read.parquet(extracted_path).select("url")
@@ -333,6 +419,8 @@ class Crawler:
                                F.lit(None).cast("array<string>").alias("links"))
                        .withColumn("_pid", F.spark_partition_id()))
             missing.write.mode("append").parquet(extracted_path)
+        if fetch_cache is not None:
+            fetch_cache.unpersist()
         extracted = spark.read.parquet(extracted_path)
 
         # --- docs (F12 empty-MDX filter; X7 doc key) -----------------------
@@ -344,23 +432,39 @@ class Crawler:
         docs.write.mode("overwrite").parquet(store.docs_path(r))
 
         # --- expand: links → candidates → survivors ------------------------
-        expanding = r < cfg.crawl_depth  # F10 enqueue-side depth guard
+        # ``expanding`` was computed per-PARENT from the frontier stats:
+        # children depth = parent.depth + 1, and only parents with
+        # depth < crawl_depth expand — NOT keyed on the round number, so a
+        # politeness-deferred depth-0 row processed in round 3 still labels
+        # its children depth 1 and still expands (rs:1335 semantics).
         new_count = 0
         if expanding:
             links = (extracted
-                     .filter(F.col("links").isNotNull())
+                     .filter(F.col("links").isNotNull()
+                             & (F.col("depth") < cfg.crawl_depth))  # F10
                      .select(F.col("seq").alias("parent_seq"),
+                             F.col("depth").alias("parent_depth"),
                              F.posexplode("links").alias("link_pos", "link")))
             candidates = (links
                           .withColumn("url", canon(F.col("link")))
                           .filter(F.col("url").isNotNull())     # F13
                           .withColumn("host", udfs.parse_host(F.col("url")))
                           .join(F.broadcast(scope), "host", "left_semi"))  # F8
-            candidates = _with_bucket(candidates, cfg)
+            candidates = (candidates
+                          .withColumn("url_hash", F.xxhash64("url"))
+                          .withColumn("bucket",
+                                      F.pmod(F.col("url_hash"),
+                                             F.lit(cfg.num_buckets))
+                                      .cast("int")))
             seen = self._seen_df(r - 1)
+            # J1 seen anti-join keyed on the 8-byte url_hash (carried in every
+            # seen delta) instead of the url string — at 10^10-URL scale the
+            # shuffled build side is hashes, not long URL bytes. xxhash64
+            # collisions across distinct urls are ~n²/2^65 (≈0 below 10^8
+            # urls; at 10^10 add a url check on matches before dropping).
             cand = (candidates
-                    .join(seen.select("url").withColumn("_seen", F.lit(True)),
-                          "url", "left")
+                    .join(seen.select("url_hash").withColumn("_seen", F.lit(True)),
+                          "url_hash", "left")
                     .withColumn("_pid", F.spark_partition_id()))
             # intra-round first-seen-wins in crawl order (rs:1343 semantics)
             w_first = Window.partitionBy("url").orderBy("parent_seq", "link_pos")
@@ -373,20 +477,39 @@ class Crawler:
             cand = spark.read.parquet(cand_path)
 
             survivors = cand.filter(F.col("is_new")) \
-                .select("url", "host", "bucket", "parent_seq", "link_pos")
-            nxt, new_count = attach_dense_seq(
+                .select("url", "host", "bucket", "url_hash",
+                        "parent_depth", "parent_seq", "link_pos")
+            nxt, new_count, seq_cache = attach_dense_seq(
                 survivors, ["parent_seq", "link_pos"], "seq")
             nxt = nxt.select("url", "host",
-                             F.lit(r + 1).alias("depth"), "seq", "bucket")
-            # deferred politeness rows re-enter at their original depth/seq
+                             (F.col("parent_depth") + 1).alias("depth"),
+                             "seq", "bucket", "url_hash")
             deferred = work.filter(F.col("deferred")).select(*FRONTIER_COLS)
-            frontier_next = nxt.select(*FRONTIER_COLS).unionByName(deferred)
+            if n_deferred > 0:
+                # deferred rows re-enter at their original depth; the union
+                # is re-sequenced (FIFO: deferred-first, then new children in
+                # crawl order) so every frontier has unique seq — two
+                # frontier generations may otherwise collide on seq, making
+                # the next round's dense rank nondeterministic.
+                mixed = (deferred.select(*FRONTIER_COLS,
+                                         F.lit(0).alias("_grp"),
+                                         F.col("seq").alias("_okey"))
+                         .unionByName(nxt.select(*FRONTIER_COLS,
+                                                 F.lit(1).alias("_grp"),
+                                                 F.col("seq").alias("_okey"))))
+                frontier_next, _, mix_cache = attach_dense_seq(
+                    mixed.drop("seq"), ["_grp", "_okey"], "seq")
+                frontier_next = frontier_next.select(*FRONTIER_COLS)
+            else:
+                frontier_next, mix_cache = nxt.select(*FRONTIER_COLS), None
             frontier_next.write.mode("overwrite") \
                 .parquet(store.frontier_path(r + 1))
-            seen_delta = (nxt.select("url", F.xxhash64("url").alias("url_hash"),
-                                     "bucket", "depth")
+            seen_delta = (nxt.select("url", "url_hash", "bucket", "depth")
                           .repartition(cfg.num_buckets, "bucket"))
             seen_delta.write.mode("overwrite").parquet(store.seen_delta_path(r))
+            seq_cache.unpersist()
+            if mix_cache is not None:
+                mix_cache.unpersist()
 
             dedup_metrics = (cand.groupBy(F.col("_pid").alias("partition_id"))
                              .agg(F.count("*").alias("candidates"),
@@ -456,8 +579,14 @@ class Crawler:
             self._init_frontier(seeds)
         scope = F.broadcast(self._scope_df())
 
+        # The loop is NOT bounded by crawl_depth: politeness deferral can
+        # push sub-depth-limit work into extra rounds (a depth-0 row deferred
+        # twice is processed in round 2 and its children still expand).
+        # Termination is by progress: every (host, salt) delay window
+        # processes >= 1 row per round, so deferred work strictly drains, and
+        # new URLs only come from parents below the depth budget (finite).
         r = last + 1
-        while r <= cfg.crawl_depth:
+        while True:
             if (cfg.time_limit_secs is not None
                     and time.monotonic() - start > cfg.time_limit_secs):
                 break  # L2: budget checked between rounds (round = atomic unit)

@@ -139,11 +139,75 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16,
             .filter(F.col("group_size") > 1))
 
 
+def _chunk_bounds(bits: int, chunks: int) -> list[tuple[int, int]]:
+    """Partition [0, bits) into ``chunks`` contiguous (offset, width) spans,
+    widths differing by at most 1."""
+    base, extra = divmod(bits, chunks)
+    bounds, off = [], 0
+    for c in range(chunks):
+        w = base + (1 if c < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 16, radius: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Simhash near-duplicate pairs within Hamming distance ``radius``,
+    found EXACTLY via chunked-signature banding (pigeonhole): the signature
+    is split into radius+1 contiguous bit chunks; any pair within distance
+    radius differs in at most radius chunks, so it matches exactly on at
+    least one chunk. Candidates come from a (chunk_id, chunk_value)
+    equi-self-join (never all-pairs), then the true Hamming distance is
+    verified with bit_count(xor). Output (a_id, b_id, hamming), a_id < b_id.
+    Unlike LSH this is exact: recall = 1 within the radius. Scale note: at
+    bits=64, radius=3 each chunk is 16 bits → 65k buckets per chunk; per-
+    bucket fan-out is (n/65k)^2 per chunk, near-linear for web-scale corpora."""
+    chunks = radius + 1
+    sh = simhash(docs, bits, text_col, id_col)
+    vals = F.array(*[
+        F.expr(f"shiftright(simhash, {off}) & {(1 << width) - 1}")
+        for off, width in _chunk_bounds(bits, chunks)
+    ])
+    ch = sh.select("doc_id", "simhash",
+                   F.posexplode(vals).alias("chunk", "chunk_val"))
+    a = ch.select(F.col("doc_id").alias("a_id"),
+                  F.col("simhash").alias("a_sig"), "chunk", "chunk_val")
+    b = ch.select(F.col("doc_id").alias("b_id"),
+                  F.col("simhash").alias("b_sig"), "chunk", "chunk_val")
+    pairs = (a.join(b, ["chunk", "chunk_val"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.first("a_sig").alias("a_sig"),
+                  F.first("b_sig").alias("b_sig")))
+    return (pairs
+            .withColumn("hamming", F.expr("bit_count(a_sig ^ b_sig)")
+                        .cast("long"))
+            .filter(F.col("hamming") <= radius)
+            .select("a_id", "b_id", "hamming"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact word-n-gram Jaccard for pairs sharing ≥1 shingle; keeps pairs
-    with similarity ≥ threshold. Output (a_id, b_id, jaccard rounded 1e-6)."""
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """Word-n-gram Jaccard for pairs sharing >=1 shingle; keeps pairs with
+    similarity >= threshold. Output (a_id, b_id, jaccard rounded 1e-6).
+
+    ``max_shingle_df`` caps shingle document frequency before the self-join:
+    a boilerplate shingle shared by k documents otherwise contributes k^2
+    join rows — quadratic blowup on real web text (headers, footers, cookie
+    banners). Shingles with df > cap are dropped from BOTH the intersection
+    and the per-doc set sizes, i.e. the result is exact Jaccard over the
+    df-capped shingle space (the standard practice; the oracle mirrors the
+    same predicate). The hot-shingle set is tiny by construction, so it is
+    removed with a broadcast anti-join — the (doc, shingle) rows themselves
+    never shuffle for the cap. None disables the cap."""
     sh = shingles(docs, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_shingle_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")

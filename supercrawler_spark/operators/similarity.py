@@ -47,40 +47,83 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                     F.round("sim", 6).alias("sim")))
 
 
+def _plane(p: int, dim: int):
+    """Deterministic pseudo-random hyperplane p: component d is
+    ((p*131 + d*31 + 7) % 97) - 48 (zero-mean ints) — a fixed recurrence the
+    DuckDB oracle reproduces exactly."""
+    return F.array(*[F.lit(float((p * 131 + d * 31 + 7) % 97 - 48))
+                     for d in range(dim)])
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int = 64) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector: sign bits of dot products
-    with ``n_planes`` deterministic pseudo-random hyperplanes. The planes are
-    derived from a fixed recurrence (seeded by plane index × dimension) so
-    the oracle can reproduce them."""
-    # plane p component d = ((p*131 + d*31 + 7) % 97) - 48  (zero-mean ints)
-    planes = [
-        F.array(*[F.lit(float((p * 131 + d * 31 + 7) % 97 - 48)) for d in range(dim)])
-        for p in range(n_planes)
-    ]
+    """Single-signature random-hyperplane LSH bucket per vector (sign bits of
+    ``n_planes`` dot products). Kept as the simple building block; the scale
+    path for candidate generation is ``hyperplane_band_buckets`` (banded
+    OR-of-bands, bounded per-bucket fan-out)."""
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     bucket = None
-    for p, plane in enumerate(planes):
-        bit = (_dot(F.col("v"), plane) >= 0).cast("long") * (2 ** p)
+    for p in range(n_planes):
+        bit = (_dot(F.col("v"), _plane(p, dim)) >= 0).cast("long") * (2 ** p)
         bucket = bit if bucket is None else bucket + bit
     return e.withColumn("bucket", bucket)
 
 
+def hyperplane_band_buckets(embeddings: DataFrame, n_planes: int = 16,
+                            n_bands: int = 4, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            dim: int = 64) -> DataFrame:
+    """Banded multi-plane signatures: ``n_planes`` sign bits split into
+    ``n_bands`` bands of n_planes/n_bands bits each → one (vec_id, band,
+    bucket) row per band. Candidate pairs agree on the FULL bit pattern of at
+    least one band (OR-of-bands), so per-(band, bucket) blocks shrink
+    geometrically with bits-per-band while multiple bands keep recall up —
+    the same banding trade-off as minhash LSH. All JVM expressions."""
+    assert n_planes % n_bands == 0, "n_planes must divide into n_bands"
+    ppb = n_planes // n_bands
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    bits = [(_dot(F.col("v"), _plane(p, dim)) >= 0).cast("long")
+            for p in range(n_planes)]
+    band_buckets = []
+    for b in range(n_bands):
+        acc = None
+        for j in range(ppb):
+            term = bits[b * ppb + j] * (2 ** j)
+            acc = term if acc is None else acc + term
+        band_buckets.append(acc)
+    return (e.select("vec_id", "v", F.posexplode(F.array(*band_buckets))
+                     .alias("band", "bucket")))
+
+
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
-                 n_planes: int = 4, id_col: str = "vec_id",
+                 n_planes: int = 16, n_bands: int = 4, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket.
-    Same output shape as cosine_topk (recall < 1 by design; the oracle
-    mirrors the same bucketing, verifying the implementation not the
-    recall)."""
-    b = hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim)
+    """Approximate top-k: candidates share >=1 full band bucket with the
+    query (banded multi-plane OR-of-bands). Candidate generation joins
+    id+band+bucket rows only (no vectors through the shuffle); vectors are
+    joined back per distinct candidate pair before scoring. Same output shape
+    as cosine_topk; recall < 1 by design — the oracle mirrors the exact
+    bucketing, verifying the implementation, while BENCH reports measured
+    recall vs the exact baseline."""
+    bb = hyperplane_band_buckets(embeddings, n_planes, n_bands,
+                                 id_col, vec_col, dim)
     qids = queries.select(F.col(id_col).alias("vec_id"))
-    q = (b.join(F.broadcast(qids), "vec_id", "left_semi")
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"))
-    n = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
-    scored = (q.join(n, "bucket")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
+    qb = (bb.join(F.broadcast(qids), "vec_id", "left_semi")
+          .select(F.col("vec_id").alias("query_id"), "band", "bucket"))
+    nb = bb.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket")
+    cand = (qb.join(nb, ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+    ev_q = (embeddings.join(F.broadcast(queries.select(id_col)), id_col,
+                            "left_semi")
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv")))
+    ev_n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("nv"))
+    scored = (cand.join(F.broadcast(ev_q), "query_id")
+              .join(ev_n, "neighbor_id")
               .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -90,12 +133,29 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a_id < b_id, sim ≥ threshold)."""
-    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
-    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
-    return (a.join(b, F.col("a_id") < F.col("b_id"))
+                        n_planes: int = 16, n_bands: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, sim >= threshold),
+    LSH-BLOCKED: candidates are generated through banded hyperplane buckets
+    (never an all-pairs theta join), deduped to distinct id pairs, then
+    scored once per pair with the vectors hash-joined back in. Per-(band,
+    bucket) fan-out is ~ (n / 2^bits_per_band)^2 per band — bounded and
+    tunable, vs the n^2/2 of a cartesian. Recall < 1 by design (high-cosine
+    pairs agree on most sign bits, so banding catches them with high
+    probability); the oracle mirrors the same bucketing."""
+    bb = hyperplane_band_buckets(embeddings, n_planes, n_bands,
+                                 id_col, vec_col, dim)
+    a = bb.select(F.col("vec_id").alias("a_id"), "band", "bucket")
+    b = bb.select(F.col("vec_id").alias("b_id"), "band", "bucket")
+    pairs = (a.join(b, ["band", "bucket"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id").distinct())
+    ea = embeddings.select(F.col(id_col).alias("a_id"),
+                           F.col(vec_col).alias("av"))
+    eb = embeddings.select(F.col(id_col).alias("b_id"),
+                           F.col(vec_col).alias("bv"))
+    return (pairs.join(ea, "a_id").join(eb, "b_id")
             .withColumn("sim", F.round(cosine(F.col("av"), F.col("bv")), 6))
             .filter(F.col("sim") >= threshold)
             .select("a_id", "b_id", "sim"))

@@ -111,6 +111,9 @@ class CrawlStore:
     def init_seen_path(self) -> str:
         return os.path.join(self.root, "init", "seen_delta")
 
+    def seed_preview_path(self) -> str:
+        return os.path.join(self.root, "init", "seed_preview")
+
     def seen_paths_up_to(self, round_no: int) -> list[str]:
         """Paths whose union is the seen set after processing round
         ``round_no`` (-1 ≙ just the seed delta): the latest compaction plus

@@ -22,7 +22,8 @@ streaming sink:
     aggregation surface over the ``events`` table for completeness.
 
 The streaming runner produces byte-identical round artifacts to the batch
-Crawler (same store layout) — asserted in tests/test_streaming.py.
+Crawler (same store layout) — asserted by test_stream_crawl_matches_batch and
+test_event_metrics_stream in tests/test_operators.py.
 """
 
 from __future__ import annotations

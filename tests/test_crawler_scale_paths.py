@@ -1,0 +1,153 @@
+"""Scale-path crawl semantics: the bucket-wise fetch join, Common-Crawl
+multi-snapshot resolution, and politeness-deferral depth correctness must all
+produce the SAME crawl as the reference-parity broadcast path."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark.crawler import CrawlConfig, crawl
+from supercrawler_spark.sources.synth import load_tables
+
+
+def _seen_depths(res) -> dict:
+    return {r["url"]: r["depth"] for r in
+            res.seen.select("url", "depth").collect()}
+
+
+def _docs_map(res) -> dict:
+    return {r["url"]: r["mdx"] for r in res.docs.select("url", "mdx").collect()}
+
+
+# ---------------------------------------------------------------------------
+# bucket-wise fetch join (frontier above the broadcast threshold)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketwise_fetch_join_equals_broadcast(spark, corpus_sf0001,
+                                                tmp_path_factory):
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    base = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=2, num_buckets=8),
+                 store_dir=str(tmp_path_factory.mktemp("bw_base")))
+    # broadcast_frontier_max=0 forces the bucket-wise emulated
+    # storage-partitioned join on every round
+    forced = crawl(spark, pages, seeds,
+                   CrawlConfig(crawl_depth=2, num_buckets=8,
+                               broadcast_frontier_max=0),
+                   store_dir=str(tmp_path_factory.mktemp("bw_forced")))
+    assert _seen_depths(forced) == _seen_depths(base)
+    assert _docs_map(forced) == _docs_map(base)
+    # crawl ordering contract holds on the scale path too
+    b = [r["url"] for r in base.docs.orderBy("depth", "seq").collect()]
+    f = [r["url"] for r in forced.docs.orderBy("depth", "seq").collect()]
+    assert b == f
+
+
+def test_bucketwise_join_plan_has_no_shuffle_on_pages(spark, corpus_sf0001):
+    """Plan audit: the per-bucket broadcast join unioned across buckets must
+    contain NO shuffle exchange — pages html bytes never cross the wire even
+    when the frontier cannot be broadcast whole."""
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    frontier = (seeds.select("url")
+                .withColumn("bucket",
+                            F.pmod(F.xxhash64("url"), F.lit(32)).cast("int")))
+    parts = []
+    for b in range(4):
+        pb = pages.filter(F.col("bucket") == b).select("url", "html")
+        fb = frontier.filter(F.col("bucket") == b)
+        parts.append(pb.join(F.broadcast(fb), "url", "inner"))
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.unionByName(p)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Common-Crawl multi-snapshot pages (latest warc_ts wins)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("broadcast_max", [1_000_000, 0])
+def test_snapshot_dedup_latest_wins(spark, corpus_sf0001, tmp_path_factory,
+                                    broadcast_max):
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    # add an OLDER snapshot per url with junk html: latest-wins must ignore it
+    stale = (pages
+             .withColumn("warc_ts",
+                         F.col("warc_ts") - F.expr("INTERVAL 1 DAY"))
+             .withColumn("html", F.lit(
+                 "<html><body><p>STALE SNAPSHOT</p></body></html>")
+                 .cast("binary"))
+             .withColumn("content_type", F.lit("text/html; charset=utf-8")))
+    multi = pages.unionByName(stale)
+    cfg = CrawlConfig(crawl_depth=1, num_buckets=8,
+                      broadcast_frontier_max=broadcast_max)
+    base = crawl(spark, pages, seeds, cfg,
+                 store_dir=str(tmp_path_factory.mktemp("snap_base")))
+    got = crawl(spark, multi, seeds, cfg,
+                store_dir=str(tmp_path_factory.mktemp("snap_multi")))
+    assert _docs_map(got) == _docs_map(base)
+    assert _seen_depths(got) == _seen_depths(base)
+    assert "STALE SNAPSHOT" not in "".join(_docs_map(got).values())
+
+
+# ---------------------------------------------------------------------------
+# politeness deferral: depth labels + completeness (ADVICE medium finding)
+# ---------------------------------------------------------------------------
+
+
+def test_deferred_parents_keep_depth_and_expand(spark, corpus_sf0001,
+                                                tmp_path_factory):
+    """Crawl-delay deferral must only DELAY work, never relabel or truncate
+    it: with a pure crawl-delay robots table (no disallow rules) the polite
+    crawl's seen set AND per-url depths equal the non-polite crawl's, even
+    though deferred parents are processed in rounds far beyond their depth."""
+    pages, seeds, robots = load_tables(spark, corpus_sf0001)
+    # strip disallow rules; keep a crawl delay on every host so deferral is
+    # forced hard (cap = max(1, budget/delay/salt) = 1 per salt window)
+    delay_only = robots.select(
+        "host",
+        F.array().cast("array<string>").alias("disallow_prefixes"),
+        F.lit(500).alias("crawl_delay_ms"))
+    base = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=1, num_buckets=8),
+                 store_dir=str(tmp_path_factory.mktemp("pol_base")))
+    polite = crawl(spark, pages, seeds,
+                   CrawlConfig(crawl_depth=1, num_buckets=8, politeness=True,
+                               round_budget_ms=1000, politeness_salt=2),
+                   store_dir=str(tmp_path_factory.mktemp("pol_def")),
+                   robots=delay_only)
+    # deferral actually happened (otherwise this test proves nothing)
+    n_def = polite.metrics.agg(F.sum("deferred")).collect()[0][0]
+    assert (n_def or 0) > 0, "no deferral occurred — tighten the delay"
+    assert polite.rounds_run > base.rounds_run, \
+        "deferral should stretch the crawl over extra rounds"
+    assert _seen_depths(polite) == _seen_depths(base)
+    assert _docs_map(polite) == _docs_map(base)
+    # depth column on docs matches too (children of a deferred depth-0
+    # parent must carry depth 1, not round_number+1)
+    base_depths = {r["url"]: r["depth"] for r in base.docs.collect()}
+    pol_depths = {r["url"]: r["depth"] for r in polite.docs.collect()}
+    assert pol_depths == base_depths
+
+
+def test_seed_preview_materialized(spark, corpus_sf0001, tmp_path_factory):
+    """A6: the first-five-seeds preview is a materialized store artifact."""
+    import json
+    import os
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    store_dir = str(tmp_path_factory.mktemp("preview"))
+    crawl(spark, pages, seeds, CrawlConfig(crawl_depth=0, num_buckets=8),
+          store_dir=store_dir)
+    manifest = json.load(open(os.path.join(store_dir, "manifest.json")))
+    path = manifest["init"]["paths"]["seed_preview"]
+    rows = spark.read.parquet(path).orderBy("seq").collect()
+    assert 0 < len(rows) <= 5
+    assert [r["seq"] for r in rows] == sorted(r["seq"] for r in rows)

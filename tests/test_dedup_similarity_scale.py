@@ -1,0 +1,106 @@
+"""Semantics tests for the scale-grade dedup/similarity paths: brute-force
+Python ground truth on tiny inputs, plan audits for the no-cartesian bar."""
+
+import io
+import itertools
+import math
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from supercrawler_spark.operators import dedup, similarity
+
+
+def _ham(a, b):
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_near_pairs_exact_within_radius(spark):
+    """Chunked-signature banding is EXACT within the radius: compare against
+    the brute-force all-pairs Hamming computation on the same signatures."""
+    docs = spark.createDataFrame(
+        [(i, f"crawl frontier spark shuffle word{i % 7} tail{i % 3}")
+         for i in range(60)], "doc_id LONG, text STRING")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, bits=16).collect()}
+    radius = 3
+    expected = {(a, b, _ham(sigs[a], sigs[b]))
+                for a, b in itertools.combinations(sorted(sigs), 2)
+                if _ham(sigs[a], sigs[b]) <= radius}
+    got = {(r["a_id"], r["b_id"], r["hamming"])
+           for r in dedup.simhash_near_pairs(docs, bits=16,
+                                             radius=radius).collect()}
+    assert got == expected
+    assert len(got) > 0, "fixture produced no near pairs — weaken it"
+
+
+def test_simhash_chunk_bounds_cover_all_bits():
+    for bits, chunks in [(16, 4), (16, 3), (64, 4), (64, 5)]:
+        bounds = dedup._chunk_bounds(bits, chunks)
+        covered = sorted(itertools.chain.from_iterable(
+            range(off, off + w) for off, w in bounds))
+        assert covered == list(range(bits))
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """Documents glued together only by a boilerplate shingle must produce NO
+    pair once the cap drops it; genuinely similar pairs survive."""
+    boiler = "accept all cookies now"
+    rows = [(i, f"{boiler} unique{i} token{i} filler{i}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {(r["a_id"], r["b_id"])
+           for r in dedup.ngram_jaccard_pairs(
+               docs, n=3, threshold=0.3, max_shingle_df=5).collect()}
+    assert got == {(100, 101)}
+    # uncapped, the boilerplate shingles glue all 20 docs into pairs
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.01, max_shingle_df=None).count()
+    assert uncapped > 1
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a))
+                  * math.sqrt(sum(y * y for y in b)))
+
+
+def test_embedding_near_dups_finds_planted_dups_no_cartesian(spark):
+    """Planted near-identical vectors are recovered through the banded LSH
+    blocks, and the plan contains no BroadcastNestedLoopJoin (the all-pairs
+    theta-join anti-pattern this operator previously had)."""
+    import random
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant dups: tiny perturbation of vectors 0..4 → cosine ~1
+    for j in range(5):
+        rows.append((100 + j,
+                     [float(x + 0.001 * j) for x in base[j]]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    nd = similarity.embedding_near_dups(emb, threshold=0.98)
+    got = {(r["a_id"], r["b_id"]) for r in nd.collect()}
+    assert {(j, 100 + j) for j in range(5)} <= got
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        nd.explain(mode="formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_lsh_ann_recall_against_exact(spark):
+    """Banded ANN recall on clustered data: every query's true top-1 has
+    near-identical sign pattern, so OR-of-bands must recover it."""
+    import random
+    rng = random.Random(11)
+    rows = []
+    for i in range(50):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x + 0.01) for x in v]))  # twin
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in similarity.lsh_ann_topk(emb, queries, k=1).collect()}
+    for q in range(5):
+        assert ann[(q, 1)] == 1000 + q, "twin not recovered by banded LSH"

@@ -50,9 +50,10 @@ def test_frame_sample_plan(spark, docs):
 def test_attach_dense_seq_is_dense_and_ordered(spark):
     df = spark.range(500).select(
         (F.col("id") * 37 % 500).alias("a"), F.col("id").alias("b"))
-    out, total = attach_dense_seq(df, ["a"], "seq")
+    out, total, cache = attach_dense_seq(df, ["a"], "seq")
     assert total == 500
     rows = out.orderBy("seq").collect()
+    cache.unpersist()
     assert [r["seq"] for r in rows] == list(range(500))
     assert [r["a"] for r in rows] == sorted(r["a"] for r in rows)
 
