@@ -651,22 +651,123 @@ except ImportError:
     _HAVE_PYPDF = False
 
 
+_PDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+            "(": "(", ")": ")", "\\": "\\"}
+
+
+def _pdf_unescape(s: str) -> str:
+    """Decode a PDF literal-string body: backslash escapes, \\ooo octal,
+    backslash-newline line continuations (PDF 32000-1 §7.3.4.2)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        e = s[i]
+        if e in _PDF_ESC:
+            out.append(_PDF_ESC[e])
+            i += 1
+        elif e == "\n":
+            i += 1                      # line continuation: drop
+        elif e == "\r":
+            i += 1 + (i < n and s[i:i + 1] == "\n")
+        elif e.isdigit():
+            j = i
+            while j < n and j - i < 3 and s[j].isdigit():
+                j += 1
+            out.append(chr(int(s[i:j], 8) & 0xFF))
+            i = j
+        else:                           # unknown escape: backslash dropped
+            out.append(e)
+            i += 1
+    return "".join(out)
+
+
+_PDF_TEXT_OP = re.compile(
+    # literal string shown by Tj or ' ...
+    r"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|')"
+    # ... hex string shown by Tj or ' ...
+    r"|<(?P<hex>[0-9A-Fa-f\s]*)>\s*(?:Tj|')"
+    # ... or a TJ array of strings and kerning numbers
+    r"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ",
+    re.S)
+
+_PDF_ARR_STR = re.compile(
+    r"\((?P<lit>(?:\\.|[^\\()])*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>", re.S)
+
+
+def _pdf_hex_decode(h: str) -> str:
+    h = re.sub(r"\s", "", h)
+    if len(h) % 2:
+        h += "0"                        # odd-length: implied trailing 0 (§7.3.4.3)
+    return bytes.fromhex(h).decode("latin-1")
+
+
+def _pdf_text_ops(content: str) -> str | None:
+    """Text-showing operators (Tj, ', TJ) of a decoded content stream, in
+    stream order, concatenated; returns None when the stream shows no text.
+    Positioning operators (Td/TD/T*) are not interpreted — this is the
+    minimal single-byte-encoding extractor (no CMap/ToUnicode), sufficient
+    for simple generators; pypdf takes over when installed."""
+    parts = []
+    for m in _PDF_TEXT_OP.finditer(content):
+        if m.group("lit") is not None:
+            parts.append(_pdf_unescape(m.group("lit")))
+        elif m.group("hex") is not None:
+            parts.append(_pdf_hex_decode(m.group("hex")))
+        else:
+            for s in _PDF_ARR_STR.finditer(m.group("arr")):
+                if s.group("lit") is not None:
+                    parts.append(_pdf_unescape(s.group("lit")))
+                else:
+                    parts.append(_pdf_hex_decode(s.group("hex")))
+    return "".join(parts) if parts else None
+
+
+_PDF_STREAM = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.S)
+
+
 def extract_pdf_text(raw: bytes) -> str:
     """PDF → text (S3, ``pdf_extract::extract_text`` analog,
-    src/supercrawler.rs:627-633). With pypdf absent (this sandbox), the
-    deterministic fallback reads BT/ET-delimited text streams — the shape our
-    synthetic 'PDF' fixtures use; anything else raises (stubbed decode)."""
+    src/supercrawler.rs:627-633). Decode ladder:
+
+      1. pypdf, when installed (full extractor; absent in this sandbox);
+      2. pure-Python minimal extractor: every ``stream…endstream`` segment is
+         Flate-decompressed (zlib) when possible, then scanned for Tj/'/TJ
+         text-showing operators (single-byte encodings only — no CMap);
+      3. legacy raw BT/ET inner text (the synthetic fixture shape, kept
+         byte-identical);
+      4. raise NotImplementedError (undecodable without a real PDF lib).
+    """
     if _HAVE_PYPDF:  # pragma: no cover - not present in sandbox
         import io
         reader = pypdf.PdfReader(io.BytesIO(raw))
         return "\n".join(page.extract_text() or "" for page in reader.pages)
+    texts = []
+    for m in _PDF_STREAM.finditer(raw):
+        body = m.group(1)
+        try:
+            import zlib
+            seg = zlib.decompress(body).decode("latin-1", errors="replace")
+        except Exception:
+            seg = body.decode("latin-1", errors="replace")
+        t = _pdf_text_ops(seg)
+        if t:
+            texts.append(t)
+    if texts:
+        return "\n".join(texts)
     text = raw.decode("latin-1", errors="replace")
     start, end = text.find("BT\n"), text.rfind("\nET")
     if start != -1 and end > start:
         return text[start + 3:end]
     raise NotImplementedError(
-        "PDF text extraction requires pypdf (not available in this sandbox); "
-        "synthetic fixtures use BT/ET-delimited text")
+        "PDF without decodable text streams; full extraction requires pypdf "
+        "(not available in this sandbox)")
 
 
 def pdf_to_mdx(url: str, pdf_text: str) -> str:
