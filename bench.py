@@ -104,12 +104,23 @@ def main() -> None:
                       .filter(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
                       .select("url", F.pmod(F.xxhash64("url"), F.lit(1 << 40))
                               .alias("seed_order")))
-        cfg = CrawlConfig(crawl_depth=2, num_buckets=32, politeness=True)
+        # round_budget_ms models the wall budget a CLUSTER round amortizes
+        # the per-host crawl delay over; 240 s is realistic for multi-minute
+        # rounds and keeps the deferral drain to a few extra rounds. (Since
+        # the deferral-depth fix the polite crawl processes ALL deferred
+        # work — the earlier 60 s-budget number silently truncated it.)
+        cfg = CrawlConfig(crawl_depth=2, num_buckets=32, politeness=True,
+                          round_budget_ms=240_000)
         res = crawl(spark, pages, some_seeds, cfg,
                     store_dir=tempfile.mkdtemp(prefix="bench_bfsp_"),
                     robots=robots)
         extras["crawl_polite_blocked"] = int(
             res.metrics.agg(F.sum("robots_blocked")).collect()[0][0] or 0)
+        extras["crawl_polite_deferrals"] = int(
+            res.metrics.agg(F.sum("deferred")).collect()[0][0] or 0)
+        extras["crawl_polite_rounds"] = res.rounds_run
+        extras["crawl_polite_processed"] = int(
+            res.metrics.agg(F.sum("processed")).collect()[0][0] or 0)
 
     def lsh_ann_with_recall():
         """Banded ANN top-k, plus measured recall@3 vs the exact baseline

@@ -73,9 +73,21 @@ class CrawlConfig:
     # live-HTTP fetcher plugged in place of the lookup join applies them.
     fetch_retries: int = 3
     retry_backoff_ms: int = 500
+    # §2.9 engine variant: 'supercrawler' (canonical) or 'main' (the main.rs
+    # copy: loose container text kept when non-empty, NO time budget, depth
+    # floor 5 — src/main.rs:318-342,769; no retry/charset deltas offline)
+    variant: str = "supercrawler"
 
     def validated(self) -> "CrawlConfig":
         cfg = CrawlConfig(**asdict(self))
+        if cfg.variant not in ("supercrawler", "main"):
+            raise ValueError(f"unknown engine variant: {cfg.variant!r}")
+        if cfg.variant == "main":
+            cfg.crawl_depth = max(5, cfg.crawl_depth)   # main.rs:769 (min 5)
+            cfg.time_limit_secs = None                  # no budget in main.rs
+            if cfg.max_urls is not None:
+                cfg.max_urls = max(5, min(120, cfg.max_urls))
+            return cfg
         cfg.crawl_depth = max(0, min(5, cfg.crawl_depth))
         if cfg.max_urls is not None:
             cfg.max_urls = max(5, min(120, cfg.max_urls))
@@ -156,6 +168,9 @@ class Crawler:
         self.store = CrawlStore(store_dir)
         self.pages = pages
         self.robots = robots
+        self._extract_page = (udfs.extract_page
+                              if self.cfg.variant == "supercrawler"
+                              else udfs.make_extract_page(self.cfg.variant))
         self._pages_bucketed = "bucket" in pages.columns
         if self._pages_bucketed:
             # bucket pruning is only sound if the pages layout used the SAME
@@ -383,7 +398,7 @@ class Crawler:
                 F.col("content_type").contains("text/html"), F.lit(False)) \
                 & ~is_pdf
             html_part = (fetched.filter(F.col("html").isNull() | is_html)
-                         .withColumn("page", udfs.extract_page("url", "html"))
+                         .withColumn("page", self._extract_page("url", "html"))
                          .select(*meta_cols, fetched_flag,
                                  F.col("page.mdx").alias("mdx"),
                                  F.col("page.links").alias("links")))
@@ -399,7 +414,7 @@ class Crawler:
             extracted = html_part.unionByName(pdf_part).unionByName(other_part)
         else:
             extracted = (fetched
-                         .withColumn("page", udfs.extract_page("url", "html"))
+                         .withColumn("page", self._extract_page("url", "html"))
                          .select(*meta_cols, fetched_flag,
                                  F.col("page.mdx").alias("mdx"),
                                  F.col("page.links").alias("links")))

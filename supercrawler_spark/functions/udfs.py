@@ -42,23 +42,29 @@ def _decode_html(raw) -> str:
     return str(raw)
 
 
-@pandas_udf(PAGE_STRUCT)
-def extract_page(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-    """HTML binary → (mdx, links). One DOM parse per page would be ideal;
-    the reference itself parses twice (clean_to_mdx re-parses after noise
-    strip, link extraction parses raw — rs:734 vs rs:738), and we keep the
-    two-parse structure because the noise regex changes the tree."""
-    mdx_out: list[str | None] = []
-    links_out: list[list[str] | None] = []
-    for u, h in zip(url, html):
-        if h is None:
-            mdx_out.append(None)   # F7/E4: missing page ≙ failed fetch
-            links_out.append(None)
-            continue
-        text = _decode_html(h)
-        mdx_out.append(refspec.clean_to_mdx(text, u))
-        links_out.append(refspec.extract_links(text, u))
-    return pd.DataFrame({"mdx": mdx_out, "links": links_out})
+def make_extract_page(variant: str = "supercrawler"):
+    """HTML binary → (mdx, links) Arrow UDF for an engine variant
+    ('supercrawler' canonical / 'main' — SURVEY §2.9). One DOM parse per page
+    would be ideal; the reference itself parses twice (clean_to_mdx re-parses
+    after noise strip, link extraction parses raw — rs:734 vs rs:738), and we
+    keep the two-parse structure because the noise regex changes the tree."""
+    @pandas_udf(PAGE_STRUCT)
+    def extract_page_v(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        mdx_out: list[str | None] = []
+        links_out: list[list[str] | None] = []
+        for u, h in zip(url, html):
+            if h is None:
+                mdx_out.append(None)   # F7/E4: missing page ≙ failed fetch
+                links_out.append(None)
+                continue
+            text = _decode_html(h)
+            mdx_out.append(refspec.clean_to_mdx(text, u, variant=variant))
+            links_out.append(refspec.extract_links(text, u))
+        return pd.DataFrame({"mdx": mdx_out, "links": links_out})
+    return extract_page_v
+
+
+extract_page = make_extract_page("supercrawler")
 
 
 @pandas_udf(StringType())

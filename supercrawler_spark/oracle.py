@@ -36,6 +36,7 @@ def oracle_bfs(
     crawl_depth: int = 2,
     strip_tracking: bool = True,
     robots: list[dict] | None = None,
+    variant: str = "supercrawler",
 ) -> OracleResult:
     """BFS over ``pages`` (canonical url → body string, or
     (body, content_type) tuple for the F5 content-type dispatch).
@@ -107,7 +108,7 @@ def oracle_bfs(
             continue                # F6: no link extraction for PDFs
         if "text/html" not in content_type:
             continue                # unsupported type skipped (rs:767-770)
-        mdx = refspec.clean_to_mdx(html, url)
+        mdx = refspec.clean_to_mdx(html, url, variant=variant)
         if mdx.strip():             # F12 empty-MDX filter
             res.docs.append((url, depth, mdx))
         if depth < crawl_depth:     # F10 enqueue-side guard (rs:1335)

@@ -255,16 +255,22 @@ def _byte_len(s: str) -> int:
     return len(s.encode("utf-8"))
 
 
+# §2.9 engine-variant divergence: the canonical ``supercrawler.rs`` keeps
+# loose container text only when its trimmed byte length exceeds 10
+# (rs:316-321,334-340); the ``main.rs`` copy keeps any non-empty text
+# (main.rs:318-324,336-342). clean_to_mdx(variant=...) switches this.
+_LOOSE_TEXT_MIN_BYTES = 10
+
+
 def _container_children(element: Node) -> str:
-    # shared body of the div/unknown branches (rs:311-325, 329-343):
-    # loose text kept only when trimmed byte-length > 10 (canonical variant)
+    # shared body of the div/unknown branches (rs:311-325, 329-343)
     out = []
     for child in element.children:
         if child.is_element:
             out.append(process_element(child))
         else:
             trimmed = child.text.strip()
-            if trimmed and _byte_len(trimmed) > 10:
+            if trimmed and _byte_len(trimmed) > _LOOSE_TEXT_MIN_BYTES:
                 out.append(trimmed)
                 out.append("\n\n")
     return "".join(out)
@@ -468,7 +474,21 @@ def _escape_quotes(s: str) -> str:
     return s.replace('"', '\\"')
 
 
-def clean_to_mdx(content: str, source_url: str) -> str:
+def clean_to_mdx(content: str, source_url: str,
+                 variant: str = "supercrawler") -> str:
+    """HTML → MDX. ``variant``: 'supercrawler' (canonical, rs:347-500) or
+    'main' (the §2.9 engine copy in main.rs — loose container text kept when
+    non-empty instead of len > 10; all other kernel semantics shared)."""
+    global _LOOSE_TEXT_MIN_BYTES
+    prev = _LOOSE_TEXT_MIN_BYTES
+    _LOOSE_TEXT_MIN_BYTES = 10 if variant == "supercrawler" else 0
+    try:
+        return _clean_to_mdx_inner(content, source_url)
+    finally:
+        _LOOSE_TEXT_MIN_BYTES = prev
+
+
+def _clean_to_mdx_inner(content: str, source_url: str) -> str:
     clean = _NOISE_RE.sub("", content)
     doc = parse_html(clean)
 
@@ -546,7 +566,7 @@ def clean_to_mdx(content: str, source_url: str) -> str:
                 mdx.append(process_element(child))
             else:
                 trimmed = child.text.strip()
-                if trimmed and _byte_len(trimmed) > 10:
+                if trimmed and _byte_len(trimmed) > _LOOSE_TEXT_MIN_BYTES:
                     mdx.append(trimmed)
                     mdx.append("\n\n")
 
