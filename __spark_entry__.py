@@ -355,19 +355,19 @@ scored AS (
         return ("list_sum(list_transform(generate_series(1, len(embedding)), "
                 f"i -> CAST(embedding[i] AS DOUBLE) * ((({p}*131 + (i-1)*31 + 7) % 97) - 48)))")
 
-    # banded multi-plane signatures (16 planes x 4 bands of 4 bits) —
-    # mirrors similarity.hyperplane_band_buckets exactly
-    n_planes, n_bands = 16, 4
-    ppb = n_planes // n_bands
-    band_exprs = [
-        " + ".join(f"(CASE WHEN {_plane_dot(b * ppb + j)} >= 0 THEN {2**j} "
-                   f"ELSE 0 END)" for j in range(ppb))
-        for b in range(n_bands)
-    ]
-    band_case = "CASE band.x " + " ".join(
-        f"WHEN {b} THEN ({e})" for b, e in enumerate(band_exprs[:-1])) \
-        + f" ELSE ({band_exprs[-1]}) END"
-    bb_cte = f"""
+    # banded multi-plane signatures — mirrors
+    # similarity.hyperplane_band_buckets exactly for a given (planes, bands)
+    def _bb_cte(n_planes: int, n_bands: int) -> str:
+        ppb = n_planes // n_bands
+        band_exprs = [
+            " + ".join(f"(CASE WHEN {_plane_dot(b * ppb + j)} >= 0 THEN {2**j} "
+                       f"ELSE 0 END)" for j in range(ppb))
+            for b in range(n_bands)
+        ]
+        band_case = "CASE band.x " + " ".join(
+            f"WHEN {b} THEN ({e})" for b, e in enumerate(band_exprs[:-1])) \
+            + f" ELSE ({band_exprs[-1]}) END"
+        return f"""
 WITH bb AS (
   SELECT vec_id, band.x AS band, {band_case} AS bucket
   FROM embeddings, range({n_bands}) band(x)
@@ -380,7 +380,9 @@ WITH bb AS (
                   i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE))))
           * sqrt(list_sum(list_transform(generate_series(1, len(e2.embedding)),
                   i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))))"""
-    lsh_cte = bb_cte + f""",
+    # ANN uses 32 planes x 8 bands (recall knob); near-dups 16 x 4 — must
+    # match the Spark-side defaults in operators/similarity.py
+    lsh_cte = _bb_cte(32, 8) + f""",
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
   FROM bb q JOIN bb n ON q.band = n.band AND q.bucket = n.bucket
@@ -392,7 +394,7 @@ scored AS (
               JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
 )
 """
-    near_dup_sql = bb_cte + f""",
+    near_dup_sql = _bb_cte(16, 4) + f""",
 pairs AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket

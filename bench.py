@@ -87,6 +87,19 @@ def main() -> None:
         extras["crawl_scan_urls"] = n_pages
         extras["crawl_scan_docs"] = res.docs.count()
 
+    def crawl_scan_bucketwise():
+        """Same full-width scan with broadcast_frontier_max=0: forces the
+        bucket-wise emulated storage-partitioned join on every round —
+        reports the strategy the engine uses when the frontier exceeds the
+        broadcast cap (pages html still never shuffles)."""
+        all_seeds = pages.select(
+            "url", F.pmod(F.xxhash64("url"), F.lit(1 << 40)).alias("seed_order"))
+        cfg = CrawlConfig(crawl_depth=0, num_buckets=32,
+                          broadcast_frontier_max=0)
+        res = crawl(spark, pages, all_seeds, cfg,
+                    store_dir=tempfile.mkdtemp(prefix="bench_scanbw_"))
+        extras["crawl_scan_bucketwise_docs"] = res.docs.count()
+
     def crawl_bfs():
         some_seeds = (pages
                       .filter(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
@@ -134,6 +147,7 @@ def main() -> None:
             len(ann & exact) / max(1, len(exact)), 4)
 
     bench("crawl_scan", crawl_scan)
+    bench("crawl_scan_bucketwise", crawl_scan_bucketwise)
     bench("crawl_bfs", crawl_bfs)
     bench("crawl_bfs_polite", crawl_bfs_polite)
     bench("exact_dedup", lambda: dedup.exact_dedup(docs).count())

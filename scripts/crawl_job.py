@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--politeness", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-buckets", type=int, default=32)
+    ap.add_argument("--variant", default="supercrawler",
+                    choices=["supercrawler", "main"],
+                    help="engine-variant semantics (SURVEY §2.9)")
+    ap.add_argument("--no-snapshot-dedup", action="store_true",
+                    help="skip latest-warc_ts resolution (pages url-unique)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,7 +51,8 @@ def main() -> None:
     pages = spark.read.parquet(args.pages)
     robots = spark.read.parquet(args.robots) if args.robots else None
     cfg = CrawlConfig(crawl_depth=args.depth, politeness=args.politeness,
-                      num_buckets=args.num_buckets)
+                      num_buckets=args.num_buckets, variant=args.variant,
+                      snapshot_dedup=not args.no_snapshot_dedup)
     crawler = Crawler(spark, pages, cfg, store_dir=args.store, robots=robots)
     seeds = None if args.resume else spark.read.parquet(args.seeds)
     result = crawler.run(seeds)

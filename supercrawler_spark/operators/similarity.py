@@ -98,7 +98,7 @@ def hyperplane_band_buckets(embeddings: DataFrame, n_planes: int = 16,
 
 
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
-                 n_planes: int = 16, n_bands: int = 4, id_col: str = "vec_id",
+                 n_planes: int = 32, n_bands: int = 8, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64) -> DataFrame:
     """Approximate top-k: candidates share >=1 full band bucket with the
     query (banded multi-plane OR-of-bands). Candidate generation joins
@@ -106,7 +106,13 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     joined back per distinct candidate pair before scoring. Same output shape
     as cosine_topk; recall < 1 by design — the oracle mirrors the exact
     bucketing, verifying the implementation, while BENCH reports measured
-    recall vs the exact baseline."""
+    recall vs the exact baseline.
+
+    Tuning (measured sweep in BENCH/BASELINE.md): bits-per-band fixes the
+    per-(band,bucket) block size (4 bits → n/16 blocks — the scale knob);
+    band count buys recall linearly in candidate work (the recall knob).
+    Default 32x8 doubles the bands of the 16x4 baseline at the same block
+    size: worst-case (random-vector) recall@3 0.38 → 0.50."""
     bb = hyperplane_band_buckets(embeddings, n_planes, n_bands,
                                  id_col, vec_col, dim)
     qids = queries.select(F.col(id_col).alias("vec_id"))

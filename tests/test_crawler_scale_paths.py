@@ -138,16 +138,25 @@ def test_deferred_parents_keep_depth_and_expand(spark, corpus_sf0001,
     assert pol_depths == base_depths
 
 
-def test_seed_preview_materialized(spark, corpus_sf0001, tmp_path_factory):
-    """A6: the first-five-seeds preview is a materialized store artifact."""
+def test_seed_preview_materialized_and_mdx_readback(spark, corpus_sf0001,
+                                                    tmp_path_factory):
+    """A6: the first-five-seeds preview is a materialized store artifact.
+    S8: a single doc reads back from the docs table by url (the reference's
+    GET /output/{domain}/{path}.mdx analog, main.rs:989-1002)."""
     import json
     import os
     pages, seeds, _ = load_tables(spark, corpus_sf0001)
     store_dir = str(tmp_path_factory.mktemp("preview"))
-    crawl(spark, pages, seeds, CrawlConfig(crawl_depth=0, num_buckets=8),
-          store_dir=store_dir)
+    res = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=0, num_buckets=8),
+                store_dir=store_dir)
     manifest = json.load(open(os.path.join(store_dir, "manifest.json")))
     path = manifest["init"]["paths"]["seed_preview"]
     rows = spark.read.parquet(path).orderBy("seq").collect()
     assert 0 < len(rows) <= 5
     assert [r["seq"] for r in rows] == sorted(r["seq"] for r in rows)
+    # S8 readback: url -> (mdx, doc_key); absent url -> empty (the 404)
+    some = res.docs.select("url").limit(1).collect()[0]["url"]
+    hit = res.docs.filter(F.col("url") == some).collect()
+    assert len(hit) == 1 and hit[0]["mdx"].strip()
+    assert res.docs.filter(
+        F.col("url") == "https://nope.example.com/x").count() == 0
