@@ -238,6 +238,12 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
+def q_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3,
+                                   multiprobe=True)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -277,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "yt_markdown": q_yt_markdown,
@@ -387,6 +394,27 @@ cand AS (
   SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
   FROM bb q JOIN bb n ON q.band = n.band AND q.bucket = n.bucket
   WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_COS_E} AS sim
+  FROM cand c JOIN embeddings e1 ON e1.vec_id = c.query_id
+              JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
+)
+"""
+    # multiprobe mirror: query side probes its bucket plus every Hamming-1
+    # neighbor of the 4-bit band bucket (p.x=0 → exact, p.x=j → flip bit j-1)
+    lsh_mp_cte = _bb_cte(32, 8) + f""",
+qprobe AS (
+  SELECT vec_id, band,
+         CASE WHEN p.x = 0 THEN bucket
+              ELSE xor(bucket, (1 << (p.x - 1))) END AS bucket
+  FROM bb, range(5) p(x)
+  WHERE vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM qprobe q JOIN bb n ON q.band = n.band AND q.bucket = n.bucket
+  WHERE q.vec_id <> n.vec_id
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id, {_COS_E} AS sim
@@ -593,6 +621,13 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= 3""",
         "lsh_ann_topk": lsh_cte + """
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       round(sim, 6) AS sim
+FROM scored
+QUALIFY rank <= 3""",
+        "lsh_ann_multiprobe": lsh_mp_cte + """
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,

@@ -77,6 +77,13 @@ class CrawlConfig:
     # copy: loose container text kept when non-empty, NO time budget, depth
     # floor 5 — src/main.rs:318-342,769; no retry/charset deltas offline)
     variant: str = "supercrawler"
+    # Frontier throttle (north-rule "priority-ordered frontier queue"): cap
+    # the number of fetches per round; overflow re-queues FIFO (lowest seq
+    # first — seq encodes priority: seed order, then crawl order; pre-order
+    # seeds by priority to prioritize their subtrees). None = unbounded.
+    # Bounds round memory/runtime at 10^10-URL scale, where an unthrottled
+    # frontier explosion would make a single round arbitrarily large.
+    max_fetch_per_round: Optional[int] = None
 
     def validated(self) -> "CrawlConfig":
         cfg = CrawlConfig(**asdict(self))
@@ -310,6 +317,28 @@ class Crawler:
         expanding = any(r["min_depth"] < cfg.crawl_depth for r in stats
                         if not r["robots_blocked"] and not r["deferred"])
 
+        # --- frontier throttle (priority/FIFO dequeue cap) ----------------
+        # keep the first max_fetch_per_round fetchable rows in seq order
+        # (scale-safe global rank via range partition + offsets, same
+        # machinery as the dense crawl seq); overflow re-queues like a
+        # politeness deferral and drains over subsequent rounds.
+        deferred_df = work.filter(F.col("deferred")).select(*FRONTIER_COLS)
+        n_throttled = 0
+        throttle_cache = None
+        n_fetchable = frontier_count - n_deferred \
+            - sum(r["cnt"] for r in stats if r["robots_blocked"])
+        if (cfg.max_fetch_per_round is not None
+                and n_fetchable > cfg.max_fetch_per_round):
+            ranked, _, throttle_cache = attach_dense_seq(
+                fetchable, ["seq"], "_fifo")
+            overflow = (ranked.filter(F.col("_fifo") >= cfg.max_fetch_per_round)
+                        .select(*FRONTIER_COLS))
+            fetchable = ranked.filter(
+                F.col("_fifo") < cfg.max_fetch_per_round).drop("_fifo")
+            deferred_df = deferred_df.unionByName(overflow)
+            n_throttled = n_fetchable - cfg.max_fetch_per_round
+            n_deferred += n_throttled
+
         # --- fetch = lookup join against pages (S1), bucket-pruned --------
         # Join strategy matters at 10^10 pages: a LEFT-outer (frontier
         # preserved) forces Spark to build/broadcast the PAGES side (build
@@ -499,7 +528,7 @@ class Crawler:
             nxt = nxt.select("url", "host",
                              (F.col("parent_depth") + 1).alias("depth"),
                              "seq", "bucket", "url_hash")
-            deferred = work.filter(F.col("deferred")).select(*FRONTIER_COLS)
+            deferred = deferred_df
             if n_deferred > 0:
                 # deferred rows re-enter at their original depth; the union
                 # is re-sequenced (FIFO: deferred-first, then new children in
@@ -533,8 +562,8 @@ class Crawler:
                              .withColumn("stage", F.lit("expand")))
         else:
             if n_deferred > 0:
-                work.filter(F.col("deferred")).select(*FRONTIER_COLS) \
-                    .write.mode("overwrite").parquet(store.frontier_path(r + 1))
+                deferred_df.write.mode("overwrite") \
+                    .parquet(store.frontier_path(r + 1))
             dedup_metrics = None
 
         # --- per-partition metrics (A4 / north-rule) ------------------------
@@ -545,7 +574,9 @@ class Crawler:
                          .withColumn("stage", F.lit("fetch")))
         rb = (work.groupBy(F.lit(0).alias("partition_id"))
               .agg(F.sum(F.col("robots_blocked").cast("long")).alias("robots_blocked"),
-                   F.sum(F.col("deferred").cast("long")).alias("deferred"))
+                   (F.sum(F.col("deferred").cast("long"))
+                    + F.lit(n_throttled)).alias("deferred"),
+                   F.lit(n_throttled).alias("throttled"))
               .withColumn("stage", F.lit("politeness")))
         metric_frames = [fetch_metrics, rb] + ([dedup_metrics] if dedup_metrics is not None else [])
         metrics = None
@@ -579,6 +610,8 @@ class Crawler:
         store.commit_round(r, counts, paths)
         if cfg.politeness:
             work.unpersist()
+        if throttle_cache is not None:
+            throttle_cache.unpersist()
         return counts
 
     # -- driver loop (L1/L2) -------------------------------------------------

@@ -1,0 +1,131 @@
+"""robots.txt parsing — closes the loop on the north-rule politeness story:
+the ``robots`` table the crawl engine enforces (host, disallow_prefixes,
+crawl_delay_ms) is derived from the /robots.txt pages already present in the
+Common-Crawl-style pages table, instead of arriving out-of-band.
+
+The reference has no robots support at all (politeness is a north-rule
+extension); the parser grammar is the original robots.txt de-facto standard
+(Koster) as codified by RFC 9309: ``User-agent`` groups, ``Disallow``
+prefixes, the de-facto ``Crawl-delay`` extension, ``#`` comments, blank-line
+group separation, case-insensitive field names, most-specific-agent-wins
+(exact agent name beats ``*``).
+
+The parse runs as an Arrow-vectorized pandas UDF (one robots body per row,
+host-count rows total — robots bodies are tiny and per-host, so this is a
+droplet next to the page extraction kernel)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
+
+ROBOTS_STRUCT = StructType([
+    StructField("disallow_prefixes", ArrayType(StringType())),
+    StructField("crawl_delay_ms", LongType()),
+])
+
+
+def parse_robots_txt(body: str, user_agent: str = "*"):
+    """(disallow_prefixes, crawl_delay_ms) for ``user_agent``.
+
+    Groups are runs of User-agent lines followed by rules; a group applies to
+    the agent if any of its User-agent values is ``*`` or a case-insensitive
+    match of ``user_agent``. The most specific applicable group wins (exact
+    match beats ``*``); among equally specific groups the rules merge in file
+    order. Empty ``Disallow:`` means allow-all (contributes no prefix).
+    ``crawl_delay_ms`` is 0 when absent or unparsable (seconds, fractional
+    allowed)."""
+    exact: list[tuple[list[str], float | None]] = []
+    wild: list[tuple[list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_dis: list[str] = []
+    cur_delay: float | None = None
+    in_rules = False
+    ua = user_agent.lower()
+
+    def _flush():
+        nonlocal cur_agents, cur_dis, cur_delay
+        if cur_agents:
+            rec = (cur_dis, cur_delay)
+            agents = [a.lower() for a in cur_agents]
+            if ua != "*" and any(a == ua for a in agents):
+                exact.append(rec)
+            elif "*" in agents or (ua == "*" and any(a == ua for a in agents)):
+                wild.append(rec)
+        cur_agents, cur_dis, cur_delay = [], [], None
+
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_rules:            # new group starts
+                _flush()
+                in_rules = False
+            cur_agents.append(value)
+        elif field in ("disallow", "crawl-delay", "allow"):
+            in_rules = True
+            if field == "disallow" and value:
+                cur_dis.append(value)
+            elif field == "crawl-delay":
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass
+    _flush()
+
+    groups = exact if exact else wild
+    prefixes: list[str] = []
+    delay: float | None = None
+    for dis, dl in groups:
+        prefixes.extend(dis)
+        if dl is not None and (delay is None or dl > delay):
+            delay = dl          # conservative: the largest applicable delay
+    return prefixes, int(round((delay or 0.0) * 1000))
+
+
+def make_parse_robots(user_agent: str = "*"):
+    @pandas_udf(ROBOTS_STRUCT)
+    def parse_robots_udf(body: pd.Series) -> pd.DataFrame:
+        dis_out, delay_out = [], []
+        for b in body:
+            if b is None:
+                dis_out.append([])
+                delay_out.append(0)
+                continue
+            if isinstance(b, (bytes, bytearray)):
+                b = bytes(b).decode("utf-8", errors="replace")
+            d, ms = parse_robots_txt(b, user_agent)
+            dis_out.append(d)
+            delay_out.append(ms)
+        return pd.DataFrame({"disallow_prefixes": dis_out,
+                             "crawl_delay_ms": delay_out})
+    return parse_robots_udf
+
+
+def robots_from_pages(pages: DataFrame, user_agent: str = "*") -> DataFrame:
+    """Derive the crawl engine's robots table from the /robots.txt rows of a
+    Common-Crawl-style pages table: (host, disallow_prefixes,
+    crawl_delay_ms). The filter pushes to the parquet scan (url suffix
+    predicate; with multiple warc_ts snapshots the latest body wins), and the
+    per-host result is small enough to broadcast into the politeness join."""
+    rob = pages.filter(F.col("url").endswith("/robots.txt"))
+    if "warc_ts" in pages.columns:
+        w = F.max_by(F.col("html"), F.col("warc_ts"))
+        rob = (rob.groupBy("url").agg(w.alias("html")))
+    parse = make_parse_robots(user_agent)
+    return (rob
+            .withColumn("host",
+                        F.regexp_extract("url", r"^https?://([^/]+)/", 1))
+            .withColumn("r", parse(F.col("html")))
+            .select("host",
+                    F.col("r.disallow_prefixes").alias("disallow_prefixes"),
+                    F.col("r.crawl_delay_ms").alias("crawl_delay_ms")))

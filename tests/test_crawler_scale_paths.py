@@ -138,6 +138,29 @@ def test_deferred_parents_keep_depth_and_expand(spark, corpus_sf0001,
     assert pol_depths == base_depths
 
 
+def test_frontier_throttle_only_delays_work(spark, corpus_sf0001,
+                                            tmp_path_factory):
+    """max_fetch_per_round caps each round's fetches FIFO-by-seq; overflow
+    re-queues like a deferral. The throttled crawl must reach the SAME seen
+    set, depths and docs as the unthrottled one — just over more rounds."""
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    base = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=1, num_buckets=8),
+                 store_dir=str(tmp_path_factory.mktemp("thr_base")))
+    thr = crawl(spark, pages, seeds,
+                CrawlConfig(crawl_depth=1, num_buckets=8,
+                            max_fetch_per_round=7),
+                store_dir=str(tmp_path_factory.mktemp("thr_capped")))
+    assert thr.rounds_run > base.rounds_run
+    assert _seen_depths(thr) == _seen_depths(base)
+    assert _docs_map(thr) == _docs_map(base)
+    n_thr = thr.metrics.agg(F.sum("throttled")).collect()[0][0]
+    assert (n_thr or 0) > 0
+    # per-round fetch cap actually held
+    per_round = (thr.metrics.filter(F.col("stage") == "fetch")
+                 .groupBy("round").agg(F.sum("processed").alias("p")).collect())
+    assert all(r["p"] <= 7 for r in per_round)
+
+
 def test_seed_preview_materialized_and_mdx_readback(spark, corpus_sf0001,
                                                     tmp_path_factory):
     """A6: the first-five-seeds preview is a materialized store artifact.

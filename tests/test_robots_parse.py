@@ -1,0 +1,95 @@
+"""robots.txt parser (north-rule politeness input): RFC-9309-style grammar
+units, plus the end-to-end derivation — a polite crawl driven by a robots
+table PARSED from /robots.txt pages must equal one driven by the hand-built
+robots table."""
+
+from pyspark.sql import functions as F
+
+from supercrawler_spark.crawler import CrawlConfig, crawl
+from supercrawler_spark.operators.robots import (parse_robots_txt,
+                                                 robots_from_pages)
+from supercrawler_spark.sources.synth import load_tables
+
+
+def test_basic_group():
+    dis, ms = parse_robots_txt(
+        "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n")
+    assert dis == ["/private"] and ms == 2000
+
+
+def test_comments_case_and_blank_lines():
+    body = """
+# global rules
+USER-AGENT: *   # everyone
+DISALLOW: /tmp  # scratch
+Disallow:
+crawl-delay: 0.5
+"""
+    dis, ms = parse_robots_txt(body)
+    assert dis == ["/tmp"]      # empty Disallow contributes nothing
+    assert ms == 500
+
+
+def test_specific_agent_beats_wildcard():
+    body = ("User-agent: *\nDisallow: /a\nCrawl-delay: 9\n\n"
+            "User-agent: SuperCrawler\nDisallow: /b\nCrawl-delay: 1\n")
+    dis, ms = parse_robots_txt(body, user_agent="supercrawler")
+    assert dis == ["/b"] and ms == 1000
+    dis, ms = parse_robots_txt(body, user_agent="otherbot")
+    assert dis == ["/a"] and ms == 9000
+
+
+def test_multi_agent_group_and_merge():
+    body = ("User-agent: a\nUser-agent: b\nDisallow: /x\n\n"
+            "User-agent: b\nDisallow: /y\nCrawl-delay: 3\n")
+    dis, ms = parse_robots_txt(body, user_agent="b")
+    assert dis == ["/x", "/y"] and ms == 3000
+
+
+def test_garbage_tolerance():
+    assert parse_robots_txt("") == ([], 0)
+    assert parse_robots_txt("not a field line\n???\n") == ([], 0)
+    assert parse_robots_txt("User-agent: *\nCrawl-delay: soon\n") == ([], 0)
+
+
+def test_polite_crawl_from_parsed_robots(spark, corpus_sf0001,
+                                         tmp_path_factory):
+    """End-to-end: augment pages with /robots.txt rows whose bodies encode
+    the corpus robots table, parse them back with robots_from_pages, and
+    check the polite crawl equals one using the original table."""
+    pages, seeds, robots_tbl = load_tables(spark, corpus_sf0001)
+    body = F.concat(
+        F.lit("User-agent: *\n"),
+        F.concat_ws("", F.transform(
+            F.col("disallow_prefixes"),
+            lambda p: F.concat(F.lit("Disallow: "), p, F.lit("\n")))),
+        F.when(F.col("crawl_delay_ms") > 0,
+               F.concat(F.lit("Crawl-delay: "),
+                        (F.col("crawl_delay_ms") / 1000).cast("string"),
+                        F.lit("\n"))).otherwise(F.lit("")))
+    robot_pages = robots_tbl.select(
+        F.concat(F.lit("https://"), "host", F.lit("/robots.txt")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        body.cast("binary").alias("html"),
+        F.lit("").alias("text"), F.lit("en").alias("lang"),
+        F.lit("text/plain").alias("content_type"))
+    aug = pages.unionByName(robot_pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")))
+
+    parsed = robots_from_pages(aug)
+    got = {r["host"]: (sorted(r["disallow_prefixes"]), r["crawl_delay_ms"])
+           for r in parsed.collect()}
+    exp = {r["host"]: (sorted(r["disallow_prefixes"]), r["crawl_delay_ms"])
+           for r in robots_tbl.collect()}
+    assert got == exp
+
+    cfg = CrawlConfig(crawl_depth=1, num_buckets=8, politeness=True)
+    a = crawl(spark, pages, seeds, cfg,
+              store_dir=str(tmp_path_factory.mktemp("rob_tbl")),
+              robots=robots_tbl)
+    b = crawl(spark, aug, seeds, cfg,
+              store_dir=str(tmp_path_factory.mktemp("rob_parsed")),
+              robots=parsed)
+    sa = {r["url"] for r in a.seen.select("url").collect()}
+    sb = {r["url"] for r in b.seen.select("url").collect()}
+    assert sa == sb
