@@ -244,6 +244,11 @@ def q_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    multiprobe=True)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -284,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "yt_markdown": q_yt_markdown,
@@ -422,6 +428,47 @@ scored AS (
               JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
 )
 """
+    # IVF mirror: centroid component (c, d) = ((c*257 + d*37 + 11) % 101)-50
+    # is parametric in the cell index, so the SQL stays compact: one
+    # (vector, cell) cross join computes every centroid dot.
+    ivf_sql = """
+WITH celldots AS (
+  SELECT e.vec_id, c.x AS cell,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * (((c.x*257 + (i-1)*37 + 11) % 101) - 50))) AS dot
+  FROM embeddings e, range(16) c(x)
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell) AS rn
+    FROM celldots) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell) AS rn
+    FROM celldots WHERE vec_id < 5) WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+  FROM probes p JOIN cells n ON p.cell = n.cell
+  WHERE p.query_id <> n.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS sim
+  FROM cand c JOIN embeddings e1 ON e1.vec_id = c.query_id
+              JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       round(sim, 6) AS sim
+FROM scored
+QUALIFY rank <= 3""".format(cos=_COS_E)
     near_dup_sql = _bb_cte(16, 4) + f""",
 pairs AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -627,6 +674,7 @@ SELECT query_id, neighbor_id,
        round(sim, 6) AS sim
 FROM scored
 QUALIFY rank <= 3""",
+        "ivf_ann_topk": ivf_sql,
         "lsh_ann_multiprobe": lsh_mp_cte + """
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id

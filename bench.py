@@ -145,6 +145,11 @@ def main() -> None:
                  for r in similarity.cosine_topk(emb, q, k=3).collect()}
         extras["lsh_ann_recall_at3"] = round(
             len(ann & exact) / max(1, len(exact)), 4)
+        mp = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.lsh_ann_topk(emb, q, k=3,
+                                               multiprobe=True).collect()}
+        extras["lsh_ann_multiprobe_recall_at3"] = round(
+            len(mp & exact) / max(1, len(exact)), 4)
 
     bench("crawl_scan", crawl_scan)
     bench("crawl_scan_bucketwise", crawl_scan_bucketwise)
@@ -162,7 +167,17 @@ def main() -> None:
     bench("fingerprint", lambda: textquality.fingerprint(docs).count())
     bench("cosine_topk", lambda: similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3).count())
+    def ivf_ann_with_recall():
+        q = emb.filter(F.col("vec_id") < 20)
+        ivf = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.ivf_ann_topk(emb, q, k=3).collect()}
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in similarity.cosine_topk(emb, q, k=3).collect()}
+        extras["ivf_ann_recall_at3"] = round(
+            len(ivf & exact) / max(1, len(exact)), 4)
+
     bench("lsh_ann_topk", lsh_ann_with_recall)
+    bench("ivf_ann_topk", ivf_ann_with_recall)
     bench("embedding_near_dups", lambda: similarity.embedding_near_dups(
         emb, threshold=0.4).count())
 

@@ -153,6 +153,76 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                     F.round("sim", 6).alias("sim")))
 
 
+def _centroid(c: int, dim: int):
+    """Deterministic pseudo-random IVF centroid c: component d is
+    ((c*257 + d*37 + 11) % 101) - 50 — a fixed recurrence (distinct from the
+    hyperplane one) the DuckDB oracle reproduces exactly. Real deployments
+    would train centroids with k-means; the search topology (coarse
+    quantizer → nprobe cells → in-cell scan) is identical."""
+    return [float((c * 257 + d * 37 + 11) % 101 - 50) for d in range(dim)]
+
+
+def ivf_cells(embeddings: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = 64) -> DataFrame:
+    """IVF coarse quantization: (vec_id, cell) with cell = argmax over
+    centroids of dot(v, centroid) (first index wins ties). Pure JVM
+    expressions; at scale this is the partitioning column of the vector
+    table, so a cell probe is a partition-pruned scan."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    dots = F.array(*[
+        _dot(F.col("v"), F.array(*[F.lit(x) for x in _centroid(c, dim)]))
+        for c in range(n_cells)
+    ])
+    # array_position is 1-based; first occurrence wins ties in both engines
+    return (e.withColumn("_dots", dots)
+            .withColumn("cell",
+                        (F.array_position(F.col("_dots"),
+                                          F.array_max(F.col("_dots"))) - 1)
+                        .cast("long"))
+            .select("vec_id", "v", "cell"))
+
+
+def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                 n_cells: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe``
+    highest-scoring cells and scans only the vectors assigned there —
+    corpus-side work drops to ~nprobe/n_cells of brute force, and on a
+    cell-partitioned table the probe is a partition-pruned scan. Output
+    shape matches cosine_topk; the oracle mirrors the quantizer exactly."""
+    cells = ivf_cells(embeddings, n_cells, id_col, vec_col, dim)
+    qids = queries.select(F.col(id_col).alias("vec_id"))
+    q = (embeddings.join(F.broadcast(queries.select(id_col)), id_col,
+                         "left_semi")
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    qdots = F.array(*[
+        _dot(F.col("qv"), F.array(*[F.lit(x) for x in _centroid(c, dim)]))
+        for c in range(n_cells)
+    ])
+    cell_ids = F.array(*[F.lit(c).cast("long") for c in range(n_cells)])
+    ranked = F.array_sort(
+        F.arrays_zip(qdots.alias("d"), cell_ids.alias("c")),
+        lambda a, b: F.when(a["d"] > b["d"], -1)
+                      .when(a["d"] < b["d"], 1)
+                      .otherwise(F.when(a["c"] < b["c"], -1).otherwise(1)))
+    probe = (q.withColumn("_r", ranked)
+             .select("query_id", "qv",
+                     F.explode(F.slice(F.col("_r"), 1, nprobe)).alias("pc"))
+             .select("query_id", "qv", F.col("pc.c").alias("cell")))
+    n = cells.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("v").alias("nv"), "cell")
+    scored = (probe.join(n, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         n_planes: int = 16, n_bands: int = 4,
                         id_col: str = "vec_id", vec_col: str = "embedding",

@@ -88,6 +88,30 @@ def test_embedding_near_dups_finds_planted_dups_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
 
 
+def test_ivf_ann_recovers_twins_and_prunes_cells(spark):
+    """IVF: planted twins quantize to the same cell (near-identical vectors
+    → same argmax centroid), so nprobe search recovers them; and the number
+    of scored candidates per query is bounded by the probed cells' sizes,
+    not the corpus."""
+    import random
+    rng = random.Random(23)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x + 0.005) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in similarity.ivf_ann_topk(emb, queries, k=1).collect()}
+    for q in range(5):
+        assert got[(q, 1)] == 1000 + q, "twin not recovered by IVF probe"
+    # cell assignment is a partition: every vector in exactly one cell
+    cells = similarity.ivf_cells(emb)
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+
+
 def test_lsh_ann_recall_against_exact(spark):
     """Banded ANN recall on clustered data: every query's true top-1 has
     near-identical sign pattern, so OR-of-bands must recover it."""
