@@ -161,6 +161,33 @@ def test_frontier_throttle_only_delays_work(spark, corpus_sf0001,
     assert all(r["p"] <= 7 for r in per_round)
 
 
+def test_resume_mid_throttle_drain(spark, corpus_sf0001, tmp_path_factory):
+    """Crash-resume while a throttled crawl is still draining overflow
+    frontiers: the resumed crawl must finish the drain and equal the
+    uninterrupted run (checkpoint lineage covers deferred work too)."""
+    import json
+    import os
+    from supercrawler_spark.crawler import resume
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    cfg = CrawlConfig(crawl_depth=1, num_buckets=8, max_fetch_per_round=7)
+    full = crawl(spark, pages, seeds, cfg,
+                 store_dir=str(tmp_path_factory.mktemp("thr_full")))
+    assert full.rounds_run >= 3, "need a multi-round drain for this test"
+
+    crash_dir = str(tmp_path_factory.mktemp("thr_crash"))
+    crawl(spark, pages, seeds, cfg, store_dir=crash_dir)
+    mpath = os.path.join(crash_dir, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["rounds"] = manifest["rounds"][:2]   # crash mid-drain
+    manifest["done"] = False
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    resumed = resume(spark, pages, crash_dir, cfg)
+    assert _seen_depths(resumed) == _seen_depths(full)
+    assert _docs_map(resumed) == _docs_map(full)
+
+
 def test_seed_preview_materialized_and_mdx_readback(spark, corpus_sf0001,
                                                     tmp_path_factory):
     """A6: the first-five-seeds preview is a materialized store artifact.
