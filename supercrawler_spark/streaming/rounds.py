@@ -65,12 +65,12 @@ def stream_crawl(
     state = {"stop": False}
 
     def run_round(batch_df, batch_id: int) -> None:
+        # Termination mirrors Crawler.run: by PROGRESS (frontier drained),
+        # not by round index — politeness/throttle deferral legitimately
+        # pushes rounds past crawl_depth (the deferred work must drain).
         if state["stop"]:
             return
         r = crawler.store.last_committed_round() + 1
-        if r > cfg.crawl_depth:
-            state["stop"] = True
-            return
         frontier_path = (crawler.store.init_frontier_path() if r == 0
                          else crawler.store.frontier_path(r))
         if not os.path.exists(frontier_path):
@@ -89,10 +89,9 @@ def stream_crawl(
                      tempfile.mkdtemp(prefix="crawl_stream_ckpt_"))
              .start())
     query.awaitTermination()
-    # availableNow delivers a bounded number of batches; loop until frontier
-    # exhausted or depth reached (each pass is cheap once stopped)
-    while not state["stop"] and \
-            crawler.store.last_committed_round() < cfg.crawl_depth:
+    # availableNow delivers a bounded number of batches; keep driving rounds
+    # until the frontier drains (deferral can extend past crawl_depth+1)
+    while not state["stop"]:
         run_round(None, -1)
     crawler.store.mark_done()
     return crawler.result()

@@ -161,6 +161,23 @@ def test_frontier_throttle_only_delays_work(spark, corpus_sf0001,
     assert all(r["p"] <= 7 for r in per_round)
 
 
+def test_stream_crawl_drains_throttled_frontier(spark, corpus_sf0001,
+                                                tmp_path_factory):
+    """The Structured-Streaming round runner must terminate by PROGRESS, not
+    round index: under a fetch throttle the drain extends past crawl_depth+1
+    rounds and the streamed crawl must still equal the batch crawl."""
+    from supercrawler_spark.streaming.rounds import stream_crawl
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    cfg = CrawlConfig(crawl_depth=1, num_buckets=8, max_fetch_per_round=7)
+    batch = crawl(spark, pages, seeds, cfg,
+                  store_dir=str(tmp_path_factory.mktemp("sthr_batch")))
+    streamed = stream_crawl(spark, pages, seeds, cfg,
+                            store_dir=str(tmp_path_factory.mktemp("sthr_str")))
+    assert streamed.rounds_run == batch.rounds_run > 2
+    assert _seen_depths(streamed) == _seen_depths(batch)
+    assert _docs_map(streamed) == _docs_map(batch)
+
+
 def test_resume_mid_throttle_drain(spark, corpus_sf0001, tmp_path_factory):
     """Crash-resume while a throttled crawl is still draining overflow
     frontiers: the resumed crawl must finish the drain and equal the
