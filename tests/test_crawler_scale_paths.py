@@ -161,6 +161,34 @@ def test_frontier_throttle_only_delays_work(spark, corpus_sf0001,
     assert all(r["p"] <= 7 for r in per_round)
 
 
+def test_all_scale_features_combined(spark, corpus_sf0001, tmp_path_factory):
+    """Integration: delay-only politeness + fetch throttle + bucket-wise
+    fetch join + multi-snapshot pages, all in ONE crawl, must still equal the
+    plain reference-parity crawl (each feature is individually proven above;
+    this guards their interactions)."""
+    pages, seeds, robots = load_tables(spark, corpus_sf0001)
+    stale = (pages
+             .withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 2 DAYS"))
+             .withColumn("html", F.lit("<html><body><p>OLD</p></body></html>")
+                         .cast("binary")))
+    multi = pages.unionByName(stale)
+    delay_only = robots.select(
+        "host", F.array().cast("array<string>").alias("disallow_prefixes"),
+        F.lit(400).alias("crawl_delay_ms"))
+    base = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=1, num_buckets=8),
+                 store_dir=str(tmp_path_factory.mktemp("combo_base")))
+    combo = crawl(spark, multi, seeds,
+                  CrawlConfig(crawl_depth=1, num_buckets=8, politeness=True,
+                              round_budget_ms=1600, politeness_salt=2,
+                              max_fetch_per_round=11,
+                              broadcast_frontier_max=0),
+                  store_dir=str(tmp_path_factory.mktemp("combo_all")),
+                  robots=delay_only)
+    assert combo.rounds_run > base.rounds_run
+    assert _seen_depths(combo) == _seen_depths(base)
+    assert _docs_map(combo) == _docs_map(base)
+
+
 def test_stream_crawl_drains_throttled_frontier(spark, corpus_sf0001,
                                                 tmp_path_factory):
     """The Structured-Streaming round runner must terminate by PROGRESS, not
