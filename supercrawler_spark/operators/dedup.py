@@ -107,7 +107,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
 def simhash(docs: DataFrame, bits: int = 16,
             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): ``bits``-bit simhash — majority vote per bit over
-    token hashes, bounded explode of ``bits`` rows per token."""
+    token hashes, bounded explode of ``bits`` rows per token. ``bits`` is
+    capped at 60: token hashes are 60-bit md5 prefixes (the DuckDB-portable
+    hash), so higher bit positions would vote on constant zeros."""
+    assert 1 <= bits <= 60, "simhash bits must be in [1, 60] (60-bit hash)"
     spark = docs.sparkSession
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
@@ -206,17 +209,31 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     removed with a broadcast anti-join — the (doc, shingle) rows themselves
     never shuffle for the cap. None disables the cap."""
     sh = shingles(docs, text_col, id_col, n)
+    # Single-pass posting-list formulation instead of a (doc, shingle)
+    # self-join: ONE groupBy(shingle) builds the posting list per shingle,
+    # the df cap is a size() predicate on it (no separate hot-set pass), and
+    # candidate pairs expand WITHIN the bounded array via higher-order
+    # functions. The naive a.join(b, "shingle") formulation evaluated the
+    # tokenize+md5 shingle kernel on every branch (8+ source scans in the
+    # physical plan — Spark does not reuse the non-identical subtrees); this
+    # shape evaluates it 3x (pairs, and one per size side) and bounds the
+    # per-task pair expansion by max_shingle_df^2 by construction.
+    post = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds"))
     if max_shingle_df is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-               .filter(F.col("df") > max_shingle_df).select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("a_id") < F.col("b_id"))
-             .groupBy("a_id", "b_id")
+        post = post.filter(F.size("ds") <= max_shingle_df)
+    pair_structs = F.flatten(F.transform(
+        F.col("ds"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")))))
+    inter = (post
+             .select(F.explode(pair_structs).alias("p"))
+             .groupBy(F.col("p.a_id").alias("a_id"),
+                      F.col("p.b_id").alias("b_id"))
              .agg(F.count("*").alias("inter")))
+    sizes = post.select(F.explode("ds").alias("doc_id")) \
+        .groupBy("doc_id").agg(F.count("*").alias("sz"))
     sz_a = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
     return (inter.join(sz_a, "a_id").join(sz_b, "b_id")
