@@ -249,6 +249,26 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (north-rule politeness input): deterministic
+    robots bodies synthesized from documents, parsed by the Arrow UDF;
+    the oracle re-derives the fields with SQL string ops."""
+    from supercrawler_spark.operators.robots import make_parse_robots
+    docs = _docs(spark, sf_dir)
+    body = F.concat(
+        F.lit("# synthetic\nUser-agent: *\nDisallow: /p"),
+        F.col("doc_id").cast("string"),
+        F.lit("\nDisallow: /q"), F.col("doc_id").cast("string"),
+        F.lit("\nCrawl-delay: "), (F.col("doc_id") % 5).cast("string"),
+        F.lit("\n"))
+    parse = make_parse_robots()
+    return (docs.withColumn("r", parse(body.cast("binary")))
+            .select("doc_id",
+                    F.concat_ws(",", F.col("r.disallow_prefixes"))
+                    .alias("disallow_csv"),
+                    F.col("r.crawl_delay_ms").alias("crawl_delay_ms")))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
@@ -291,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "robots_parse": q_robots_parse,
         "multimodal_features": q_multimodal_features,
         "yt_markdown": q_yt_markdown,
     }
@@ -696,6 +717,12 @@ SELECT e'# YouTube Search Results\\n\\n' ||
                   '' ORDER BY rank) AS markdown,
        COUNT(*) AS n_videos
 FROM v""",
+        "robots_parse": """
+SELECT doc_id,
+       '/p' || CAST(doc_id AS VARCHAR) || ',' || '/q' || CAST(doc_id AS VARCHAR)
+         AS disallow_csv,
+       CAST((doc_id % 5) * 1000 AS BIGINT) AS crawl_delay_ms
+FROM documents""",
         "multimodal_features": """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'

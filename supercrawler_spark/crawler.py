@@ -174,6 +174,14 @@ class Crawler:
             store_dir = tempfile.mkdtemp(prefix="crawlstore_")
         self.store = CrawlStore(store_dir)
         self.pages = pages
+        if isinstance(robots, str):
+            if robots != "auto":
+                raise ValueError("robots must be a DataFrame, None, or 'auto'")
+            # derive the politeness table from the /robots.txt rows already
+            # present in the pages table (operators/robots.py) — no
+            # out-of-band input needed for a Common-Crawl-style corpus
+            from supercrawler_spark.operators.robots import robots_from_pages
+            robots = robots_from_pages(pages)
         self.robots = robots
         self._extract_page = (udfs.extract_page
                               if self.cfg.variant == "supercrawler"

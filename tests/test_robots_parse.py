@@ -93,3 +93,9 @@ def test_polite_crawl_from_parsed_robots(spark, corpus_sf0001,
     sa = {r["url"] for r in a.seen.select("url").collect()}
     sb = {r["url"] for r in b.seen.select("url").collect()}
     assert sa == sb
+    # robots="auto": the crawler derives the table itself from pages
+    c = crawl(spark, aug, seeds, cfg,
+              store_dir=str(tmp_path_factory.mktemp("rob_auto")),
+              robots="auto")
+    sc = {r["url"] for r in c.seen.select("url").collect()}
+    assert sc == sa
