@@ -107,9 +107,15 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
 def simhash(docs: DataFrame, bits: int = 16,
             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): ``bits``-bit simhash — majority vote per bit over
-    token hashes, bounded explode of ``bits`` rows per token. ``bits`` is
-    capped at 60: token hashes are 60-bit md5 prefixes (the DuckDB-portable
-    hash), so higher bit positions would vote on constant zeros."""
+    token hashes, bounded explode of ``bits`` rows per token (both vote
+    aggregations combine map-side, so the shuffle stays ~n_docs × bits rows;
+    a wide ``bits``-column aggregate variant was measured SLOWER here —
+    1.77s vs 1.33s steady-state and a 13s codegen first run for the 16-sum
+    generated class — so the tall shape stays). ``bits`` is capped at 60:
+    token hashes are 60-bit md5 prefixes (the DuckDB-portable hash), so
+    higher bit positions would vote on constant zeros; use bits=48-60 at web
+    scale (larger chunk buckets for simhash_near_pairs), 16 matches the
+    compact oracle default."""
     assert 1 <= bits <= 60, "simhash bits must be in [1, 60] (60-bit hash)"
     spark = docs.sparkSession
     toks = (docs.select(F.col(id_col).alias("doc_id"),
