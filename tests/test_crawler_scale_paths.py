@@ -161,6 +161,30 @@ def test_frontier_throttle_only_delays_work(spark, corpus_sf0001,
     assert all(r["p"] <= 7 for r in per_round)
 
 
+def test_crawl_with_empty_pages_table(spark, corpus_sf0001, tmp_path_factory):
+    """Every fetch fails (pages table empty): the crawl terminates cleanly
+    with zero docs, every seed marked failed, and the seen set = seeds."""
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    empty = pages.filter(F.lit(False))
+    res = crawl(spark, empty, seeds, CrawlConfig(crawl_depth=2, num_buckets=8),
+                store_dir=str(tmp_path_factory.mktemp("empty_pages")))
+    assert res.docs.count() == 0
+    n_seeds = res.seen.count()
+    assert n_seeds > 0
+    failed = res.metrics.agg(F.sum("failed")).collect()[0][0]
+    assert failed == n_seeds
+
+
+def test_crawl_with_empty_seeds(spark, corpus_sf0001, tmp_path_factory):
+    """Zero valid seeds: the crawl terminates after round 0 with nothing."""
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    none = seeds.filter(F.lit(False))
+    res = crawl(spark, pages, none, CrawlConfig(crawl_depth=2, num_buckets=8),
+                store_dir=str(tmp_path_factory.mktemp("empty_seeds")))
+    assert res.seen.count() == 0
+    assert res.docs is None or res.docs.count() == 0
+
+
 def test_all_scale_features_combined(spark, corpus_sf0001, tmp_path_factory):
     """Integration: delay-only politeness + fetch throttle + bucket-wise
     fetch join + multi-snapshot pages, all in ONE crawl, must still equal the
