@@ -114,6 +114,34 @@ class CrawlStore:
     def seed_preview_path(self) -> str:
         return os.path.join(self.root, "init", "seed_preview")
 
+    def docs_compact_path(self) -> str:
+        return os.path.join(self.root, "docs_compact")
+
+    def compact_docs(self, spark, num_buckets: int = 32) -> str:
+        """Compact the per-round docs directories into ONE parquet layout
+        hash-partitioned by pmod(xxhash64(url), B) — the long-crawl analog of
+        the seen compaction: a depth-5 crawl leaves 6+ docs dirs whose
+        per-round files are small; downstream consumers (dedup, quality,
+        export) want one bucketed table with predicate-pushdown-friendly
+        layout. Committed via manifest pointer; the per-round dirs stay (they
+        belong to round lineage and resume)."""
+        from pyspark.sql import functions as F
+        manifest = self.read_manifest()
+        paths = [e["paths"]["docs"] for e in manifest["rounds"]
+                 if "docs" in e["paths"]]
+        if not paths:
+            raise ValueError("no committed docs rounds to compact")
+        docs = spark.read.parquet(*paths)
+        out = self.docs_compact_path()
+        (docs.withColumn("bucket",
+                         F.pmod(F.xxhash64("url"), F.lit(num_buckets))
+                         .cast("int"))
+             .repartition("bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(out))
+        manifest["docs_compact"] = out
+        self._write_manifest(manifest)
+        return out
+
     def seen_paths_up_to(self, round_no: int) -> list[str]:
         """Paths whose union is the seen set after processing round
         ``round_no`` (-1 ≙ just the seed delta): the latest compaction plus

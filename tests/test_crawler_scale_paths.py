@@ -161,6 +161,24 @@ def test_frontier_throttle_only_delays_work(spark, corpus_sf0001,
     assert all(r["p"] <= 7 for r in per_round)
 
 
+def test_docs_compaction(spark, corpus_sf0001, tmp_path_factory):
+    """store.compact_docs writes one bucketed docs table equal to the union
+    of the per-round docs dirs, with the bucket layout the engine uses."""
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    res = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=2, num_buckets=8),
+                store_dir=str(tmp_path_factory.mktemp("compact_docs")))
+    out = res.store.compact_docs(spark, num_buckets=8)
+    compact = spark.read.parquet(out)
+    a = {(r["url"], r["mdx"]) for r in res.docs.select("url", "mdx").collect()}
+    b = {(r["url"], r["mdx"]) for r in compact.select("url", "mdx").collect()}
+    assert a == b
+    got_buckets = {r["bucket"] for r in compact.select("bucket").distinct().collect()}
+    assert got_buckets <= set(range(8))
+    bad = compact.filter(
+        F.col("bucket") != F.pmod(F.xxhash64("url"), F.lit(8))).count()
+    assert bad == 0
+
+
 def test_crawl_with_empty_pages_table(spark, corpus_sf0001, tmp_path_factory):
     """Every fetch fails (pages table empty): the crawl terminates cleanly
     with zero docs, every seed marked failed, and the seen set = seeds."""
