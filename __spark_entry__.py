@@ -221,6 +221,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.fingerprint(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.chunk_documents(_docs(spark, sf_dir),
+                                       window=32, overlap=8)
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.train_val_split(_docs(spark, sf_dir), val_pct=10)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
@@ -306,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "chunk_documents": q_chunk_documents,
+        "train_val_split": q_train_val_split,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
@@ -680,6 +691,27 @@ SELECT doc_id,
                    list_transform({_TOKS},
                      t -> {_MD5LONG.format(x='t')} % 1000000007)),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents""",
+        "chunk_documents": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+base AS (
+  SELECT k.doc_id, k.t, len(k.t) AS n
+  FROM toks k JOIN documents d USING (doc_id)
+  WHERE length(trim(d.text)) > 0),
+st AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, CAST(floor((n-1)/24.0) AS INT))) AS k
+  FROM base)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       array_to_string(t[k*24+1 : k*24+32], ' ') AS chunk_text,
+       CAST(least(32, n - k*24) AS BIGINT) AS n_tokens
+FROM st""",
+        "train_val_split": f"""
+SELECT doc_id,
+       CASE WHEN {_MD5LONG.format(x="'split-1' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+            THEN 'val' ELSE 'train' END AS split
 FROM documents""",
         "cosine_topk": cosine_cte + """
 SELECT query_id, neighbor_id,

@@ -81,6 +81,59 @@ def langid(docs: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(docs: DataFrame, window: int = 128, overlap: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Fixed-token-window training-sample chunking: split each document into
+    whitespace-token windows of ``window`` tokens with ``overlap`` tokens of
+    context carried between consecutive chunks (stride = window - overlap).
+    Output (doc_id, chunk_id, chunk_text, n_tokens) — one row per training
+    sample. Pure JVM higher-order functions (sequence/transform/slice — the
+    same shape as the shingle builder), no Python, no shuffle: chunking is
+    embarrassingly parallel over the documents scan, so at 100 TB it runs at
+    scan speed. Short documents yield their single (shorter) chunk."""
+    assert 0 <= overlap < window, "need 0 <= overlap < window"
+    stride = window - overlap
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, … while start < n_tokens
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.floor((n - 1) / stride)).cast("int"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, window))
+            .alias("chunk_text"),
+            F.least(F.lit(window), n - i * stride).cast("long")
+            .alias("n_tokens")))
+    return (docs
+            # trim-length guard, not size(toks): split("") yields [""]
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(chunks).alias("c"))
+            .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                    F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.n_tokens").alias("n_tokens")))
+
+
+def train_val_split(docs: DataFrame, val_pct: int = 10, salt: str = "split-1",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash split: split = 'val' iff
+    md5long(salt || doc_id) mod 100 < val_pct. Stable under reshuffling,
+    re-runs and cluster size (a function of the id only — never rand()),
+    and portable to the DuckDB oracle (md5-based, not xxhash64, which DuckDB
+    lacks). Change ``salt`` to draw an independent split."""
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt), F.col(id_col).cast("string")).cast("binary")), 1, 15),
+        16, 10).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.pmod(h, F.lit(100)) < val_pct, F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling fingerprint over tokens:

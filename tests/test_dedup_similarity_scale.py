@@ -60,6 +60,49 @@ def test_ngram_df_cap_drops_hot_shingles(spark):
     assert uncapped > 1
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    from supercrawler_spark.operators import textquality
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                                 "doc_id LONG, text STRING")
+    out = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in textquality.chunk_documents(
+               docs, window=32, overlap=8).collect()}
+    # doc 1: 100 tokens, stride 24 -> starts 0,24,48,72,96 -> 5 chunks
+    assert sorted(k[1] for k in out if k[0] == 1) == [0, 1, 2, 3, 4]
+    c0, n0 = out[(1, 0)]
+    c1, _ = out[(1, 1)]
+    assert n0 == 32 and c0.split()[:3] == ["w0", "w1", "w2"]
+    # overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    assert c1.split()[0] == "w24" and c0.split()[-8:] == c1.split()[:8]
+    # last chunk is the tail remainder
+    assert out[(1, 4)][1] == 4 and out[(1, 4)][0] == "w96 w97 w98 w99"
+    # every token appears in some chunk (coverage)
+    covered = set()
+    for (d, _), (txt, _n) in out.items():
+        if d == 1:
+            covered.update(txt.split())
+    assert covered == {f"w{i}" for i in range(100)}
+    # short doc -> one chunk; empty doc -> none
+    assert out[(2, 0)] == ("short doc", 2)
+    assert not any(k[0] == 3 for k in out)
+
+
+def test_train_val_split_deterministic_and_proportional(spark):
+    from supercrawler_spark.operators import textquality
+    docs = spark.range(5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in textquality.train_val_split(docs, val_pct=10).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in textquality.train_val_split(docs, val_pct=10).collect()}
+    assert a == b                                    # deterministic
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.07 < frac < 0.13                        # ~10%
+    c = {r["doc_id"]: r["split"] for r in textquality.train_val_split(
+        docs, val_pct=10, salt="split-2").collect()}
+    assert c != a                                    # independent draw
+
+
 def _cos(a, b):
     dot = sum(x * y for x, y in zip(a, b))
     return dot / (math.sqrt(sum(x * x for x in a))
