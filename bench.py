@@ -164,6 +164,8 @@ def main() -> None:
         docs, threshold=0.2, max_shingle_df=1000).count())
     bench("token_quality", lambda: textquality.quality_score(docs)
           .agg(F.sum("n_tokens")).collect())
+    bench("chunk_documents", lambda: textquality.chunk_documents(
+        docs, window=128, overlap=16).count())
     bench("fingerprint", lambda: textquality.fingerprint(docs).count())
     bench("cosine_topk", lambda: similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3).count())
