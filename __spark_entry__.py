@@ -221,6 +221,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.fingerprint(_docs(spark, sf_dir))
 
 
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.filter_corpus(_docs(spark, sf_dir), min_tokens=20,
+                                     max_punct_ratio=0.2, langs=("en",))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.chunk_documents(_docs(spark, sf_dir),
                                        window=32, overlap=8)
@@ -315,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "filter_corpus": q_filter_corpus,
         "chunk_documents": q_chunk_documents,
         "train_val_split": q_train_val_split,
         "cosine_topk": q_cosine_topk,
@@ -692,6 +698,31 @@ SELECT doc_id,
                      t -> {_MD5LONG.format(x='t')} % 1000000007)),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
 FROM documents""",
+        "filter_corpus": f"""
+WITH f AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+         round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+               / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','zu','auf'))) AS score_de,
+    len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) AS score_en,
+    len(list_filter({_TOKS}, t -> t IN ('el','la','los','las','y','es','un','una','no','por'))) AS score_es,
+    len(list_filter({_TOKS}, t -> t IN ('le','la','les','et','est','un','une','pas','pour','dans'))) AS score_fr
+  FROM documents),
+l AS (
+  SELECT doc_id,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+  FROM s)
+SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens, f.punct_ratio,
+       l.pred_lang
+FROM f JOIN l USING (doc_id)
+WHERE f.n_tokens >= 20 AND f.punct_ratio <= 0.2 AND l.pred_lang IN ('en')""",
         "chunk_documents": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents

@@ -134,6 +134,25 @@ def train_val_split(docs: DataFrame, val_pct: int = 10, salt: str = "split-1",
         .otherwise(F.lit("train")).alias("split"))
 
 
+def filter_corpus(docs: DataFrame, min_tokens: int = 20,
+                  max_punct_ratio: float = 0.2,
+                  langs: tuple = ("en",), text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus cleaning gate — the standard pre-training filter chain
+    composed from the scoring operators: keep documents with at least
+    ``min_tokens`` whitespace tokens, a non-alphanumeric ratio at most
+    ``max_punct_ratio``, and a predicted language in ``langs``. Output
+    (doc_id, n_tokens, punct_ratio, pred_lang) for the survivors — one
+    declarative plan, all predicates pushed into the single documents scan."""
+    q = quality_score(docs, text_col, id_col)
+    lg = langid(docs, text_col, id_col).select("doc_id", "pred_lang")
+    return (q.join(lg, "doc_id")
+            .filter((F.col("n_tokens") >= min_tokens)
+                    & (F.col("punct_ratio") <= max_punct_ratio)
+                    & F.col("pred_lang").isin(list(langs)))
+            .select("doc_id", "n_tokens", "punct_ratio", "pred_lang"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling fingerprint over tokens:
