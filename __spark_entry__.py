@@ -273,13 +273,16 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("# synthetic\nUser-agent: *\nDisallow: /p"),
         F.col("doc_id").cast("string"),
         F.lit("\nDisallow: /q"), F.col("doc_id").cast("string"),
-        F.lit("\nCrawl-delay: "), (F.col("doc_id") % 5).cast("string"),
+        F.lit("\nAllow: /p"), F.col("doc_id").cast("string"),
+        F.lit("/ok\nCrawl-delay: "), (F.col("doc_id") % 5).cast("string"),
         F.lit("\n"))
     parse = make_parse_robots()
     return (docs.withColumn("r", parse(body.cast("binary")))
             .select("doc_id",
                     F.concat_ws(",", F.col("r.disallow_prefixes"))
                     .alias("disallow_csv"),
+                    F.concat_ws(",", F.col("r.allow_prefixes"))
+                    .alias("allow_csv"),
                     F.col("r.crawl_delay_ms").alias("crawl_delay_ms")))
 
 
@@ -784,6 +787,7 @@ FROM v""",
 SELECT doc_id,
        '/p' || CAST(doc_id AS VARCHAR) || ',' || '/q' || CAST(doc_id AS VARCHAR)
          AS disallow_csv,
+       '/p' || CAST(doc_id AS VARCHAR) || '/ok' AS allow_csv,
        CAST((doc_id % 5) * 1000 AS BIGINT) AS crawl_delay_ms
 FROM documents""",
         "multimodal_features": """

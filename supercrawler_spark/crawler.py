@@ -269,14 +269,22 @@ class Crawler:
         # --- politeness (north-rule extension; off ≙ reference parity) ---
         if cfg.politeness and self.robots is not None:
             rob = F.broadcast(self.robots)
+            has_allow = "allow_prefixes" in self.robots.columns
+            # RFC 9309 precedence: longest matching prefix wins, Allow beats
+            # Disallow on ties — computed as two JVM array folds (max length
+            # of matching prefixes), no UDF. Tables without an
+            # allow_prefixes column behave as before (disallow-only).
+            def _best(col):
+                return F.aggregate(
+                    F.coalesce(col, F.array().cast("array<string>")),
+                    F.lit(0),
+                    lambda acc, p: F.when(
+                        _path_col().startswith(p) & (F.length(p) > acc),
+                        F.length(p)).otherwise(acc))
+            best_dis = _best(F.col("disallow_prefixes"))
+            best_alw = _best(F.col("allow_prefixes")) if has_allow else F.lit(0)
             work = (work.join(rob, "host", "left")
-                    .withColumn(
-                        "robots_blocked",
-                        F.coalesce(
-                            F.exists(
-                                F.col("disallow_prefixes"),
-                                lambda p: _path_col().startswith(p)),
-                            F.lit(False))))
+                    .withColumn("robots_blocked", best_dis > best_alw))
             # crawl-delay budget: a host with delay D gets ≤ round_budget/D
             # fetches this round, enforced inside salted sub-windows so the
             # hot host stays parallel; the remainder is deferred (re-queued
@@ -296,7 +304,8 @@ class Crawler:
                                 (~F.col("robots_blocked"))
                                 & F.col("_cap").isNotNull()
                                 & (F.col("_rk") > F.col("_cap")))
-                    .drop("_rk", "_cap", "disallow_prefixes", "crawl_delay_ms"))
+                    .drop("_rk", "_cap", "disallow_prefixes",
+                          "allow_prefixes", "crawl_delay_ms"))
         else:
             work = (work.withColumn("robots_blocked", F.lit(False))
                     .withColumn("deferred", F.lit(False)))

@@ -24,38 +24,43 @@ from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
 
 ROBOTS_STRUCT = StructType([
     StructField("disallow_prefixes", ArrayType(StringType())),
+    StructField("allow_prefixes", ArrayType(StringType())),
     StructField("crawl_delay_ms", LongType()),
 ])
 
 
 def parse_robots_txt(body: str, user_agent: str = "*"):
-    """(disallow_prefixes, crawl_delay_ms) for ``user_agent``.
+    """(disallow_prefixes, allow_prefixes, crawl_delay_ms) for
+    ``user_agent``.
 
     Groups are runs of User-agent lines followed by rules; a group applies to
     the agent if any of its User-agent values is ``*`` or a case-insensitive
     match of ``user_agent``. The most specific applicable group wins (exact
     match beats ``*``); among equally specific groups the rules merge in file
-    order. Empty ``Disallow:`` means allow-all (contributes no prefix).
-    ``crawl_delay_ms`` is 0 when absent or unparsable (seconds, fractional
-    allowed)."""
-    exact: list[tuple[list[str], float | None]] = []
-    wild: list[tuple[list[str], float | None]] = []
+    order. Empty ``Disallow:`` means allow-all (contributes no prefix);
+    ``Allow:`` prefixes override Disallow by RFC 9309 longest-match (the
+    precedence itself is applied at check time — ``is_blocked`` here and the
+    engine's politeness predicate). ``crawl_delay_ms`` is 0 when absent or
+    unparsable (seconds, fractional allowed)."""
+    exact: list[tuple[list[str], list[str], float | None]] = []
+    wild: list[tuple[list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
     cur_dis: list[str] = []
+    cur_alw: list[str] = []
     cur_delay: float | None = None
     in_rules = False
     ua = user_agent.lower()
 
     def _flush():
-        nonlocal cur_agents, cur_dis, cur_delay
+        nonlocal cur_agents, cur_dis, cur_alw, cur_delay
         if cur_agents:
-            rec = (cur_dis, cur_delay)
+            rec = (cur_dis, cur_alw, cur_delay)
             agents = [a.lower() for a in cur_agents]
             if ua != "*" and any(a == ua for a in agents):
                 exact.append(rec)
             elif "*" in agents or (ua == "*" and any(a == ua for a in agents)):
                 wild.append(rec)
-        cur_agents, cur_dis, cur_delay = [], [], None
+        cur_agents, cur_dis, cur_alw, cur_delay = [], [], [], None
 
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -75,6 +80,8 @@ def parse_robots_txt(body: str, user_agent: str = "*"):
             in_rules = True
             if field == "disallow" and value:
                 cur_dis.append(value)
+            elif field == "allow" and value:
+                cur_alw.append(value)
             elif field == "crawl-delay":
                 try:
                     cur_delay = float(value)
@@ -84,29 +91,43 @@ def parse_robots_txt(body: str, user_agent: str = "*"):
 
     groups = exact if exact else wild
     prefixes: list[str] = []
+    allows: list[str] = []
     delay: float | None = None
-    for dis, dl in groups:
+    for dis, alw, dl in groups:
         prefixes.extend(dis)
+        allows.extend(alw)
         if dl is not None and (delay is None or dl > delay):
             delay = dl          # conservative: the largest applicable delay
-    return prefixes, int(round((delay or 0.0) * 1000))
+    return prefixes, allows, int(round((delay or 0.0) * 1000))
+
+
+def is_blocked(path: str, disallow: list, allow: list) -> bool:
+    """RFC 9309 precedence: the longest matching prefix wins; an Allow match
+    of equal length beats Disallow. Pure-Python twin of the engine's JVM
+    predicate (crawler politeness join) for the oracle/tests."""
+    d = max((len(p) for p in disallow or [] if path.startswith(p)), default=0)
+    a = max((len(p) for p in allow or [] if path.startswith(p)), default=0)
+    return d > a
 
 
 def make_parse_robots(user_agent: str = "*"):
     @pandas_udf(ROBOTS_STRUCT)
     def parse_robots_udf(body: pd.Series) -> pd.DataFrame:
-        dis_out, delay_out = [], []
+        dis_out, alw_out, delay_out = [], [], []
         for b in body:
             if b is None:
                 dis_out.append([])
+                alw_out.append([])
                 delay_out.append(0)
                 continue
             if isinstance(b, (bytes, bytearray)):
                 b = bytes(b).decode("utf-8", errors="replace")
-            d, ms = parse_robots_txt(b, user_agent)
+            d, a, ms = parse_robots_txt(b, user_agent)
             dis_out.append(d)
+            alw_out.append(a)
             delay_out.append(ms)
         return pd.DataFrame({"disallow_prefixes": dis_out,
+                             "allow_prefixes": alw_out,
                              "crawl_delay_ms": delay_out})
     return parse_robots_udf
 
@@ -128,4 +149,5 @@ def robots_from_pages(pages: DataFrame, user_agent: str = "*") -> DataFrame:
             .withColumn("r", parse(F.col("html")))
             .select("host",
                     F.col("r.disallow_prefixes").alias("disallow_prefixes"),
+                    F.col("r.allow_prefixes").alias("allow_prefixes"),
                     F.col("r.crawl_delay_ms").alias("crawl_delay_ms")))

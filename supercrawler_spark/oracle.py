@@ -47,9 +47,11 @@ def oracle_bfs(
     """
     res = OracleResult()
     disallow: dict[str, list[str]] = {}
+    allow: dict[str, list[str]] = {}
     if robots:
         for r in robots:
             disallow[r["host"]] = list(r.get("disallow_prefixes") or [])
+            allow[r["host"]] = list(r.get("allow_prefixes") or [])
 
     # J2: scope = seed hosts (src/supercrawler.rs:1236-1239)
     scope = set()
@@ -70,11 +72,16 @@ def oracle_bfs(
             res.frontier_by_depth.setdefault(0, []).append(c)
 
     def _robots_blocked(url: str) -> bool:
+        # RFC 9309 longest-match precedence (Allow beats Disallow on ties) —
+        # mirrors operators/robots.is_blocked and the engine's JVM fold
         h = url_host(url)
         if h is None or h not in disallow:
             return False
         path = url.split(h, 1)[1]
-        return any(path.startswith(p) for p in disallow[h])
+        d = max((len(p) for p in disallow[h] if path.startswith(p)), default=0)
+        a = max((len(p) for p in allow.get(h, []) if path.startswith(p)),
+                default=0)
+        return d > a
 
     while queue:
         url, depth = queue.popleft()

@@ -12,9 +12,9 @@ from supercrawler_spark.sources.synth import load_tables
 
 
 def test_basic_group():
-    dis, ms = parse_robots_txt(
+    dis, alw, ms = parse_robots_txt(
         "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n")
-    assert dis == ["/private"] and ms == 2000
+    assert dis == ["/private"] and alw == [] and ms == 2000
 
 
 def test_comments_case_and_blank_lines():
@@ -25,7 +25,7 @@ DISALLOW: /tmp  # scratch
 Disallow:
 crawl-delay: 0.5
 """
-    dis, ms = parse_robots_txt(body)
+    dis, _, ms = parse_robots_txt(body)
     assert dis == ["/tmp"]      # empty Disallow contributes nothing
     assert ms == 500
 
@@ -33,23 +33,63 @@ crawl-delay: 0.5
 def test_specific_agent_beats_wildcard():
     body = ("User-agent: *\nDisallow: /a\nCrawl-delay: 9\n\n"
             "User-agent: SuperCrawler\nDisallow: /b\nCrawl-delay: 1\n")
-    dis, ms = parse_robots_txt(body, user_agent="supercrawler")
+    dis, _, ms = parse_robots_txt(body, user_agent="supercrawler")
     assert dis == ["/b"] and ms == 1000
-    dis, ms = parse_robots_txt(body, user_agent="otherbot")
+    dis, _, ms = parse_robots_txt(body, user_agent="otherbot")
     assert dis == ["/a"] and ms == 9000
 
 
 def test_multi_agent_group_and_merge():
     body = ("User-agent: a\nUser-agent: b\nDisallow: /x\n\n"
             "User-agent: b\nDisallow: /y\nCrawl-delay: 3\n")
-    dis, ms = parse_robots_txt(body, user_agent="b")
+    dis, _, ms = parse_robots_txt(body, user_agent="b")
     assert dis == ["/x", "/y"] and ms == 3000
 
 
 def test_garbage_tolerance():
-    assert parse_robots_txt("") == ([], 0)
-    assert parse_robots_txt("not a field line\n???\n") == ([], 0)
-    assert parse_robots_txt("User-agent: *\nCrawl-delay: soon\n") == ([], 0)
+    assert parse_robots_txt("") == ([], [], 0)
+    assert parse_robots_txt("not a field line\n???\n") == ([], [], 0)
+    assert parse_robots_txt("User-agent: *\nCrawl-delay: soon\n") == ([], [], 0)
+
+
+def test_allow_longest_match_precedence():
+    from supercrawler_spark.operators.robots import is_blocked
+    body = ("User-agent: *\nDisallow: /private\n"
+            "Allow: /private/public\nCrawl-delay: 1\n")
+    dis, alw, ms = parse_robots_txt(body)
+    assert dis == ["/private"] and alw == ["/private/public"] and ms == 1000
+    assert is_blocked("/private/x", dis, alw)
+    assert not is_blocked("/private/public/doc", dis, alw)  # Allow wins (longer)
+    assert not is_blocked("/open", dis, alw)
+    # tie: Allow beats Disallow at equal length
+    assert not is_blocked("/p", ["/p"], ["/p"])
+
+
+def test_engine_allow_overrides_disallow(spark, corpus_sf0001,
+                                         tmp_path_factory):
+    """Engine-level RFC 9309 precedence: an Allow prefix under a disallowed
+    tree re-opens exactly that subtree to the polite crawl."""
+    pages, seeds, robots_tbl = load_tables(spark, corpus_sf0001)
+    with_allow = robots_tbl.select(
+        "host", "disallow_prefixes",
+        F.array(F.lit("/private/p1")).alias("allow_prefixes"),
+        "crawl_delay_ms")
+    cfg = CrawlConfig(crawl_depth=2, num_buckets=8, politeness=True)
+    base = crawl(spark, pages, seeds, cfg,
+                 store_dir=str(tmp_path_factory.mktemp("allow_base")),
+                 robots=robots_tbl)
+    opened = crawl(spark, pages, seeds, cfg,
+                   store_dir=str(tmp_path_factory.mktemp("allow_open")),
+                   robots=with_allow)
+    base_priv = {r["url"] for r in base.docs.collect()
+                 if "/private/" in r["url"]}
+    open_priv = {r["url"] for r in opened.docs.collect()
+                 if "/private/" in r["url"]}
+    assert base_priv == set()
+    assert all("/private/p1" in u for u in open_priv)
+    b_blocked = base.metrics.agg(F.sum("robots_blocked")).collect()[0][0] or 0
+    o_blocked = opened.metrics.agg(F.sum("robots_blocked")).collect()[0][0] or 0
+    assert o_blocked <= b_blocked
 
 
 def test_polite_crawl_from_parsed_robots(spark, corpus_sf0001,
