@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
-    dedup, graph, multimodal, similarity, textquality, yt,
+    clusters, corpus, dedup, graph, multimodal, similarity, textquality, yt,
 )
 
 
@@ -235,6 +235,36 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.train_val_split(_docs(spark, sf_dir), val_pct=10)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministic synthetic PII
+    appended (the corpus itself is PII-free word soup, so without the
+    injection the oracle comparison would be vacuous)."""
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.2."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 tel +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"))
+    return corpus.scrub_pii(docs.withColumn("text", injected))
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.source_stats(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH pairs → connected
+    components (iterative min-label propagation) → keeper per cluster;
+    oracle is a recursive-CTE transitive closure over the same pairs."""
+    return clusters.dedup_clusters(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
@@ -326,6 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus": q_filter_corpus,
         "chunk_documents": q_chunk_documents,
         "train_val_split": q_train_val_split,
+        "repetition_signals": q_repetition_signals,
+        "scrub_pii": q_scrub_pii,
+        "source_stats": q_source_stats,
+        "dedup_clusters": q_dedup_clusters,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
@@ -747,6 +781,89 @@ SELECT doc_id,
        CASE WHEN {_MD5LONG.format(x="'split-1' || CAST(doc_id AS VARCHAR)")} % 100 < 10
             THEN 'val' ELSE 'train' END AS split
 FROM documents""",
+        "repetition_signals": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1]) AS grams
+  FROM toks),
+occ AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+m AS (
+  SELECT doc_id, MAX(c) AS maxc
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM occ GROUP BY 1, 2)
+  GROUP BY doc_id)
+SELECT g.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6)
+         AS unique_token_ratio,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE round(m.maxc / CAST(len(grams) AS DOUBLE), 6)
+       END AS top_2gram_frac,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE round((len(grams) - len(list_distinct(grams)))
+                       / CAST(len(grams) AS DOUBLE), 6)
+       END AS dup_2gram_frac
+FROM g LEFT JOIN m USING (doc_id)""",
+        "scrub_pii": f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.2.'
+              || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 tel +1-555-'
+              || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{corpus.EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(text, '{corpus.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM inj),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{corpus.IPV4_RE}')) AS BIGINT)
+           AS n_ips,
+         regexp_replace(t1, '{corpus.IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{corpus.PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{corpus.PHONE_RE}')) AS BIGINT)
+         AS n_phones
+FROM s2""",
+        "source_stats": f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       round(AVG(len({_TOKS})), 6) AS mean_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source""",
+        "dedup_clusters": shingle_cte.replace("WITH toks AS",
+                                              "WITH RECURSIVE toks AS", 1)
+        + "," + minhash_core + """,
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         array_to_string(list_sort(list(CAST(hash_id AS VARCHAR) || ':' ||
+                                        CAST(min_hash AS VARCHAR))), ',') AS band_key
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id,
+       MIN(v) = u AS is_keeper
+FROM reach GROUP BY u""",
         "cosine_topk": cosine_cte + """
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id

@@ -49,7 +49,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from supercrawler_spark.crawler import CrawlConfig, crawl
-    from supercrawler_spark.operators import dedup, similarity, textquality
+    from supercrawler_spark.operators import (
+        clusters, corpus, dedup, similarity, textquality,
+    )
     from supercrawler_spark.session import get_spark
     from supercrawler_spark.sources import synth
 
@@ -167,6 +169,17 @@ def main() -> None:
     bench("chunk_documents", lambda: textquality.chunk_documents(
         docs, window=128, overlap=16).count())
     bench("fingerprint", lambda: textquality.fingerprint(docs).count())
+    bench("repetition_signals", lambda: corpus.repetition_signals(docs)
+          .agg(F.sum("n_tokens")).collect())
+    bench("scrub_pii", lambda: corpus.scrub_pii(docs)
+          .agg(F.sum("n_emails"), F.sum(F.length("redacted"))).collect())
+    bench("source_stats", lambda: corpus.source_stats(docs).count())
+
+    def dedup_clusters_bench():
+        out = clusters.dedup_clusters(docs)
+        extras["dedup_cluster_members"] = out.count()
+
+    bench("dedup_clusters", dedup_clusters_bench)
     bench("cosine_topk", lambda: similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3).count())
     def ivf_ann_with_recall():

@@ -1,0 +1,140 @@
+"""Tests for the corpus-hygiene operators (repetition signals, PII scrub,
+source stats) and near-dup connected-components clustering."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from supercrawler_spark.operators import clusters, corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_repetition_signals_known_values(spark):
+    rows = [
+        "a b a b a b",          # grams: ab ba ab ba ab -> top ab 3/5
+        "x y z w",              # all distinct: top 1/3, dup 0
+        "solo",                 # <2 tokens: gram fracs 0.0
+        "t t t t",              # grams tt tt tt: top 3/3, dup 2/3
+    ]
+    out = {r["doc_id"]: r for r in
+           corpus.repetition_signals(_docs(spark, rows)).collect()}
+    r0 = out[0]
+    assert r0["n_tokens"] == 6
+    assert r0["unique_token_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r0["top_2gram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    # 5 gram occurrences, 2 distinct -> dup frac 3/5
+    assert r0["dup_2gram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    r1 = out[1]
+    assert r1["top_2gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r1["dup_2gram_frac"] == 0.0
+    r2 = out[2]
+    assert (r2["top_2gram_frac"], r2["dup_2gram_frac"]) == (0.0, 0.0)
+    assert r2["unique_token_ratio"] == 1.0
+    r3 = out[3]
+    assert r3["unique_token_ratio"] == pytest.approx(1 / 4, abs=1e-6)
+    assert r3["top_2gram_frac"] == 1.0
+    assert r3["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_repetition_signals_shuffle_free(spark):
+    plan = corpus.repetition_signals(
+        _docs(spark, ["a b c"]))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------------------- pii
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        "write to alice.smith+x@mail.example.com today",
+        "server at 10.2.3.4 and 192.168.0.1 up",
+        "call +1-555-0100-22 now",
+        "mixed bob@x.co from 8.8.8.8 tel +44-20-7946-0958",
+        "clean text with no pii at all",
+    ]
+    out = {r["doc_id"]: r for r in
+           corpus.scrub_pii(_docs(spark, rows)).collect()}
+    assert out[0]["n_emails"] == 1 and "<EMAIL>" in out[0]["redacted"]
+    assert "alice" not in out[0]["redacted"]
+    assert out[1]["n_ips"] == 2 and out[1]["redacted"].count("<IP>") == 2
+    assert out[2]["n_phones"] == 1 and "<PHONE>" in out[2]["redacted"]
+    r3 = out[3]
+    assert (r3["n_emails"], r3["n_ips"], r3["n_phones"]) == (1, 1, 1)
+    assert r3["redacted"] == "mixed <EMAIL> from <IP> tel <PHONE>"
+    r4 = out[4]
+    assert (r4["n_emails"], r4["n_ips"], r4["n_phones"]) == (0, 0, 0)
+    assert r4["redacted"] == rows[4]
+
+
+def test_scrub_pii_order_ip_not_rematched_as_phone(spark):
+    # the digits of a redacted IP must not later match the phone pattern,
+    # and an email's host must not be eaten as an IP-like string
+    out = corpus.scrub_pii(_docs(spark, ["ip 10.20.30.40 mail a@b.io"])) \
+        .collect()[0]
+    assert out["n_phones"] == 0
+    assert out["redacted"] == "ip <IP> mail <EMAIL>"
+
+
+# --------------------------------------------------------------- source stats
+
+def test_source_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c", "en", "web", 5), (1, "d e", "de", "web", 3),
+         (2, "f", "en", "books", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["source"]: r for r in corpus.source_stats(df).collect()}
+    web = out["web"]
+    assert web["n_docs"] == 2 and web["total_tokens"] == 5
+    assert web["total_chars"] == 8 and web["n_langs"] == 2
+    assert web["mean_tokens"] == pytest.approx(2.5)
+    assert out["books"]["n_docs"] == 1 and out["books"]["n_langs"] == 1
+
+
+# ------------------------------------------------------------------- clusters
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "a_id long, b_id long")
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 (transitive, no direct 1-4 pair) + island 7-8
+    cc = {r["doc_id"]: r["cluster_id"] for r in clusters.connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (7, 8)])).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_merge_via_shared_member(spark):
+    # two cliques sharing one vertex collapse to one cluster
+    cc = {r["doc_id"]: r["cluster_id"] for r in clusters.connected_components(
+        _pairs(spark, [(5, 6), (6, 9), (9, 5), (9, 11)])).collect()}
+    assert set(cc.values()) == {5}
+
+
+def test_dedup_clusters_on_duplicated_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green quiet woods tonight")
+    rows = [base, base, base + " extra", "totally different words here "
+            "about spark shuffles and parquet readers at scale today"]
+    out = clusters.dedup_clusters(_docs(spark, rows))
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in out.collect()}
+    # identical docs 0 and 1 must cluster together with 0 as keeper
+    assert got[0] == (0, True)
+    assert got[1][0] == 0 and not got[1][1]
+    # the unrelated doc never joins their cluster
+    assert 3 not in got or got[3][0] != 0
+
+
+def test_clusters_no_cached_leak(spark):
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    clusters.connected_components(_pairs(spark, [(1, 2), (3, 4)])).collect()
+    # the operator must not leave anything new cached behind
+    assert jsc.getPersistentRDDs().size() <= before
