@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
-    clusters, corpus, dedup, graph, multimodal, similarity, textquality, yt,
+    bloom, clusters, corpus, dedup, graph, multimodal, similarity,
+    textquality, yt,
 )
 
 
@@ -235,6 +236,22 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.train_val_split(_docs(spark, sf_dir), val_pct=10)
 
 
+def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule Bloom URL-seen set: build per-bucket Bloom filters over a
+    seed seen-set (doc_id < 50), probe every url. The oracle mirrors the
+    double-hash positions, 32-bit word packing and probe arithmetic
+    verbatim in SQL (md5-based hash — DuckDB has no xxhash64; the crawler
+    feeds the same operator xxhash64)."""
+    d = graph.with_url(_docs(spark, sf_dir))
+    h = F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
+    hashed = d.select("doc_id", h.alias("url_hash"),
+                      F.pmod(h, F.lit(4)).alias("bucket"))
+    filt = bloom.build_bloom(hashed.filter(F.col("doc_id") < 50),
+                             m_bits=4096, k=3)
+    return (bloom.seen_prefilter(hashed, filt, m_bits=4096, k=3)
+            .select("doc_id", "maybe_seen"))
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.repetition_signals(_docs(spark, sf_dir))
 
@@ -356,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus": q_filter_corpus,
         "chunk_documents": q_chunk_documents,
         "train_val_split": q_train_val_split,
+        "bloom_seen_filter": q_bloom_seen_filter,
         "repetition_signals": q_repetition_signals,
         "scrub_pii": q_scrub_pii,
         "source_stats": q_source_stats,
@@ -781,6 +799,34 @@ SELECT doc_id,
        CASE WHEN {_MD5LONG.format(x="'split-1' || CAST(doc_id AS VARCHAR)")} % 100 < 10
             THEN 'val' ELSE 'train' END AS split
 FROM documents""",
+        "bloom_seen_filter": f"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hb AS (
+  SELECT doc_id,
+         {_MD5LONG.format(x='url')} % 4 AS bucket,
+         {_MD5LONG.format(x='url')} % 1073741789 AS h1,
+         ({_MD5LONG.format(x='url')} % 1073741783) * 2 + 1 AS h2
+  FROM urls),
+words AS (
+  SELECT bucket, CAST((h1 + j.x * h2) % 4096 // 32 AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST((h1 + j.x * h2) % 4096 % 32 AS INT))
+           AS bits
+  FROM hb, range(3) j(x)
+  WHERE doc_id < 50
+  GROUP BY 1, 2),
+probes AS (
+  SELECT doc_id, bucket,
+         CAST((h1 + j.x * h2) % 4096 // 32 AS INT) AS word,
+         CAST(1 AS BIGINT) << CAST((h1 + j.x * h2) % 4096 % 32 AS INT) AS mask
+  FROM hb, range(3) j(x))
+SELECT p.doc_id,
+       bool_and((coalesce(w.bits, 0) & p.mask) <> 0) AS maybe_seen
+FROM probes p LEFT JOIN words w ON w.bucket = p.bucket AND w.word = p.word
+GROUP BY p.doc_id""",
         "repetition_signals": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents

@@ -114,6 +114,21 @@ def main() -> None:
         extras["crawl_bfs_processed"] = int(m or 0)
         extras["crawl_bfs_rounds"] = res.rounds_run
 
+    def crawl_bfs_bloom():
+        """BFS with the Bloom seen-prefilter on: candidates the filter
+        proves new skip the exact anti-join (bloom_definite_new metric)."""
+        some_seeds = (pages
+                      .filter(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
+                      .select("url", F.pmod(F.xxhash64("url"), F.lit(1 << 40))
+                              .alias("seed_order")))
+        cfg = CrawlConfig(crawl_depth=2, num_buckets=32, seen_bloom=True)
+        res = crawl(spark, pages, some_seeds, cfg,
+                    store_dir=tempfile.mkdtemp(prefix="bench_bfsbl_"))
+        extras["crawl_bloom_definite_new"] = int(
+            res.metrics.agg(F.sum("bloom_definite_new")).collect()[0][0] or 0)
+        extras["crawl_bloom_candidates"] = int(
+            res.metrics.agg(F.sum("candidates")).collect()[0][0] or 0)
+
     def crawl_bfs_polite():
         some_seeds = (pages
                       .filter(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
@@ -156,6 +171,7 @@ def main() -> None:
     bench("crawl_scan", crawl_scan)
     bench("crawl_scan_bucketwise", crawl_scan_bucketwise)
     bench("crawl_bfs", crawl_bfs)
+    bench("crawl_bfs_bloom", crawl_bfs_bloom)
     bench("crawl_bfs_polite", crawl_bfs_polite)
     bench("exact_dedup", lambda: dedup.exact_dedup(docs).count())
     bench("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs).count())

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supercrawler_spark.functions import udfs
+from supercrawler_spark.operators import bloom
 from supercrawler_spark.store import CrawlStore
 
 FRONTIER_COLS = ["url", "host", "depth", "seq", "bucket"]
@@ -77,6 +78,22 @@ class CrawlConfig:
     # copy: loose container text kept when non-empty, NO time budget, depth
     # floor 5 — src/main.rs:318-342,769; no retry/charset deltas offline)
     variant: str = "supercrawler"
+    # North-rule "bloom/cuckoo URL-seen": explicit per-bucket Bloom filters
+    # (operators/bloom.py) prefilter the seen anti-join. maybe_seen=false
+    # candidates are guaranteed new (no Bloom false negatives) and skip the
+    # exact join entirely; only the actually-seen ∪ false-positive fraction
+    # shuffles into the seen-bucket layout. Exactness-preserving: results
+    # are identical with the filter on or off (test_bloom_crawl_parity).
+    # The filter table is num_buckets rows (bloom_bits_per_bucket/8 bytes
+    # each) and broadcasts; the per-round incremental update aggregates
+    # only the round's seen delta and bit_or-merges — it never rescans the
+    # seen set. Size so that bits/bucket ≈ 10× expected urls/bucket: at
+    # 10^10 urls over 4096 buckets that is ~3 GB of filter cluster-wide,
+    # ~0.75 MB per bucket row. Off by default in the sandbox (the exact
+    # join already wins at test scale); the 100 TB deployment turns it on.
+    seen_bloom: bool = False
+    bloom_bits_per_bucket: int = 1 << 20
+    bloom_probes: int = 3
     # Frontier throttle (north-rule "priority-ordered frontier queue"): cap
     # the number of fetches per round; overflow re-queues FIFO (lowest seq
     # first — seq encodes priority: seed order, then crawl order; pre-order
@@ -237,16 +254,22 @@ class Crawler:
                          "bucket", "depth")
                  .repartition(cfg.num_buckets, "bucket"))
         seen0.write.mode("overwrite").parquet(self.store.init_seen_path())
+        if cfg.seen_bloom:
+            seen0 = self.spark.read.parquet(self.store.init_seen_path())
+            bloom.bloom_words(seen0, m_bits=cfg.bloom_bits_per_bucket,
+                              k=cfg.bloom_probes) \
+                .write.mode("overwrite").parquet(self.store.init_bloom_path())
         # A6: materialized seed-URL preview (first five in request order —
         # the reference logs these at startup, src/supercrawler.rs:1254)
         frontier0.orderBy("seq").limit(5).select("url", "seq") \
             .write.mode("overwrite").parquet(self.store.seed_preview_path())
         n = frontier0.count()
-        self.store.commit_init(
-            {"seeds": n},
-            {"frontier": self.store.init_frontier_path(),
-             "seen_delta": self.store.init_seen_path(),
-             "seed_preview": self.store.seed_preview_path()})
+        init_paths = {"frontier": self.store.init_frontier_path(),
+                      "seen_delta": self.store.init_seen_path(),
+                      "seed_preview": self.store.seed_preview_path()}
+        if cfg.seen_bloom:
+            init_paths["bloom_words"] = self.store.init_bloom_path()
+        self.store.commit_init({"seeds": n}, init_paths)
 
     def _scope_df(self) -> DataFrame:
         frontier0 = self.spark.read.parquet(self.store.init_frontier_path())
@@ -523,10 +546,32 @@ class Crawler:
             # shuffled build side is hashes, not long URL bytes. xxhash64
             # collisions across distinct urls are ~n²/2^65 (≈0 below 10^8
             # urls; at 10^10 add a url check on matches before dropping).
-            cand = (candidates
-                    .join(seen.select("url_hash").withColumn("_seen", F.lit(True)),
-                          "url_hash", "left")
-                    .withColumn("_pid", F.spark_partition_id()))
+            if cfg.seen_bloom:
+                # Bloom prefilter (north-rule bloom/cuckoo URL-seen):
+                # definitely-new candidates bypass the exact join — only
+                # maybe-seen rows shuffle against the seen buckets. The
+                # split is exactness-preserving (no false negatives).
+                bwords = spark.read.parquet(
+                    store.bloom_words_path_up_to(r - 1))
+                tagged = bloom.seen_prefilter(
+                    candidates, bloom.words_to_bloom(bwords),
+                    m_bits=cfg.bloom_bits_per_bucket, k=cfg.bloom_probes)
+                maybe = (tagged.filter(F.col("maybe_seen"))
+                         .join(seen.select("url_hash")
+                               .withColumn("_seen", F.lit(True)),
+                               "url_hash", "left"))
+                fresh = (tagged.filter(~F.col("maybe_seen"))
+                         .withColumn("_seen",
+                                     F.lit(None).cast("boolean")))
+                cand = (maybe.unionByName(fresh)
+                        .withColumnRenamed("maybe_seen", "_bloom_maybe")
+                        .withColumn("_pid", F.spark_partition_id()))
+            else:
+                cand = (candidates
+                        .join(seen.select("url_hash")
+                              .withColumn("_seen", F.lit(True)),
+                              "url_hash", "left")
+                        .withColumn("_pid", F.spark_partition_id()))
             # intra-round first-seen-wins in crawl order (rs:1343 semantics)
             w_first = Window.partitionBy("url").orderBy("parent_seq", "link_pos")
             cand = (cand
@@ -568,14 +613,32 @@ class Crawler:
             seen_delta = (nxt.select("url", "url_hash", "bucket", "depth")
                           .repartition(cfg.num_buckets, "bucket"))
             seen_delta.write.mode("overwrite").parquet(store.seen_delta_path(r))
+            if cfg.seen_bloom:
+                # incremental filter update: aggregate only this round's
+                # delta (reading back the just-written parquet keeps the
+                # lineage flat) and bit_or-merge with the cumulative words —
+                # the full seen set is never rescanned
+                delta_words = bloom.bloom_words(
+                    spark.read.parquet(store.seen_delta_path(r)),
+                    m_bits=cfg.bloom_bits_per_bucket, k=cfg.bloom_probes)
+                prev_words = spark.read.parquet(
+                    store.bloom_words_path_up_to(r - 1))
+                bloom.merge_words(prev_words, delta_words) \
+                    .write.mode("overwrite").parquet(store.bloom_words_path(r))
             seq_cache.unpersist()
             if mix_cache is not None:
                 mix_cache.unpersist()
 
+            dedup_aggs = [F.count("*").alias("candidates"),
+                          F.sum((~F.col("is_new")).cast("long")).alias("deduped"),
+                          F.sum(F.col("is_new").cast("long")).alias("frontier_added")]
+            if cfg.seen_bloom:
+                # candidates the Bloom filter proved new (skipped the join)
+                dedup_aggs.append(
+                    F.sum((~F.col("_bloom_maybe")).cast("long"))
+                    .alias("bloom_definite_new"))
             dedup_metrics = (cand.groupBy(F.col("_pid").alias("partition_id"))
-                             .agg(F.count("*").alias("candidates"),
-                                  F.sum((~F.col("is_new")).cast("long")).alias("deduped"),
-                                  F.sum(F.col("is_new").cast("long")).alias("frontier_added"))
+                             .agg(*dedup_aggs)
                              .withColumn("stage", F.lit("expand")))
         else:
             if n_deferred > 0:
@@ -615,6 +678,8 @@ class Crawler:
         if expanding:
             paths["seen_delta"] = store.seen_delta_path(r)
             paths["frontier_next"] = store.frontier_path(r + 1)
+            if cfg.seen_bloom:
+                paths["bloom_words"] = store.bloom_words_path(r)
         # seen compaction: bound delta read amplification. Round r is not in
         # the manifest yet, so union the manifest-visible seen (≤ r-1) with
         # this round's just-written delta explicitly.

@@ -6,9 +6,11 @@ point and scale *down* to the sandbox, not the other way around:
 
   - AQE on (runtime coalescing of small crawl rounds, skew-join splitting for
     the hot-host pages lookup).
-  - Runtime Bloom-filter join pushdown on: the seen anti-join's build side
-    generates a Bloom filter that prunes frontier rows before the shuffle —
-    the reference's in-memory HashSet analog at scale (SURVEY §4).
+  - Bloom seen-set filtering is ENGINE code, not a Catalyst runtime filter:
+    `CrawlConfig.seen_bloom` routes candidates through explicit per-bucket
+    Bloom filters (operators/bloom.py) before the exact anti-join. Spark's
+    own runtime.bloomFilter injection stays off (measured pathology below);
+    SPARK_GRAFT_BLOOM=1 re-enables it on a real cluster.
   - Arrow batches capped small (256): html blobs are KB–MB sized, so the
     default 10k-row batches would hold GBs in the Python worker.
   - shuffle.partitions defaults to 2× cores locally; on a cluster size it to

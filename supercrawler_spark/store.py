@@ -105,6 +105,12 @@ class CrawlStore:
     def metrics_path(self, round_no: int) -> str:
         return self.round_dir(round_no, "metrics")
 
+    def bloom_words_path(self, round_no: int) -> str:
+        return self.round_dir(round_no, "bloom_words")
+
+    def init_bloom_path(self) -> str:
+        return os.path.join(self.root, "init", "bloom_words")
+
     def init_frontier_path(self) -> str:
         return os.path.join(self.root, "init", "frontier")
 
@@ -158,3 +164,19 @@ class CrawlStore:
             elif "seen_delta" in entry["paths"]:
                 paths.append(entry["paths"]["seen_delta"])
         return paths
+
+    def bloom_words_path_up_to(self, round_no: int) -> str | None:
+        """Latest committed CUMULATIVE Bloom word file covering rounds
+        ≤ ``round_no`` (each expanding round rewrites the full — tiny —
+        word set, so one path suffices). None when the crawl was started
+        without the Bloom filter."""
+        manifest = self.read_manifest()
+        path = None
+        if manifest.get("init") and "bloom_words" in manifest["init"]["paths"]:
+            path = manifest["init"]["paths"]["bloom_words"]
+        for entry in manifest["rounds"]:
+            if entry["round"] > round_no:
+                break
+            if "bloom_words" in entry["paths"]:
+                path = entry["paths"]["bloom_words"]
+        return path
