@@ -106,6 +106,10 @@ class CrawlConfig:
         cfg = CrawlConfig(**asdict(self))
         if cfg.variant not in ("supercrawler", "main"):
             raise ValueError(f"unknown engine variant: {cfg.variant!r}")
+        if cfg.max_fetch_per_round is not None:
+            # 0 (or negative) would defer EVERY fetchable row every round —
+            # no progress, infinite drain loop; clamp to at least 1
+            cfg.max_fetch_per_round = max(1, cfg.max_fetch_per_round)
         if cfg.variant == "main":
             cfg.crawl_depth = max(5, cfg.crawl_depth)   # main.rs:769 (min 5)
             cfg.time_limit_secs = None                  # no budget in main.rs
@@ -278,6 +282,19 @@ class Crawler:
     def _seen_df(self, up_to_round: int) -> DataFrame:
         paths = self.store.seen_paths_up_to(up_to_round)
         return self.spark.read.parquet(*paths)
+
+    def _bloom_words_df(self, up_to_round: int) -> DataFrame:
+        path = self.store.bloom_words_path_up_to(up_to_round)
+        if path is None:
+            # unreachable via crawl()/resume() (init_config rejects config
+            # drift), but fail loud rather than spark.read.parquet(None) if
+            # internals are driven against a bloom-less store
+            raise RuntimeError(
+                "seen_bloom=True but the checkpoint store carries no "
+                "bloom_words artifacts — this store was initialized with "
+                "seen_bloom=False; start a fresh store (or rebuild words "
+                "from the seen set) to enable the Bloom prefilter")
+        return self.spark.read.parquet(path)
 
     # -- one round ----------------------------------------------------------
 
@@ -551,8 +568,7 @@ class Crawler:
                 # definitely-new candidates bypass the exact join — only
                 # maybe-seen rows shuffle against the seen buckets. The
                 # split is exactness-preserving (no false negatives).
-                bwords = spark.read.parquet(
-                    store.bloom_words_path_up_to(r - 1))
+                bwords = self._bloom_words_df(r - 1)
                 tagged = bloom.seen_prefilter(
                     candidates, bloom.words_to_bloom(bwords),
                     m_bits=cfg.bloom_bits_per_bucket, k=cfg.bloom_probes)
@@ -621,8 +637,7 @@ class Crawler:
                 delta_words = bloom.bloom_words(
                     spark.read.parquet(store.seen_delta_path(r)),
                     m_bits=cfg.bloom_bits_per_bucket, k=cfg.bloom_probes)
-                prev_words = spark.read.parquet(
-                    store.bloom_words_path_up_to(r - 1))
+                prev_words = self._bloom_words_df(r - 1)
                 bloom.merge_words(prev_words, delta_words) \
                     .write.mode("overwrite").parquet(store.bloom_words_path(r))
             seq_cache.unpersist()

@@ -48,6 +48,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
               .withColumn("cluster", F.col("doc_id")))
     labels = labels.persist()
     labels.count()  # materialize so each round starts from a flat plan
+    changed = -1
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.v == labels.doc_id)
                .groupBy("u").agg(F.min("cluster").alias("nbr_min")))
@@ -64,6 +65,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = nxt
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning partial labels would split one true component
+        # into several clusters (multiple keepers ⇒ duplicates survive a
+        # dedup pass) — fail loud instead; raise max_iters for graphs whose
+        # diameter genuinely exceeds it
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations (graph diameter exceeds max_iters)")
     out = labels.select("doc_id", F.col("cluster").alias("cluster_id"))
     # detach from the cache so repeated calls never accumulate executor
     # storage (the round-1 verdict's leak class); the caller's action

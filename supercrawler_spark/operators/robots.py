@@ -137,15 +137,21 @@ def robots_from_pages(pages: DataFrame, user_agent: str = "*") -> DataFrame:
     Common-Crawl-style pages table: (host, disallow_prefixes,
     crawl_delay_ms). The filter pushes to the parquet scan (url suffix
     predicate; with multiple warc_ts snapshots the latest body wins), and the
-    per-host result is small enough to broadcast into the politeness join."""
-    rob = pages.filter(F.col("url").endswith("/robots.txt"))
-    if "warc_ts" in pages.columns:
-        w = F.max_by(F.col("html"), F.col("warc_ts"))
-        rob = (rob.groupBy("url").agg(w.alias("html")))
+    per-host result is small enough to broadcast into the politeness join.
+
+    Exactly ONE row per host: a host whose robots.txt appears under several
+    URLs (http+https schemes, multiple warc_ts snapshots) resolves to the
+    latest warc_ts, ties broken by max url — without this the politeness
+    left join on host would fan out every frontier row of that host,
+    duplicating fetches, docs and seq values."""
+    rob = (pages.filter(F.col("url").endswith("/robots.txt"))
+           .withColumn("host",
+                       F.regexp_extract("url", r"^https?://([^/]+)/", 1)))
+    order = (F.struct(F.col("warc_ts"), F.col("url"))
+             if "warc_ts" in pages.columns else F.col("url"))
+    rob = rob.groupBy("host").agg(F.max_by(F.col("html"), order).alias("html"))
     parse = make_parse_robots(user_agent)
     return (rob
-            .withColumn("host",
-                        F.regexp_extract("url", r"^https?://([^/]+)/", 1))
             .withColumn("r", parse(F.col("html")))
             .select("host",
                     F.col("r.disallow_prefixes").alias("disallow_prefixes"),

@@ -59,11 +59,10 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
-def langid(docs: DataFrame, text_col: str = "text",
-           id_col: str = "doc_id") -> DataFrame:
-    """Stopword-overlap language ID across {en, de, fr, es}; 'und'
-    (undetermined) when no list scores > 0. Ties break alphabetically
-    (deterministic, mirrored in SQL)."""
+def _lang_scores(text_col: str):
+    """Shared stopword-score + prediction expressions: 'und' (undetermined)
+    when no list scores > 0, ties break alphabetically (deterministic,
+    mirrored in SQL)."""
     toks = _tokens(text_col)
     scores = {lang: F.size(F.filter(toks, lambda t: t.isin(words)))
               for lang, words in STOPWORDS.items()}
@@ -73,6 +72,13 @@ def langid(docs: DataFrame, text_col: str = "text",
     for lg in reversed(langs):
         pred = F.when(scores[lg] == best_score, F.lit(lg)).otherwise(pred)
     pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return scores, langs, pred
+
+
+def langid(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID across {en, de, fr, es}."""
+    scores, langs, pred = _lang_scores(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         *[F.coalesce(scores[lg], F.lit(0)).cast("long").alias(f"score_{lg}")
@@ -138,19 +144,26 @@ def filter_corpus(docs: DataFrame, min_tokens: int = 20,
                   max_punct_ratio: float = 0.2,
                   langs: tuple = ("en",), text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Corpus cleaning gate — the standard pre-training filter chain
-    composed from the scoring operators: keep documents with at least
-    ``min_tokens`` whitespace tokens, a non-alphanumeric ratio at most
-    ``max_punct_ratio``, and a predicted language in ``langs``. Output
-    (doc_id, n_tokens, punct_ratio, pred_lang) for the survivors — one
-    declarative plan, all predicates pushed into the single documents scan."""
-    q = quality_score(docs, text_col, id_col)
-    lg = langid(docs, text_col, id_col).select("doc_id", "pred_lang")
-    return (q.join(lg, "doc_id")
+    """Corpus cleaning gate — the standard pre-training filter chain: keep
+    documents with at least ``min_tokens`` whitespace tokens, a
+    non-alphanumeric ratio at most ``max_punct_ratio``, and a predicted
+    language in ``langs``. Output (doc_id, n_tokens, punct_ratio,
+    pred_lang) for the survivors. All three signals are computed in ONE
+    projection over a single documents scan — no self-join, no shuffle."""
+    n_toks = F.size(_tokens(text_col))
+    n_chars = F.length(F.col(text_col))
+    punct = F.round(
+        (n_chars - F.length(F.regexp_replace(F.col(text_col),
+                                             r"[^A-Za-z0-9 ]", "")))
+        / n_chars, 6)
+    _, _, pred = _lang_scores(text_col)
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        n_toks.cast("long").alias("n_tokens"),
+                        punct.alias("punct_ratio"),
+                        pred.alias("pred_lang"))
             .filter((F.col("n_tokens") >= min_tokens)
                     & (F.col("punct_ratio") <= max_punct_ratio)
-                    & F.col("pred_lang").isin(list(langs)))
-            .select("doc_id", "n_tokens", "punct_ratio", "pred_lang"))
+                    & F.col("pred_lang").isin(list(langs))))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

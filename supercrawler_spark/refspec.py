@@ -695,7 +695,9 @@ def _pdf_unescape(s: str) -> str:
         elif e == "\n":
             i += 1                      # line continuation: drop
         elif e == "\r":
-            i += 1 + (i < n and s[i:i + 1] == "\n")
+            # i still points AT the CR here — the optional LF of a CRLF
+            # continuation is the NEXT char
+            i += 1 + (s[i + 1:i + 2] == "\n")
         elif e.isdigit():
             j = i
             while j < n and j - i < 3 and s[j].isdigit():

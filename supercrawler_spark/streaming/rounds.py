@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -63,12 +64,18 @@ def stream_crawl(
               .limit(cfg.crawl_depth + 1))
 
     state = {"stop": False}
+    start = time.monotonic()
 
     def run_round(batch_df, batch_id: int) -> None:
-        # Termination mirrors Crawler.run: by PROGRESS (frontier drained),
-        # not by round index — politeness/throttle deferral legitimately
-        # pushes rounds past crawl_depth (the deferred work must drain).
+        # Termination mirrors Crawler.run: by PROGRESS (frontier drained)
+        # and by TIME BUDGET — not by round index; politeness/throttle
+        # deferral legitimately pushes rounds past crawl_depth (the
+        # deferred work must drain), but never past time_limit_secs.
         if state["stop"]:
+            return
+        if (cfg.time_limit_secs is not None
+                and time.monotonic() - start >= cfg.time_limit_secs):  # L2
+            state["stop"] = True
             return
         r = crawler.store.last_committed_round() + 1
         frontier_path = (crawler.store.init_frontier_path() if r == 0

@@ -132,6 +132,24 @@ def test_dedup_clusters_on_duplicated_docs(spark):
     assert 3 not in got or got[3][0] != 0
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    # a 6-node chain has diameter 5 > max_iters=2: partial labels would
+    # silently split the component, so the operator must fail loud
+    chain = _pairs(spark, [(i, i + 1) for i in range(1, 6)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        clusters.connected_components(chain, max_iters=2).collect()
+
+
+def test_filter_corpus_single_scan_no_join(spark):
+    from supercrawler_spark.operators import textquality
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = textquality.filter_corpus(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # all three signals come from ONE projection over one scan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Exchange" not in plan
+
+
 def test_clusters_no_cached_leak(spark):
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()

@@ -59,3 +59,10 @@ def test_config_clamps():
     assert cfg2.crawl_depth == 0
     assert cfg2.max_urls == 120
     assert cfg2.time_limit_secs == 600.0
+    # max_fetch_per_round=0 would defer everything every round (infinite
+    # drain loop) — clamped to 1, in the main variant too
+    assert CrawlConfig(max_fetch_per_round=0).validated() \
+        .max_fetch_per_round == 1
+    assert CrawlConfig(max_fetch_per_round=-5, variant="main").validated() \
+        .max_fetch_per_round == 1
+    assert CrawlConfig().validated().max_fetch_per_round is None

@@ -54,6 +54,14 @@ def test_octal_and_continuation_escapes():
     assert got == "AA B" + "continued"
 
 
+def test_crlf_continuation_drops_both_chars():
+    # PDF 32000-1 7.3.4.2: backslash + EOL (LF, CR, or CRLF) is a line
+    # continuation — NEITHER char may reach the decoded text
+    content = b"BT (AB\\\r\nCD) Tj (EF\\\rGH) Tj ET"
+    got = refspec.extract_pdf_text(_tiny_pdf(content))
+    assert got == "ABCD" + "EFGH"
+
+
 def test_legacy_bt_et_shape_byte_identical():
     legacy = b"%PDF-1.4\nBT\ncrawl frontier words\nET\n%%EOF"
     assert refspec.extract_pdf_text(legacy) == "crawl frontier words"

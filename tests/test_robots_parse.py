@@ -92,6 +92,27 @@ def test_engine_allow_overrides_disallow(spark, corpus_sf0001,
     assert o_blocked <= b_blocked
 
 
+def test_robots_one_row_per_host_across_urls(spark):
+    """A host serving robots.txt under several URLs (http+https, snapshots)
+    must collapse to ONE row — latest warc_ts wins, ties broken by max url —
+    or the politeness left join would fan out every frontier row."""
+    import datetime
+    from supercrawler_spark.operators.robots import robots_from_pages
+    ts = datetime.datetime
+    rows = [
+        ("http://a.com/robots.txt", ts(2025, 1, 1), b"User-agent: *\nDisallow: /old\n"),
+        ("https://a.com/robots.txt", ts(2025, 6, 1), b"User-agent: *\nDisallow: /new\n"),
+        ("https://b.com/robots.txt", ts(2025, 1, 1), b"User-agent: *\nDisallow: /b\n"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, h, "", "en") for u, t, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    out = robots_from_pages(pages).collect()
+    got = {r["host"]: list(r["disallow_prefixes"]) for r in out}
+    assert len(out) == 2
+    assert got == {"a.com": ["/new"], "b.com": ["/b"]}
+
+
 def test_polite_crawl_from_parsed_robots(spark, corpus_sf0001,
                                          tmp_path_factory):
     """End-to-end: augment pages with /robots.txt rows whose bodies encode
