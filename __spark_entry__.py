@@ -445,12 +445,18 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_
 n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
 scored AS (
   SELECT q.query_id, n.neighbor_id,
+         CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(nv)),
+                    i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))) > 0
+         THEN
          list_sum(list_transform(generate_series(1, len(qv)),
                   i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
           * sqrt(list_sum(list_transform(generate_series(1, len(nv)),
-                  i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))))) AS sim
+                  i -> CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))))
+         ELSE 0.0 END AS sim
   FROM q JOIN n ON q.query_id <> n.neighbor_id
 )
 """
@@ -479,13 +485,21 @@ WITH bb AS (
   FROM embeddings, range({n_bands}) band(x)
 )
 """
+    # zero-norm guard mirrors similarity.cosine: sim is DEFINED as 0.0 when
+    # either norm is zero (NaN would sort greatest in Spark)
     _COS_E = """
+         CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, len(e1.embedding)),
+                    i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(e2.embedding)),
+                    i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE))))) > 0
+         THEN
          list_sum(list_transform(generate_series(1, len(e1.embedding)),
                   i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform(generate_series(1, len(e1.embedding)),
                   i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE))))
           * sqrt(list_sum(list_transform(generate_series(1, len(e2.embedding)),
-                  i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))))"""
+                  i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))))
+         ELSE 0.0 END"""
     # ANN uses 32 planes x 8 bands (recall knob); near-dups 16 x 4 — must
     # match the Spark-side defaults in operators/similarity.py
     lsh_cte = _bb_cte(32, 8) + f""",

@@ -82,9 +82,17 @@ class ParsedUrl:
     path: str
     query: Optional[str]
     fragment: Optional[str]
+    # userinfo preserved verbatim (the url crate keeps it in to_string();
+    # dropping it would diverge the seen-set key for credentialed URLs).
+    # WHATWG additionally percent-encodes some userinfo chars — out of
+    # scope for the crawl corpus, preserved as-is.
+    userinfo: Optional[str] = None
 
     def to_string(self) -> str:
-        s = f"{self.scheme}://{self.host}"
+        s = f"{self.scheme}://"
+        if self.userinfo:
+            s += f"{self.userinfo}@"
+        s += self.host
         if self.port is not None:
             s += f":{self.port}"
         s += self.path
@@ -100,7 +108,10 @@ def rust_url_parse(url: str) -> Optional[ParsedUrl]:
     ``Url::parse(s)?.to_string()`` does; None on anything it would reject."""
     if url is None:
         return None
-    s = url.strip().strip("\t\n\r")
+    # WHATWG input preprocessing: trim C0/space at the EDGES, then remove
+    # tab/LF/CR ANYWHERE (an href split across source lines still parses)
+    s = url.strip()
+    s = s.replace("\t", "").replace("\n", "").replace("\r", "")
     i = s.find(":")
     if i <= 0:
         return None
@@ -110,9 +121,13 @@ def rust_url_parse(url: str) -> Optional[ParsedUrl]:
     if scheme not in _SPECIAL_PORTS:
         return None  # non-special schemes (javascript:, mailto:) are prefiltered
     rest = s[i + 1:]
-    if not rest.startswith("//"):
-        return None
-    rest = rest[2:]
+    # WHATWG "special authority ignore slashes": for special schemes ANY
+    # run of / or \ (including none) after the colon separates scheme from
+    # authority — Url::parse accepts "http:example.com" and "http:/a/b"
+    j = 0
+    while j < len(rest) and rest[j] in "/\\":
+        j += 1
+    rest = rest[j:]
     # split authority / path / query / fragment
     frag: Optional[str] = None
     fi = rest.find("#")
@@ -129,8 +144,10 @@ def rust_url_parse(url: str) -> Optional[ParsedUrl]:
         authority, path = rest, ""
     else:
         authority, path = rest[:si], rest[si:]
+    userinfo: Optional[str] = None
     if "@" in authority:
-        authority = authority.rsplit("@", 1)[1]
+        userinfo, authority = authority.rsplit("@", 1)
+        userinfo = userinfo or None
     port: Optional[int] = None
     if ":" in authority:
         hostpart, portpart = authority.rsplit(":", 1)
@@ -156,7 +173,7 @@ def rust_url_parse(url: str) -> Optional[ParsedUrl]:
         query = _pct_encode(query, _QUERY_ENCODE)
     if frag is not None:
         frag = _pct_encode(frag, _FRAGMENT_ENCODE)
-    return ParsedUrl(scheme, host, port, path, query, frag)
+    return ParsedUrl(scheme, host, port, path, query, frag, userinfo)
 
 
 def rust_url_join(base: ParsedUrl, href: str, strip_fragment: bool = False) -> Optional[str]:
@@ -164,6 +181,7 @@ def rust_url_join(base: ParsedUrl, href: str, strip_fragment: bool = False) -> O
     None when the join fails. ``strip_fragment`` applies ``set_fragment(None)``
     (F3, src/supercrawler.rs:748)."""
     href = href.strip()
+    href = href.replace("\t", "").replace("\n", "").replace("\r", "")
     absolute = rust_url_parse(href)
     if absolute is None and ":" in href.split("/")[0].split("?")[0].split("#")[0]:
         # has a scheme but failed to parse as special → reference's join errors
@@ -205,6 +223,7 @@ def rust_url_join(base: ParsedUrl, href: str, strip_fragment: bool = False) -> O
             _pct_encode(path, _PATH_ENCODE),
             _pct_encode(query, _QUERY_ENCODE) if query is not None else None,
             _pct_encode(frag, _FRAGMENT_ENCODE) if frag is not None else None,
+            base.userinfo,
         )
     if strip_fragment:
         result = replace(result, fragment=None)

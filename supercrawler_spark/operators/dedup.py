@@ -173,6 +173,11 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, radius: int = 3,
     Unlike LSH this is exact: recall = 1 within the radius. Scale note: at
     bits=64, radius=3 each chunk is 16 bits → 65k buckets per chunk; per-
     bucket fan-out is (n/65k)^2 per chunk, near-linear for web-scale corpora."""
+    # radius+1 chunks over `bits` bits: every chunk must be >= 1 bit wide,
+    # or a zero-width chunk (mask 0) puts ALL docs in one bucket and the
+    # equi-join degenerates to the n^2 cross product this function exists
+    # to avoid
+    assert 0 <= radius < bits, "need 0 <= radius < bits"
     chunks = radius + 1
     sh = simhash(docs, bits, text_col, id_col)
     vals = F.array(*[
@@ -211,9 +216,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     banners). Shingles with df > cap are dropped from BOTH the intersection
     and the per-doc set sizes, i.e. the result is exact Jaccard over the
     df-capped shingle space (the standard practice; the oracle mirrors the
-    same predicate). The hot-shingle set is tiny by construction, so it is
-    removed with a broadcast anti-join — the (doc, shingle) rows themselves
-    never shuffle for the cap. None disables the cap."""
+    same predicate — a size() filter on the posting list, see the inline
+    comment below). None disables the cap."""
     sh = shingles(docs, text_col, id_col, n)
     # Single-pass posting-list formulation instead of a (doc, shingle)
     # self-join: ONE groupBy(shingle) builds the posting list per shingle,

@@ -80,14 +80,20 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         import hashlib
         for pdf in batches:
             feats, hashes, lens = [], [], []
-            for payload in pdf["payload"]:
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 raw = bytes(payload) if payload is not None else b""
                 lens.append(len(raw))
                 hashes.append(hashlib.md5(raw).hexdigest())
-                try:
-                    _decode_image(raw)      # stubbed: raises in sandbox
-                except NotImplementedError:
-                    pass
+                # image decode only for image payloads; ANY decode failure
+                # (stub NotImplementedError here, UnidentifiedImageError /
+                # OSError with PIL installed on corrupt bytes) falls back to
+                # the deterministic fake — one bad payload must never kill
+                # the whole mapInPandas stage
+                if isinstance(mtype, str) and mtype.startswith("image/"):
+                    try:
+                        _decode_image(raw)
+                    except Exception:
+                        pass
                 feats.append(_fake_feature(raw, dim))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
@@ -107,9 +113,11 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = (F.coalesce(F.col("meta_width"), F.lit(0)) / every_n).cast("long")
     return (media
             .filter(F.col("media_type").startswith("video/"))
+            # zero planned frames ⇒ zero rows (greatest(n-1, 0) alone would
+            # emit a spurious frame 0 for short/metadata-less videos)
+            .filter(n_frames > 0)
             .select("media_id",
-                    F.explode(F.sequence(F.lit(0),
-                                         F.greatest(n_frames - 1, F.lit(0))))
+                    F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int")))
                     .alias("frame_idx"))
             .withColumn("frame_offset_ms", F.col("frame_idx") * 1000 * every_n))
 

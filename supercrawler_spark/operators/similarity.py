@@ -27,7 +27,12 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: 0/0 would yield NaN, and Spark sorts NaN as the
+    # GREATEST double — an all-zero embedding would otherwise become the
+    # rank-1 neighbor of every query. Defined as sim 0.0 instead (mirrored
+    # in the oracle SQL).
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
@@ -124,8 +129,12 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     ppb = n_planes // n_bands
     bb = hyperplane_band_buckets(embeddings, n_planes, n_bands,
                                  id_col, vec_col, dim)
-    qids = queries.select(F.col(id_col).alias("vec_id"))
-    qb = (bb.join(F.broadcast(qids), "vec_id", "left_semi")
+    # query buckets are computed from the QUERIES frame's own vectors (not
+    # semi-joined out of the corpus): identical values for in-corpus
+    # queries, and out-of-corpus query vectors get real neighbors instead
+    # of a silent empty result
+    qb = (hyperplane_band_buckets(queries, n_planes, n_bands,
+                                  id_col, vec_col, dim)
           .select(F.col("vec_id").alias("query_id"), "band", "bucket"))
     if multiprobe:
         probes = F.array(F.col("bucket"),
@@ -137,10 +146,8 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     cand = (qb.join(nb, ["band", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
-    ev_q = (embeddings.join(F.broadcast(queries.select(id_col)), id_col,
-                            "left_semi")
-            .select(F.col(id_col).alias("query_id"),
-                    F.col(vec_col).alias("qv")))
+    ev_q = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv"))
     ev_n = embeddings.select(F.col(id_col).alias("neighbor_id"),
                              F.col(vec_col).alias("nv"))
     scored = (cand.join(F.broadcast(ev_q), "query_id")
@@ -193,10 +200,9 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     cell-partitioned table the probe is a partition-pruned scan. Output
     shape matches cosine_topk; the oracle mirrors the quantizer exactly."""
     cells = ivf_cells(embeddings, n_cells, id_col, vec_col, dim)
-    qids = queries.select(F.col(id_col).alias("vec_id"))
-    q = (embeddings.join(F.broadcast(queries.select(id_col)), id_col,
-                         "left_semi")
-         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    # query vectors come from the queries frame itself (see lsh_ann_topk)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
     qdots = F.array(*[
         _dot(F.col("qv"), F.array(*[F.lit(x) for x in _centroid(c, dim)]))
         for c in range(n_cells)

@@ -6,6 +6,7 @@ import itertools
 import math
 from contextlib import redirect_stdout
 
+import pytest
 from pyspark.sql import functions as F
 
 from supercrawler_spark.operators import dedup, similarity
@@ -171,3 +172,68 @@ def test_lsh_ann_recall_against_exact(spark):
            for r in similarity.lsh_ann_topk(emb, queries, k=1).collect()}
     for q in range(5):
         assert ann[(q, 1)] == 1000 + q, "twin not recovered by banded LSH"
+
+
+def test_zero_norm_embedding_never_tops_ranking(spark):
+    """An all-zero embedding must score sim 0.0 (not NaN, which Spark sorts
+    GREATEST) against every query, so it cannot displace real neighbors."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [float(rng.uniform(-1, 1)) for _ in range(64)])
+            for i in range(10)]
+    rows.append((99, [0.0] * 64))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = similarity.cosine_topk(emb, q, k=3).collect()
+    assert all(r["neighbor_id"] != 99 or r["sim"] == 0.0 for r in top)
+    assert all(not math.isnan(r["sim"]) for r in top)
+    # and the zero vector as the QUERY yields defined sims too
+    qz = emb.filter(F.col("vec_id") == 99)
+    topz = similarity.cosine_topk(emb, qz, k=3).collect()
+    assert [r["sim"] for r in topz] == [0.0, 0.0, 0.0]
+
+
+def test_ann_accepts_out_of_corpus_queries(spark):
+    """lsh/ivf ANN take query vectors from the queries frame itself: a query
+    id absent from the corpus must return real neighbors, not silently zero
+    rows (they previously semi-joined vectors out of the corpus)."""
+    import random
+    rng = random.Random(31)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    # out-of-corpus query = tiny perturbation of corpus vector 3
+    qv = [float(x + 0.002) for x in base[3]]
+    q = spark.createDataFrame([(9999, qv)], "vec_id LONG, embedding ARRAY<FLOAT>")
+    lsh = similarity.lsh_ann_topk(emb, q, k=1).collect()
+    assert len(lsh) == 1 and lsh[0]["neighbor_id"] == 3
+    ivf = similarity.ivf_ann_topk(emb, q, k=1).collect()
+    assert len(ivf) == 1 and ivf[0]["neighbor_id"] == 3
+
+
+def test_simhash_near_pairs_rejects_radius_ge_bits(spark):
+    """radius+1 chunks over `bits` bits needs every chunk >= 1 bit — a
+    zero-width chunk would bucket ALL docs together (n^2 cross product)."""
+    docs = spark.createDataFrame([(0, "a b c"), (1, "d e f")],
+                                 "doc_id LONG, text STRING")
+    with pytest.raises(AssertionError):
+        dedup.simhash_near_pairs(docs, bits=4, radius=4)
+
+
+def test_frame_sample_plan_zero_frames_zero_rows(spark):
+    """Videos whose computed frame count is 0 contribute NO rows (previously
+    a spurious frame 0 appeared for short/metadata-less videos)."""
+    from supercrawler_spark.operators import multimodal
+    media = spark.createDataFrame(
+        [(1, "video/mp4", b"x", 5, None),     # 5/10 -> 0 frames
+         (2, "video/mp4", b"x", None, None),  # null width -> 0 frames
+         (3, "video/mp4", b"x", 25, None)],   # 25/10 -> 2 frames
+        "media_id LONG, media_type STRING, payload BINARY, "
+        "meta_width LONG, meta_height LONG")
+    rows = multimodal.frame_sample_plan(media, every_n=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert 1 not in got and 2 not in got
+    assert sorted(got[3]) == [0, 1]
