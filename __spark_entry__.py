@@ -22,7 +22,7 @@ from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
     bloom, clusters, corpus, dedup, graph, multimodal, similarity,
-    textquality, yt,
+    textquality, trainmix, yt,
 )
 
 
@@ -341,6 +341,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "byte_len", "payload_hash")
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over the media projection: one row per
+    planned frame (media_id, frame_idx, frame_offset_ms)."""
+    media = multimodal.docs_as_media(_docs(spark, sf_dir))
+    plan = multimodal.frame_sample_plan(media, every_n=10)
+    return plan.select("media_id",
+                       F.col("frame_idx").cast("long").alias("frame_idx"),
+                       F.col("frame_offset_ms").cast("long")
+                       .alias("frame_offset_ms"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination removal list: docs sharing >=1 distinct
+    8-gram with the benchmark slice (doc_id % 37 == 0 stands in for an eval
+    set; it shares text with the corpus by construction, so the check is
+    non-vacuous)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return trainmix.decontaminate(docs, bench, n=8, min_hits=1)
+
+
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 shards: (doc_id, shard, pos)."""
+    return trainmix.shuffle_corpus(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli data-mix draw."""
+    return trainmix.stratified_sample(
+        _docs(spark, sf_dir),
+        {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1})
+
+
 def q_yt_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/X11: YouTube search-result markdown (src/yt_crawler.rs:119-161)
     over a deterministic videos projection of documents."""
@@ -385,6 +418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "robots_parse": q_robots_parse,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "decontaminate": q_decontaminate,
+        "shuffle_corpus": q_shuffle_corpus,
+        "stratified_sample": q_stratified_sample,
         "yt_markdown": q_yt_markdown,
     }
 
@@ -974,4 +1011,51 @@ SELECT doc_id AS media_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
        md5(text) AS payload_hash
 FROM documents""",
+        # videos are doc_id % 3 == 2 (docs_as_media); meta_width =
+        # char length; n_frames = floor(width / 10); zero-frame videos emit
+        # no rows (generate_series(0, -1) is empty)
+        "frame_sample": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(floor(length(text) / 10.0) AS BIGINT) AS nf
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT media_id, unnest(generate_series(0, nf - 1)) AS frame_idx FROM m)
+SELECT media_id, frame_idx, frame_idx * 10000 AS frame_offset_ms FROM f""",
+        # 8-gram decontamination: benchmark = doc_id % 37 == 0 slice;
+        # bench_hits counts DISTINCT shared shingles (hash-collision-free at
+        # these scales, so counting strings mirrors counting md5 hashes)
+        "decontaminate": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+dsh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           generate_series(1, len(t) - 7),
+           i -> array_to_string(t[i:i+7], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 8
+),
+bsh AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 37 = 0)
+SELECT d.doc_id, COUNT(DISTINCT d.shingle) AS bench_hits
+FROM dsh d JOIN bsh b USING (shingle)
+GROUP BY d.doc_id""",
+        "shuffle_corpus": """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuffle-1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv
+  FROM documents)
+SELECT doc_id, hv % 16 AS shard,
+       ROW_NUMBER() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
+FROM h""",
+        "stratified_sample": """
+WITH d AS (
+  SELECT doc_id, source AS stratum,
+         CAST(('0x' || substr(md5('sample-1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1000000 AS draw,
+         CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+              WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END AS frac
+  FROM documents)
+SELECT doc_id, stratum FROM d
+WHERE draw < CAST(frac * 1000000 AS BIGINT)""",
     }

@@ -50,7 +50,8 @@ def main() -> None:
 
     from supercrawler_spark.crawler import CrawlConfig, crawl
     from supercrawler_spark.operators import (
-        clusters, corpus, dedup, similarity, textquality,
+        clusters, corpus, dedup, multimodal, similarity, textquality,
+        trainmix,
     )
     from supercrawler_spark.session import get_spark
     from supercrawler_spark.sources import synth
@@ -190,6 +191,14 @@ def main() -> None:
     bench("scrub_pii", lambda: corpus.scrub_pii(docs)
           .agg(F.sum("n_emails"), F.sum(F.length("redacted"))).collect())
     bench("source_stats", lambda: corpus.source_stats(docs).count())
+    bench("decontaminate", lambda: trainmix.decontaminate(
+        docs, docs.filter(F.col("doc_id") % 37 == 0), n=8).count())
+    bench("shuffle_corpus", lambda: trainmix.shuffle_corpus(
+        docs, n_shards=256).count())
+    bench("stratified_sample", lambda: trainmix.stratified_sample(
+        docs, {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}).count())
+    bench("frame_sample", lambda: multimodal.frame_sample_plan(
+        multimodal.docs_as_media(docs), every_n=10).count())
 
     def dedup_clusters_bench():
         out = clusters.dedup_clusters(docs)

@@ -1,0 +1,107 @@
+"""Training-mix assembly operators: benchmark decontamination, deterministic
+corpus shuffle, and stratified (per-stratum) sampling.
+
+These are the last-mile stages between a cleaned corpus and a training run:
+remove documents that leak evaluation benchmarks, fix a global sample order
+once (so downstream sharding is reproducible), and draw an exact,
+deterministic data mix per source/language. Like the rest of ``operators/``
+everything is built-in JVM expressions — no Python UDFs, no driver loops —
+and each operator has an exact DuckDB-oracle twin in
+``__spark_entry__.oracle_sql``.
+
+The reference (duggal1/supercrawler) stops at document collection; these
+extend it per SURVEY.md §2 "training-data operators". Decontamination
+follows the n-gram-overlap practice of GPT-3 appendix C / Dodge et al. 2021:
+a document is contaminated when it shares >= ``min_hits`` distinct word
+n-grams with any benchmark text.
+
+Scale design (100 TB corpus, ~MB-scale benchmark):
+
+- ``decontaminate``: the benchmark shingle set is tiny by construction, so
+  it is BROADCAST and the corpus (doc, shingle) rows are filtered map-side —
+  the only shuffle is the per-doc aggregation of the (rare) hit rows. The
+  output is a removal list, not a per-doc annotation, so nothing joins back
+  against the full corpus.
+- ``shuffle_corpus``: one shuffle keyed on the salted-hash shard plus an
+  in-partition sort — the "shuffle once, then shard" pattern. md5-based
+  ranks are uniform, so shards are balanced by construction.
+- ``stratified_sample``: shuffle-free scan-speed filter; membership is a
+  pure function of (salt, doc_id), so the sample is stable under re-runs,
+  reshuffling, and cluster size.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from supercrawler_spark.operators.dedup import shingles
+
+
+def md5long(col):
+    """First 60 bits of md5 as a non-negative BIGINT — the engine/oracle
+    portable hash (DuckDB lacks xxhash64): mirrors the SQL macro
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15),
+                  16, 10).cast("long")
+
+
+def _salted_id_hash(salt: str, id_col: str):
+    return md5long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  min_hits: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  bench_id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-decontamination removal list: (doc_id, bench_hits) for every
+    document sharing at least ``min_hits`` DISTINCT word ``n``-grams with the
+    benchmark corpus (GPT-3 appendix C style n-gram collision test).
+
+    The benchmark's distinct shingle hashes are broadcast; corpus shingles
+    are filtered against them map-side, so corpus-sized data never shuffles
+    for the membership test — only the hit rows aggregate per doc."""
+    bench_sh = (shingles(benchmark, text_col, bench_id_col, n)
+                .select(md5long(F.col("shingle")).alias("sh_hash"))
+                .distinct())
+    doc_sh = (shingles(docs, text_col, id_col, n)
+              .select("doc_id", md5long(F.col("shingle")).alias("sh_hash")))
+    return (doc_sh.join(F.broadcast(bench_sh), "sh_hash")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("sh_hash").alias("bench_hits"))
+            .filter(F.col("bench_hits") >= min_hits))
+
+
+def shuffle_corpus(docs: DataFrame, n_shards: int = 1024,
+                   salt: str = "shuffle-1", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle: (doc_id, shard, pos) with
+    shard = salted-md5(doc_id) mod ``n_shards`` and ``pos`` the dense rank of
+    the hash within its shard (ties broken by doc_id). Reading shards in
+    (shard, pos) order visits the corpus in a fixed pseudo-random
+    permutation — the reproducible "shuffle once before sharding" a training
+    run needs, independent of input partitioning or cluster size."""
+    h = _salted_id_hash(salt, id_col)
+    d = docs.select(F.col(id_col).alias("doc_id"), h.alias("_h"),
+                    F.pmod(h, F.lit(n_shards)).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (d.withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("doc_id", "shard", "pos"))
+
+
+def stratified_sample(docs: DataFrame, fractions: Mapping[str, float],
+                      stratum_col: str = "source", salt: str = "sample-1",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the data-mix draw: keep a
+    document iff salted-md5(doc_id) mod 10^6 < fraction(stratum) * 10^6.
+    Strata absent from ``fractions`` are dropped (fraction 0). Output
+    (doc_id, stratum). Membership depends only on (salt, doc_id), so the
+    draw is exactly reproducible and two salts give independent samples."""
+    pairs = [x for k, v in sorted(fractions.items())
+             for x in (F.lit(k), F.lit(float(v)))]
+    frac = F.coalesce(F.create_map(*pairs)[F.col(stratum_col)], F.lit(0.0))
+    draw = F.pmod(_salted_id_hash(salt, id_col), F.lit(1_000_000))
+    return (docs
+            .filter(draw < (frac * 1_000_000).cast("long"))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(stratum_col).alias("stratum")))
