@@ -374,6 +374,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1})
 
 
+def q_weighted_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch expansion for data-mix weights > 1: floor(w)
+    copies per doc plus a fractional-probability extra copy."""
+    return trainmix.weighted_epochs(
+        _docs(spark, sf_dir), {"src0": 2.5, "src1": 1.25, "src2": 0.75})
+
+
 def q_yt_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/X11: YouTube search-result markdown (src/yt_crawler.rs:119-161)
     over a deterministic videos projection of documents."""
@@ -422,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "shuffle_corpus": q_shuffle_corpus,
         "stratified_sample": q_stratified_sample,
+        "weighted_epochs": q_weighted_epochs,
         "yt_markdown": q_yt_markdown,
     }
 
@@ -1058,4 +1066,24 @@ WITH d AS (
   FROM documents)
 SELECT doc_id, stratum FROM d
 WHERE draw < CAST(frac * 1000000 AS BIGINT)""",
+        # epoch expansion: n = floor(w) + (draw < round(frac(w)*1e6));
+        # generate_series(0, n-1) is inclusive on both ends, matching
+        # Spark's F.sequence
+        "weighted_epochs": """
+WITH d AS (
+  SELECT doc_id, source AS stratum,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+              WHEN 'src2' THEN 0.75 ELSE 0.0 END AS w,
+         CAST(('0x' || substr(md5('epochs-1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1000000 AS draw
+  FROM documents),
+n AS (
+  SELECT doc_id, stratum,
+         CAST(floor(w) AS BIGINT)
+         + CASE WHEN draw < CAST(round((w - floor(w)) * 1000000) AS BIGINT)
+                THEN 1 ELSE 0 END AS nc
+  FROM d)
+SELECT doc_id, stratum,
+       unnest(generate_series(0, nc - 1)) AS epoch
+FROM n WHERE nc >= 1""",
     }

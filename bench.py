@@ -199,6 +199,8 @@ def main() -> None:
         docs, {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}).count())
     bench("frame_sample", lambda: multimodal.frame_sample_plan(
         multimodal.docs_as_media(docs), every_n=10).count())
+    bench("weighted_epochs", lambda: trainmix.weighted_epochs(
+        docs, {"src0": 2.5, "src1": 1.25, "src2": 0.75}).count())
 
     def dedup_clusters_bench():
         out = clusters.dedup_clusters(docs)

@@ -89,6 +89,36 @@ def shuffle_corpus(docs: DataFrame, n_shards: int = 1024,
             .select("doc_id", "shard", "pos"))
 
 
+def weighted_epochs(docs: DataFrame, weights: Mapping[str, float],
+                    stratum_col: str = "source", salt: str = "epochs-1",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic data-mix epoch expansion for weights that may exceed 1
+    (the GPT-3 table-2.2 "epochs elapsed when training" mix): a stratum with
+    weight ``w`` contributes ``floor(w)`` full copies of every document plus
+    one more with probability ``frac(w)``, decided by the salted-md5 draw —
+    so the realized mix hits the target weight exactly in expectation and
+    every copy is reproducible. Output (doc_id, stratum, epoch) with
+    epoch = 0..n-1; weight-0 / unlisted strata emit nothing.
+
+    Scale: shuffle-free — one scan, a per-row arithmetic decision and a
+    bounded ``explode`` (fan-out = ceil(w), a small constant). Downstream
+    shuffling (e.g. ``shuffle_corpus`` keyed on (doc_id, epoch)) spreads the
+    copies, so no skew is introduced here."""
+    pairs = [x for k, v in sorted(weights.items())
+             for x in (F.lit(k), F.lit(float(v)))]
+    w = F.coalesce(F.create_map(*pairs)[F.col(stratum_col)], F.lit(0.0))
+    draw = F.pmod(_salted_id_hash(salt, id_col), F.lit(1_000_000))
+    extra = (draw < F.round((w - F.floor(w)) * 1_000_000).cast("long"))
+    n = (F.floor(w).cast("long") + extra.cast("long")).alias("_n")
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(stratum_col).alias("stratum"), n)
+            .filter(F.col("_n") >= 1)
+            .select("doc_id", "stratum",
+                    F.explode(F.sequence(F.lit(0).cast("long"),
+                                         F.col("_n") - 1)).alias("epoch")))
+
+
 def stratified_sample(docs: DataFrame, fractions: Mapping[str, float],
                       stratum_col: str = "source", salt: str = "sample-1",
                       id_col: str = "doc_id") -> DataFrame:

@@ -82,6 +82,35 @@ def test_stratified_sample_fractions_and_determinism(spark):
     assert none == []
 
 
+def test_weighted_epochs_counts_and_determinism(spark):
+    rows = [(i, "en", ("alpha", "beta", "gamma", "delta")[i % 4], "x")
+            for i in range(4000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, source STRING, text STRING")
+    weights = {"alpha": 2.5, "beta": 1.0, "gamma": 0.25}  # delta unlisted
+    out = trainmix.weighted_epochs(docs, weights).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault((r["doc_id"], r["stratum"]), []).append(r["epoch"])
+    # epochs are dense 0..n-1 per doc
+    for (doc, stratum), eps in by_doc.items():
+        assert sorted(eps) == list(range(len(eps))), (doc, eps)
+    n = {"alpha": 0, "beta": 0, "gamma": 0}
+    for (doc, stratum), eps in by_doc.items():
+        n[stratum] += len(eps)
+        lo, hi = int(weights[stratum]), int(weights[stratum]) + 1
+        assert len(eps) in (lo, hi) or weights[stratum] == int(weights[stratum])
+    # realized copies track the weights (1000 docs per stratum)
+    assert abs(n["alpha"] / 1000 - 2.5) < 0.1
+    assert n["beta"] == 1000          # integer weight: exactly one epoch
+    assert abs(n["gamma"] / 1000 - 0.25) < 0.05
+    assert not any(s == "delta" for (_, s) in by_doc)
+    # deterministic under repartitioning
+    again = trainmix.weighted_epochs(docs.repartition(13), weights).collect()
+    key = lambda rs: sorted((r["doc_id"], r["stratum"], r["epoch"]) for r in rs)
+    assert key(again) == key(out)
+
+
 def test_stratified_sample_salts_independent(spark):
     rows = [(i, "en", "alpha", "x") for i in range(2000)]
     docs = spark.createDataFrame(
