@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
-    bloom, clusters, corpus, dedup, graph, multimodal, similarity,
-    textquality, trainmix, yt,
+    bloom, clusters, corpus, dedup, graph, linededup, multimodal, pagerank,
+    similarity, textquality, trainmix, yt,
 )
 
 
@@ -381,6 +381,32 @@ def q_weighted_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), {"src0": 2.5, "src1": 1.25, "src2": 0.75})
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level boilerplate removal (CCNet/RefinedWeb-style):
+    the synthetic text has no newlines, so the query injects a deterministic
+    5-line structure (global nav line, per-source footer, two content
+    slices, a unique trailer) mirrored exactly in the oracle — lines
+    appearing in >= 5 docs are dropped, content survives in order."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV | Home | About | Contact"),
+            F.concat(F.lit("SOURCE "), F.col("source"), F.lit(" FOOTER")),
+            F.substring("text", 1, 60),
+            F.substring("text", 61, 60),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
+                     F.lit(" unique line"))).alias("text"))
+    return linededup.line_dedup(docs, min_df=5, min_chars=6)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-priority centrality: 2-iteration fixed-point PageRank over
+    the deterministic 3-out-edge doc graph; BIGINT micro-unit ranks so the
+    distributed sum is order-independent and hash-comparable."""
+    return pagerank.pagerank(_docs(spark, sf_dir), iters=2)
+
+
 def q_yt_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/X11: YouTube search-result markdown (src/yt_crawler.rs:119-161)
     over a deterministic videos projection of documents."""
@@ -430,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": q_shuffle_corpus,
         "stratified_sample": q_stratified_sample,
         "weighted_epochs": q_weighted_epochs,
+        "line_dedup": q_line_dedup,
+        "pagerank": q_pagerank,
         "yt_markdown": q_yt_markdown,
     }
 
@@ -1086,4 +1114,60 @@ n AS (
 SELECT doc_id, stratum,
        unnest(generate_series(0, nc - 1)) AS epoch
 FROM n WHERE nc >= 1""",
+        # corpus-wide line dedup over the injected 5-line structure; lines
+        # trimmed-matching in >= 5 docs and >= 6 chars are dropped; text
+        # reassembled in original line order (string_agg ORDER BY pos)
+        "line_dedup": """
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'NAV | Home | About | Contact',
+           'SOURCE ' || source || ' FOOTER',
+           substr(text, 1, 60),
+           substr(text, 61, 60),
+           'doc ' || CAST(doc_id AS VARCHAR) || ' unique line') AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)),
+lk AS (SELECT doc_id, pos, line, trim(line) AS lkey FROM l),
+dup AS (
+  SELECT lkey FROM lk WHERE length(lkey) >= 6
+  GROUP BY lkey HAVING count(DISTINCT doc_id) >= 5),
+m AS (
+  SELECT lk.doc_id, lk.pos, lk.line, (dup.lkey IS NOT NULL) AS is_dup
+  FROM lk LEFT JOIN dup ON lk.lkey = dup.lkey)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                           chr(10) ORDER BY pos), '') AS text_clean
+FROM m GROUP BY doc_id""",
+        # 2-iteration fixed-point PageRank: BIGINT micro-units (SCALE=1e12),
+        # damping 85/100, 3 out-edges/node via (31*src + 7k + 3) mod n;
+        # integral division mirrors Spark's `div`
+        "pagerank": """
+WITH p AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src_id, (d.doc_id * 31 + 7 * t.k + 3) % p.n AS dst_id
+  FROM documents d CROSS JOIN p
+       CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+r0 AS (
+  SELECT doc_id AS id, 1000000000000 // p.n AS r
+  FROM documents CROSS JOIN p),
+c1 AS (
+  SELECT e.dst_id, CAST(sum((r0.r * 85) // 300) AS BIGINT) AS c
+  FROM e JOIN r0 ON e.src_id = r0.id GROUP BY e.dst_id),
+r1 AS (
+  SELECT d.doc_id AS id,
+         ((1000000000000 * 15) // (100 * p.n)) + coalesce(c1.c, 0) AS r
+  FROM documents d CROSS JOIN p LEFT JOIN c1 ON d.doc_id = c1.dst_id),
+c2 AS (
+  SELECT e.dst_id, CAST(sum((r1.r * 85) // 300) AS BIGINT) AS c
+  FROM e JOIN r1 ON e.src_id = r1.id GROUP BY e.dst_id),
+r2 AS (
+  SELECT d.doc_id AS id,
+         ((1000000000000 * 15) // (100 * p.n)) + coalesce(c2.c, 0) AS r
+  FROM documents d CROSS JOIN p LEFT JOIN c2 ON d.doc_id = c2.dst_id)
+SELECT id AS doc_id, CAST(r AS BIGINT) AS "rank" FROM r2""",
     }

@@ -50,8 +50,8 @@ def main() -> None:
 
     from supercrawler_spark.crawler import CrawlConfig, crawl
     from supercrawler_spark.operators import (
-        clusters, corpus, dedup, multimodal, similarity, textquality,
-        trainmix,
+        clusters, corpus, dedup, linededup, multimodal, pagerank,
+        similarity, textquality, trainmix,
     )
     from supercrawler_spark.session import get_spark
     from supercrawler_spark.sources import synth
@@ -201,6 +201,26 @@ def main() -> None:
         multimodal.docs_as_media(docs), every_n=10).count())
     bench("weighted_epochs", lambda: trainmix.weighted_epochs(
         docs, {"src0": 2.5, "src1": 1.25, "src2": 0.75}).count())
+
+    def _multiline_docs():
+        # same injected 5-line structure as the line_dedup oracle query
+        return docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("NAV | Home | About | Contact"),
+                F.concat(F.lit("SOURCE "), F.col("source"),
+                         F.lit(" FOOTER")),
+                F.substring("text", 1, 60),
+                F.substring("text", 61, 60),
+                F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
+                         F.lit(" unique line"))).alias("text"))
+
+    bench("line_dedup", lambda: linededup.line_dedup(
+        _multiline_docs(), min_df=5)
+        .agg(F.sum("n_dropped"), F.sum(F.length("text_clean"))).collect())
+    bench("pagerank", lambda: pagerank.pagerank(docs, iters=2)
+          .agg(F.sum("rank")).collect())
 
     def dedup_clusters_bench():
         out = clusters.dedup_clusters(docs)
