@@ -22,7 +22,7 @@ from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
     bloom, clusters, corpus, dedup, graph, linededup, multimodal, pagerank,
-    similarity, textquality, trainmix, yt,
+    recrawl, similarity, textquality, trainmix, yt,
 )
 
 
@@ -407,6 +407,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank.pagerank(_docs(spark, sf_dir), iters=2)
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-prioritized refresh list with per-host caps over a two-snapshot
+    pages history derived deterministically from documents (latest snapshot
+    age = doc_id % 400 days; the second snapshot is 37 days older, so
+    latest-wins is non-vacuous)."""
+    d = graph.with_url(_docs(spark, sf_dir)).select("doc_id", "url", "host")
+    snap = lambda extra: d.select(
+        "url", "host",
+        F.to_timestamp(F.date_sub(
+            F.lit("2026-01-01").cast("date"),
+            ((F.col("doc_id") % 400) + extra).cast("int"))).alias("warc_ts"))
+    pages = snap(0).union(snap(37))
+    return recrawl.recrawl_schedule(pages, "2026-01-01 00:00:00",
+                                    min_age_days=60, per_host_cap=50)
+
+
 def q_yt_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/X11: YouTube search-result markdown (src/yt_crawler.rs:119-161)
     over a deterministic videos projection of documents."""
@@ -458,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_epochs": q_weighted_epochs,
         "line_dedup": q_line_dedup,
         "pagerank": q_pagerank,
+        "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
     }
 
@@ -1170,4 +1187,36 @@ r2 AS (
          ((1000000000000 * 15) // (100 * p.n)) + coalesce(c2.c, 0) AS r
   FROM documents d CROSS JOIN p LEFT JOIN c2 ON d.doc_id = c2.dst_id)
 SELECT id AS doc_id, CAST(r AS BIGINT) AS "rank" FROM r2""",
+        # recrawl scheduling: latest snapshot per url (2 snapshots, 37 days
+        # apart), staleness >= 60 d, oldest-first per-host rank capped at 50
+        "recrawl_schedule": """
+WITH d AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.com' AS host
+  FROM documents),
+pages AS (
+  SELECT url, host,
+         CAST(DATE '2026-01-01'
+              - CAST(doc_id % 400 AS INTEGER) AS TIMESTAMP) AS warc_ts
+  FROM d
+  UNION ALL
+  SELECT url, host,
+         CAST(DATE '2026-01-01'
+              - CAST(doc_id % 400 + 37 AS INTEGER) AS TIMESTAMP)
+  FROM d),
+latest AS (
+  SELECT url, host, max(warc_ts) AS latest_ts FROM pages GROUP BY url, host),
+aged AS (
+  SELECT url, host,
+         CAST(datediff('day', latest_ts,
+                       TIMESTAMP '2026-01-01 00:00:00') AS BIGINT) AS age_days
+  FROM latest),
+r AS (
+  SELECT url, host, age_days,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY age_days DESC, url ASC) AS rk
+  FROM aged WHERE age_days >= 60)
+SELECT url, host, age_days, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 50""",
     }

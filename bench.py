@@ -50,8 +50,8 @@ def main() -> None:
 
     from supercrawler_spark.crawler import CrawlConfig, crawl
     from supercrawler_spark.operators import (
-        clusters, corpus, dedup, linededup, multimodal, pagerank,
-        similarity, textquality, trainmix,
+        clusters, corpus, dedup, graph, linededup, multimodal, pagerank,
+        recrawl, similarity, textquality, trainmix,
     )
     from supercrawler_spark.session import get_spark
     from supercrawler_spark.sources import synth
@@ -221,6 +221,20 @@ def main() -> None:
         .agg(F.sum("n_dropped"), F.sum(F.length("text_clean"))).collect())
     bench("pagerank", lambda: pagerank.pagerank(docs, iters=2)
           .agg(F.sum("rank")).collect())
+
+    def recrawl_bench():
+        d = graph.with_url(docs).select("doc_id", "url", "host")
+        snap = lambda extra: d.select(
+            "url", "host",
+            F.to_timestamp(F.date_sub(
+                F.lit("2026-01-01").cast("date"),
+                ((F.col("doc_id") % 400) + extra).cast("int")))
+            .alias("warc_ts"))
+        return recrawl.recrawl_schedule(
+            snap(0).union(snap(37)), "2026-01-01 00:00:00",
+            min_age_days=60, per_host_cap=50).count()
+
+    bench("recrawl_schedule", recrawl_bench)
 
     def dedup_clusters_bench():
         out = clusters.dedup_clusters(docs)

@@ -1,0 +1,64 @@
+"""Recrawl scheduling: latest-snapshot staleness + per-host capped ranking."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark.operators import recrawl
+
+NOW = "2026-01-01 00:00:00"
+
+
+def ts(days_old: int) -> datetime.datetime:
+    return (datetime.datetime(2026, 1, 1)
+            - datetime.timedelta(days=days_old))
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = []
+    # host a: 5 urls, ages 10,70,80,90,100 — each with an older extra snapshot
+    for i, age in enumerate([10, 70, 80, 90, 100]):
+        rows.append((f"https://a.com/{i}", "a.com", ts(age)))
+        rows.append((f"https://a.com/{i}", "a.com", ts(age + 500)))
+    # host b: 3 urls all stale at the same age (tie → url asc)
+    for i in range(3):
+        rows.append((f"https://b.com/{i}", "b.com", ts(61)))
+    return spark.createDataFrame(
+        rows, "url STRING, host STRING, warc_ts TIMESTAMP")
+
+
+def test_latest_snapshot_wins_and_staleness_filter(pages):
+    out = recrawl.recrawl_schedule(pages, NOW, min_age_days=60,
+                                   per_host_cap=100).collect()
+    ages = {r["url"]: r["age_days"] for r in out}
+    # url 0 on host a is fresh (10 d) despite its 510-day-old extra snapshot
+    assert "https://a.com/0" not in ages
+    assert ages["https://a.com/4"] == 100 and ages["https://b.com/2"] == 61
+
+
+def test_per_host_cap_and_priority_order(pages):
+    out = recrawl.recrawl_schedule(pages, NOW, min_age_days=60,
+                                   per_host_cap=2).collect()
+    got = sorted((r["host"], r["rk"], r["url"], r["age_days"]) for r in out)
+    assert got == [
+        ("a.com", 1, "https://a.com/4", 100),   # oldest first
+        ("a.com", 2, "https://a.com/3", 90),
+        ("b.com", 1, "https://b.com/0", 61),    # age tie → url asc
+        ("b.com", 2, "https://b.com/1", 61),
+    ]
+
+
+def test_rank_filter_uses_window_group_limit(pages):
+    plan = recrawl.recrawl_schedule(
+        pages, NOW, per_host_cap=2)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_deterministic_under_repartition(pages):
+    a = sorted(map(tuple, recrawl.recrawl_schedule(
+        pages, NOW, per_host_cap=2).collect()))
+    b = sorted(map(tuple, recrawl.recrawl_schedule(
+        pages.repartition(7), NOW, per_host_cap=2).collect()))
+    assert a == b
