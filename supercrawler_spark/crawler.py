@@ -187,9 +187,19 @@ class Crawler:
         config: CrawlConfig | None = None,
         store_dir: str | None = None,
         robots: DataFrame | None = None,
+        host_priority: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = (config or CrawlConfig()).validated()
+        # North-rule "priority-ordered frontier queue": an optional
+        # (host, priority:double) score table — e.g. host_pagerank() output —
+        # that reorders the THROTTLED dequeue (higher priority fetched first,
+        # FIFO seq as tie-break). Dequeue-order only: reference crawl-order
+        # parity (seq assignment, docs, final seen set) is untouched, exactly
+        # as a priority queue reorders service, not identity. With no
+        # throttle every fetchable row is served this round anyway, so the
+        # table is ignored unless max_fetch_per_round is set.
+        self.host_priority = host_priority
         if store_dir is None:
             import tempfile
             store_dir = tempfile.mkdtemp(prefix="crawlstore_")
@@ -386,12 +396,28 @@ class Crawler:
             - sum(r["cnt"] for r in stats if r["robots_blocked"])
         if (cfg.max_fetch_per_round is not None
                 and n_fetchable > cfg.max_fetch_per_round):
+            # dequeue order: priority score (desc) when a host_priority table
+            # is supplied, FIFO seq as the base/tie-break. The score join
+            # touches only the frontier (narrow cols) — AQE broadcasts a
+            # small score table; a host-keyed shuffle of the frontier is the
+            # worst case (the pages side is never involved).
+            rank_in, order_cols = fetchable, ["seq"]
+            if self.host_priority is not None:
+                pr = self.host_priority.select(
+                    "host", F.col("priority").cast("double").alias("_prio"))
+                rank_in = (fetchable.join(pr, "host", "left")
+                           .withColumn(
+                               "_negp",
+                               -F.coalesce(F.col("_prio"), F.lit(0.0)))
+                           .drop("_prio"))
+                order_cols = ["_negp", "seq"]
             ranked, _, throttle_cache = attach_dense_seq(
-                fetchable, ["seq"], "_fifo")
+                rank_in, order_cols, "_fifo")
             overflow = (ranked.filter(F.col("_fifo") >= cfg.max_fetch_per_round)
                         .select(*FRONTIER_COLS))
-            fetchable = ranked.filter(
-                F.col("_fifo") < cfg.max_fetch_per_round).drop("_fifo")
+            fetchable = (ranked.filter(
+                F.col("_fifo") < cfg.max_fetch_per_round)
+                .select(*FRONTIER_COLS))
             deferred_df = deferred_df.unionByName(overflow)
             n_throttled = n_fetchable - cfg.max_fetch_per_round
             n_deferred += n_throttled
@@ -777,9 +803,11 @@ def crawl(
     config: CrawlConfig | None = None,
     store_dir: str | None = None,
     robots: DataFrame | None = None,
+    host_priority: DataFrame | None = None,
 ) -> CrawlResult:
     """One-shot crawl (fresh store). See Crawler for resume semantics."""
-    return Crawler(spark, pages, config, store_dir, robots).run(seeds)
+    return Crawler(spark, pages, config, store_dir, robots,
+                   host_priority).run(seeds)
 
 
 def resume(
@@ -788,6 +816,8 @@ def resume(
     store_dir: str,
     config: CrawlConfig | None = None,
     robots: DataFrame | None = None,
+    host_priority: DataFrame | None = None,
 ) -> CrawlResult:
     """Resume an interrupted crawl from its last committed round."""
-    return Crawler(spark, pages, config, store_dir, robots).run(seeds=None)
+    return Crawler(spark, pages, config, store_dir, robots,
+                   host_priority).run(seeds=None)

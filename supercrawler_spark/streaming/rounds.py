@@ -44,12 +44,13 @@ def stream_crawl(
     config: CrawlConfig | None = None,
     store_dir: str | None = None,
     robots: DataFrame | None = None,
+    host_priority: DataFrame | None = None,
 ):
     """Drive crawl rounds as a rate-limited stream of round tokens: a
     memory-source stream of round indices triggers one ``foreachBatch`` per
     round; each batch executes the identical round plan as the batch engine
     against the shared CrawlStore. Returns the CrawlResult."""
-    crawler = Crawler(spark, pages, config, store_dir, robots)
+    crawler = Crawler(spark, pages, config, store_dir, robots, host_priority)
     crawler.store.init_config(
         __import__("dataclasses").asdict(crawler.cfg))
     if crawler.store.read_manifest()["init"] is None:

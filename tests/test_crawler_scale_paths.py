@@ -297,3 +297,56 @@ def test_seed_preview_materialized_and_mdx_readback(spark, corpus_sf0001,
     assert len(hit) == 1 and hit[0]["mdx"].strip()
     assert res.docs.filter(
         F.col("url") == "https://nope.example.com/x").count() == 0
+
+def test_priority_dequeue_orders_throttled_frontier(spark, corpus_sf0001,
+                                                    tmp_path_factory):
+    """North-rule priority queue: with a host_priority score table, the
+    throttled dequeue serves high-priority hosts first (FIFO seq as
+    tie-break), observable in the overflow re-queued to frontier r+1.
+    Priority changes dequeue ORDER only — the drained crawl must equal the
+    FIFO-throttled one."""
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
+        .partitionBy("host").orderBy("url")
+    urls = sorted(r["url"] for r in
+                  pages.select("url",
+                               F.split("url", "/").getItem(2).alias("host"))
+                  .distinct()
+                  .withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") <= 4).select("url").collect())
+    my_seeds = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    hosts = sorted({u.split("/")[2] for u in urls})
+    assert len(hosts) >= 2, "need multi-host seeds for a priority test"
+    top = hosts[-1]  # alphabetically-last host outranks everything
+    prio = spark.createDataFrame([(top, 10.0)], "host STRING, priority DOUBLE")
+
+    cfg = CrawlConfig(crawl_depth=0, num_buckets=8, max_fetch_per_round=5)
+    res = crawl(spark, pages, my_seeds, cfg,
+                store_dir=str(tmp_path_factory.mktemp("prio")),
+                host_priority=prio)
+
+    # expected dequeue order: seed seq is the dense rank by url (alphabetical
+    # here); priority host's rows first, then the rest FIFO
+    seq = {u: i for i, u in enumerate(urls)}
+    ordered = sorted(urls, key=lambda u: (-(10.0 if u.split("/")[2] == top
+                                            else 0.0), seq[u]))
+    f1 = {r["url"] for r in
+          spark.read.parquet(res.store.frontier_path(1)).collect()}
+    assert f1 == set(ordered[5:])
+    f2 = {r["url"] for r in
+          spark.read.parquet(res.store.frontier_path(2)).collect()}
+    assert f2 == set(ordered[10:])
+    n_rounds = -(-len(urls) // 5)           # ceil(len/cap) drain rounds
+    assert res.rounds_run == n_rounds
+
+    # drain equivalence: identity of the crawl is untouched by reordering
+    fifo = crawl(spark, pages, my_seeds, cfg,
+                 store_dir=str(tmp_path_factory.mktemp("prio_fifo")))
+    assert fifo.rounds_run == n_rounds
+    assert _seen_depths(res) == _seen_depths(fifo)
+    assert _docs_map(res) == _docs_map(fifo)
+    # but the FIFO round-0 overflow differs whenever the priority host is
+    # not already the FIFO head — proves the reorder actually happened
+    fifo_f1 = {r["url"] for r in
+               spark.read.parquet(fifo.store.frontier_path(1)).collect()}
+    assert fifo_f1 == set(urls[5:])
