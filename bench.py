@@ -153,16 +153,24 @@ def main() -> None:
         extras["crawl_polite_processed"] = int(
             res.metrics.agg(F.sum("processed")).collect()[0][0] or 0)
 
-    def lsh_ann_with_recall():
-        """Banded ANN top-k, plus measured recall@3 vs the exact baseline
-        (recorded in the bench JSON and BENCH/BASELINE.md)."""
+    # recall bookkeeping runs OUTSIDE the timed region: the timing is the
+    # ANN query alone; the exact baseline + multiprobe variant are extras
+    ann_sets: dict[str, set] = {}
+
+    def lsh_ann():
         q = emb.filter(F.col("vec_id") < 20)
-        ann = {(r["query_id"], r["neighbor_id"])
-               for r in similarity.lsh_ann_topk(emb, q, k=3).collect()}
+        ann_sets["lsh"] = {(r["query_id"], r["neighbor_id"])
+                           for r in similarity.lsh_ann_topk(emb, q, k=3)
+                           .collect()}
+
+    def lsh_recall_extras():
+        """Measured recall@3 vs the exact baseline (BENCH/BASELINE.md)."""
+        q = emb.filter(F.col("vec_id") < 20)
         exact = {(r["query_id"], r["neighbor_id"])
                  for r in similarity.cosine_topk(emb, q, k=3).collect()}
+        ann_sets["exact"] = exact
         extras["lsh_ann_recall_at3"] = round(
-            len(ann & exact) / max(1, len(exact)), 4)
+            len(ann_sets["lsh"] & exact) / max(1, len(exact)), 4)
         mp = {(r["query_id"], r["neighbor_id"])
               for r in similarity.lsh_ann_topk(emb, q, k=3,
                                                multiprobe=True).collect()}
@@ -243,17 +251,20 @@ def main() -> None:
     bench("dedup_clusters", dedup_clusters_bench)
     bench("cosine_topk", lambda: similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3).count())
-    def ivf_ann_with_recall():
+    def ivf_ann():
         q = emb.filter(F.col("vec_id") < 20)
-        ivf = {(r["query_id"], r["neighbor_id"])
-               for r in similarity.ivf_ann_topk(emb, q, k=3).collect()}
-        exact = {(r["query_id"], r["neighbor_id"])
-                 for r in similarity.cosine_topk(emb, q, k=3).collect()}
-        extras["ivf_ann_recall_at3"] = round(
-            len(ivf & exact) / max(1, len(exact)), 4)
+        ann_sets["ivf"] = {(r["query_id"], r["neighbor_id"])
+                           for r in similarity.ivf_ann_topk(emb, q, k=3)
+                           .collect()}
 
-    bench("lsh_ann_topk", lsh_ann_with_recall)
-    bench("ivf_ann_topk", ivf_ann_with_recall)
+    bench("lsh_ann_topk", lsh_ann)
+    if "lsh" in ann_sets:
+        lsh_recall_extras()
+    bench("ivf_ann_topk", ivf_ann)
+    if "ivf" in ann_sets and "exact" in ann_sets:
+        exact = ann_sets["exact"]
+        extras["ivf_ann_recall_at3"] = round(
+            len(ann_sets["ivf"] & exact) / max(1, len(exact)), 4)
     bench("embedding_near_dups", lambda: similarity.embedding_near_dups(
         emb, threshold=0.4).count())
 
