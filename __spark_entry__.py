@@ -282,6 +282,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.dedup_clusters(_docs(spark, sf_dir))
 
 
+def q_resolve_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical pick per near-dup cluster (keeper = argmax
+    quality, min-id tie-break); oracle reuses the transitive-closure CTE
+    plus the quality expression and a window."""
+    return clusters.resolve_duplicates(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
@@ -460,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "source_stats": q_source_stats,
         "dedup_clusters": q_dedup_clusters,
+        "resolve_duplicates": q_resolve_duplicates,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
@@ -551,6 +559,30 @@ scored AS (
 )
 """
     recursive_cte = _GRAPH_CTE.replace("WITH urls AS", "WITH RECURSIVE urls AS", 1)
+    # shared transitive-closure chain (minhash-LSH pairs → reach) used by
+    # dedup_clusters and resolve_duplicates
+    _clusters_sql = (shingle_cte.replace("WITH toks AS",
+                                         "WITH RECURSIVE toks AS", 1)
+                     + "," + minhash_core + """,
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         array_to_string(list_sort(list(CAST(hash_id AS VARCHAR) || ':' ||
+                                        CAST(min_hash AS VARCHAR))), ',') AS band_key
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+""")
     def _plane_dot(p: int) -> str:
         # mirrors similarity._plane: component d of plane p is
         # ((p*131 + d*31 + 7) % 97) - 48, dot in double, sequential sum
@@ -990,30 +1022,33 @@ SELECT source, COUNT(*) AS n_docs,
        round(AVG(len({_TOKS})), 6) AS mean_tokens,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents GROUP BY source""",
-        "dedup_clusters": shingle_cte.replace("WITH toks AS",
-                                              "WITH RECURSIVE toks AS", 1)
-        + "," + minhash_core + """,
-bands AS (
-  SELECT doc_id, hash_id // 2 AS band,
-         array_to_string(list_sort(list(CAST(hash_id AS VARCHAR) || ':' ||
-                                        CAST(min_hash AS VARCHAR))), ',') AS band_key
-  FROM sig GROUP BY doc_id, hash_id // 2
-),
-p AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
-),
-e AS (SELECT a_id AS u, b_id AS v FROM p
-      UNION SELECT b_id, a_id FROM p),
-reach AS (
-  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-)
+        "dedup_clusters": _clusters_sql + """
 SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id,
        MIN(v) = u AS is_keeper
 FROM reach GROUP BY u""",
+        "resolve_duplicates": _clusters_sql + f""",
+cl AS (
+  SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY u),
+qual AS (
+  SELECT doc_id,
+         round(least(1.0, len({_TOKS}) / 100.0) * 0.4
+               + round(len(list_filter({_TOKS}, t -> t IN {_STOP_EN}))
+                       / CAST(len({_TOKS}) AS DOUBLE), 6) * 0.4
+               + (1.0 - round((length(text)
+                     - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE), 6)) * 0.2, 6) AS quality
+  FROM documents),
+mq AS (
+  SELECT cl.doc_id, cl.cluster_id, qual.quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, cl.doc_id) AS rk
+  FROM cl JOIN qual USING (doc_id))
+SELECT doc_id, cluster_id, quality,
+       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END)
+            OVER (PARTITION BY cluster_id) AS BIGINT) AS keeper_id,
+       rk = 1 AS keep
+FROM mq""",
         "cosine_topk": cosine_cte + """
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id

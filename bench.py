@@ -244,11 +244,24 @@ def main() -> None:
 
     bench("recrawl_schedule", recrawl_bench)
 
+    cc_cache = {}
+
     def dedup_clusters_bench():
-        out = clusters.dedup_clusters(docs)
+        out = clusters.dedup_clusters(docs).persist()
         extras["dedup_cluster_members"] = out.count()
+        cc_cache["cc"] = out
 
     bench("dedup_clusters", dedup_clusters_bench)
+
+    def resolve_duplicates_bench():
+        # pipeline shape: resolve over the materialized cluster table
+        cc = cc_cache.get("cc") or clusters.dedup_clusters(docs)
+        out = clusters.resolve_duplicates(docs, clusters=cc)
+        extras["resolve_keepers"] = out.filter(F.col("keep")).count()
+
+    bench("resolve_duplicates", resolve_duplicates_bench)
+    if "cc" in cc_cache:
+        cc_cache["cc"].unpersist()
     bench("cosine_topk", lambda: similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3).count())
     def ivf_ann():

@@ -27,7 +27,7 @@ recursive-CTE transitive closure — see __spark_entry__.oracle_sql
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from supercrawler_spark.operators import dedup
 
@@ -98,3 +98,35 @@ def dedup_clusters(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
     return cc.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"))
+
+def resolve_duplicates(docs: DataFrame, clusters: DataFrame | None = None,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: instead of
+    ``dedup_clusters``'s positional min-id keeper, keep the HIGHEST-quality
+    member (``textquality.quality_score`` composite; ties broken by min
+    doc_id) — what a production dedup pass does so boilerplate-laden or
+    truncated copies don't shadow the clean one. Output one row per cluster
+    member: (doc_id, cluster_id, quality, keeper_id, keep).
+
+    Scale shape: quality is computed map-side on the corpus scan BEFORE any
+    shuffle, so only (doc_id, quality) scalars cross the wire into the
+    member join — never text bytes (quality is cheap JVM expression work;
+    shuffling text to defer it would move the corpus). Then one narrow
+    shuffle on cluster_id serves both window passes. Singletons are omitted,
+    mirroring ``dedup_clusters`` (they are trivially their own keeper)."""
+    from supercrawler_spark.operators.textquality import quality_score
+    if clusters is None:
+        clusters = dedup_clusters(docs, text_col=text_col, id_col=id_col)
+    q = quality_score(docs, text_col, id_col).select("doc_id", "quality")
+    m = clusters.select("doc_id", "cluster_id").join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"),
+                                                 F.asc("doc_id"))
+    wall = Window.partitionBy("cluster_id")
+    ranked = m.withColumn("_rk", F.row_number().over(w))
+    return (ranked
+            .withColumn("keeper_id",
+                        F.max(F.when(F.col("_rk") == 1, F.col("doc_id")))
+                        .over(wall).cast("long"))
+            .select("doc_id", "cluster_id", "quality", "keeper_id",
+                    (F.col("_rk") == 1).alias("keep")))

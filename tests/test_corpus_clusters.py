@@ -156,3 +156,45 @@ def test_clusters_no_cached_leak(spark):
     clusters.connected_components(_pairs(spark, [(1, 2), (3, 4)])).collect()
     # the operator must not leave anything new cached behind
     assert jsc.getPersistentRDDs().size() <= before
+
+def test_resolve_duplicates_picks_highest_quality_keeper(spark):
+    # doc 0/1/2 near-dup cluster; doc 0 (min id) carries a punctuation-junk
+    # suffix that lowers its composite quality below clean doc 1, so the
+    # keeper must be 1, not the positional min-id 0
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green quiet woods tonight")
+    rows = [base + " #@!$%^&*()!!", base, base + " extra!!",
+            "totally different words here "
+            "about spark shuffles and parquet readers at scale today"]
+    out = {r["doc_id"]: r for r in
+           clusters.resolve_duplicates(_docs(spark, rows)).collect()}
+    assert {0, 1, 2} <= set(out)
+    cluster0 = {d for d, r in out.items() if r["cluster_id"] == 0}
+    assert cluster0 == {0, 1, 2}
+    keeper = {r["keeper_id"] for d, r in out.items() if d in cluster0}
+    assert keeper == {1}, f"expected quality keeper 1, got {keeper}"
+    assert out[1]["keep"] and not out[0]["keep"] and not out[2]["keep"]
+    # quality actually ordered the pick
+    assert out[1]["quality"] > out[0]["quality"]
+    # singleton doc 3 is omitted like dedup_clusters
+    assert 3 not in cluster0
+
+
+def test_resolve_duplicates_tie_breaks_min_id(spark):
+    # exact copies → identical quality; min doc_id wins the tie
+    txt = ("the quick brown fox jumps over the lazy dog and runs far "
+           "away into the green quiet woods tonight")
+    out = {r["doc_id"]: r for r in
+           clusters.resolve_duplicates(_docs(spark, [txt, txt, txt])).collect()}
+    assert {r["keeper_id"] for r in out.values()} == {0}
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+
+
+def test_resolve_duplicates_accepts_precomputed_clusters(spark):
+    docs = _docs(spark, ["aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk",
+                         "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp"])
+    pre = spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, cluster_id long")
+    out = {r["doc_id"]: r for r in
+           clusters.resolve_duplicates(docs, clusters=pre).collect()}
+    assert set(out) == {0, 1}
+    assert len({r["keeper_id"] for r in out.values()}) == 1
