@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
-    bloom, clusters, corpus, dedup, graph, linededup, multimodal, pagerank,
-    recrawl, similarity, textquality, trainmix, yt,
+    anchors, bloom, clusters, corpus, dedup, graph, linededup, multimodal,
+    pagerank, recrawl, similarity, textquality, trainmix, yt,
 )
 
 
@@ -407,6 +407,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.line_dedup(docs, min_df=5, min_chars=6)
 
 
+def q_anchor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus over the deterministic doc graph: pages carry
+    per-edge anchor text, the Arrow UDF extracts (href, text) pairs, and the
+    aggregation ranks the top anchors per target — the oracle rebuilds the
+    same pairs arithmetically, so href resolution AND text capture are both
+    checked end-to-end through the real extraction kernel."""
+    docs = _docs(spark, sf_dir)
+    pages = anchors.pages_with_text_anchors(docs, graph.doc_count(docs))
+    return anchors.anchor_corpus(anchors.anchor_pairs(pages), top_k=3)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-priority centrality: 2-iteration fixed-point PageRank over
     the deterministic 3-out-edge doc graph; BIGINT micro-unit ranks so the
@@ -481,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_epochs": q_weighted_epochs,
         "line_dedup": q_line_dedup,
+        "anchor_corpus": q_anchor_corpus,
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
@@ -1198,6 +1210,26 @@ FROM m GROUP BY doc_id""",
         # 2-iteration fixed-point PageRank: BIGINT micro-units (SCALE=1e12),
         # damping 85/100, 3 out-edges/node via (31*src + 7k + 3) mod n;
         # integral division mirrors Spark's `div`
+        "anchor_corpus": _GRAPH_CTE + """,
+apairs AS (
+  SELECT u.url AS target_url,
+         'doc ' || CAST(e.dst_id AS VARCHAR) || ' k' || CAST(e.k AS VARCHAR)
+           AS anchor
+  FROM edges e JOIN urls u ON u.doc_id = e.dst_id),
+acounts AS (
+  SELECT target_url, anchor, COUNT(*) AS n_with_anchor
+  FROM apairs GROUP BY 1, 2),
+ar AS (
+  SELECT target_url, anchor,
+         CAST(n_with_anchor AS BIGINT) AS n_with_anchor,
+         CAST(row_number() OVER (PARTITION BY target_url
+                                 ORDER BY n_with_anchor DESC, anchor)
+              AS BIGINT) AS rank,
+         CAST(SUM(n_with_anchor) OVER (PARTITION BY target_url) AS BIGINT)
+           AS n_inlinks
+  FROM acounts)
+SELECT target_url, anchor, n_with_anchor, rank, n_inlinks
+FROM ar WHERE rank <= 3""",
         "pagerank": """
 WITH p AS (SELECT count(*) AS n FROM documents),
 e AS (

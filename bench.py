@@ -244,6 +244,15 @@ def main() -> None:
 
     bench("recrawl_schedule", recrawl_bench)
 
+    def anchor_corpus_bench():
+        from supercrawler_spark.operators import anchors as _anchors
+        from supercrawler_spark.operators import graph as _graph
+        ap = _anchors.pages_with_text_anchors(docs, _graph.doc_count(docs))
+        out = _anchors.anchor_corpus(_anchors.anchor_pairs(ap), top_k=3)
+        extras["anchor_targets"] = out.filter(F.col("rank") == 1).count()
+
+    bench("anchor_corpus", anchor_corpus_bench)
+
     cc_cache = {}
 
     def dedup_clusters_bench():

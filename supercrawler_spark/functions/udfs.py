@@ -83,6 +83,24 @@ def extract_links_udf(url: pd.Series, html: pd.Series) -> pd.Series:
     ])
 
 
+ANCHOR_STRUCT = ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("anchor", StringType()),
+]))
+
+
+@pandas_udf(ANCHOR_STRUCT)
+def extract_anchors_udf(url: pd.Series, html: pd.Series) -> pd.Series:
+    """(href, anchor text) pairs per page — extract_links plus the anchor
+    text content (refspec.extract_anchors)."""
+    return pd.Series([
+        None if h is None
+        else [{"href": a, "anchor": t}
+              for a, t in refspec.extract_anchors(_decode_html(h), u)]
+        for u, h in zip(url, html)
+    ])
+
+
 def make_canonicalize(strip_tracking: bool = True):
     @pandas_udf(StringType())
     def canonicalize(url: pd.Series) -> pd.Series:

@@ -630,6 +630,39 @@ def extract_links(content: str, source_url: str) -> list[str]:
     return urls
 
 
+def extract_anchors(content: str, source_url: str) -> list[tuple[str, str]]:
+    """(absolute href, whitespace-normalized anchor text) pairs — the same
+    walk, prefilter (F1), absolutization (F2) and fragment strip (F3) as
+    ``extract_links`` (src/supercrawler.rs:736-757), additionally capturing
+    each anchor's text content. Engine extension beyond the reference (which
+    discards anchor text): the anchor-text corpus is a standard web-scale
+    training-data signal. Text may be '' (image/empty anchors); duplicates
+    preserved in document order like extract_links."""
+    base = rust_url_parse(source_url)
+    if base is None:
+        return []
+    doc = parse_html(content)
+    out: list[tuple[str, str]] = []
+    for el in doc.descendants():
+        if el.tag != "a":
+            continue
+        href = el.attr("href")
+        if href is None:
+            continue
+        trimmed = href.strip()
+        if (
+            not trimmed
+            or trimmed.startswith("#")
+            or trimmed.startswith("javascript:")
+            or trimmed.startswith("mailto:")
+        ):
+            continue
+        absolute = rust_url_join(base, trimmed, strip_fragment=True)
+        if absolute is not None:
+            out.append((absolute, " ".join(el.all_text().split())))
+    return out
+
+
 # --------------------------------------------------------------------------
 # X7: url_to_filename → doc key (src/supercrawler.rs:527-562)
 # --------------------------------------------------------------------------

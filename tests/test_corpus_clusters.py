@@ -198,3 +198,39 @@ def test_resolve_duplicates_accepts_precomputed_clusters(spark):
            clusters.resolve_duplicates(docs, clusters=pre).collect()}
     assert set(out) == {0, 1}
     assert len({r["keeper_id"] for r in out.values()}) == 1
+
+# ------------------------------------------------------------- anchor corpus
+
+def test_anchor_corpus_aggregation_and_plan(spark):
+    from supercrawler_spark.operators import anchors
+    html = lambda body: f"<html><head><title>t</title></head><body>{body}</body></html>"
+    rows = [
+        ("https://a.example.com/1",
+         html('<p><a href="https://t.example.com/x">Click here</a>'
+              '<a href="https://t.example.com/x">Click here</a>'
+              '<a href="https://t.example.com/x">x page</a>'
+              '<a href="https://t.example.com/y">y page</a></p>')),
+        ("https://b.example.com/2",
+         html('<p><a href="https://t.example.com/x">Click here</a>'
+              '<a href="https://t.example.com/x">best page</a>'
+              '<a href="https://t.example.com/x">zzz</a>'
+              '<a href="https://t.example.com/x"></a></p>')),  # empty dropped
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string") \
+        .withColumn("html", F.col("html").cast("binary"))
+    pairs = anchors.anchor_pairs(pages)
+    out = anchors.anchor_corpus(pairs, top_k=2)
+    x = {r["anchor"]: r for r in
+         out.filter(F.col("target_url") == "https://t.example.com/x").collect()}
+    # top-2 of {Click here:3, x page:1, best page:1, zzz:1} with asc tie-break
+    assert set(x) == {"Click here", "best page"}
+    assert x["Click here"]["rank"] == 1 and x["Click here"]["n_with_anchor"] == 3
+    assert x["best page"]["rank"] == 2 and x["best page"]["n_with_anchor"] == 1
+    # total excludes the empty-text anchor: 3+1+1+1 = 6
+    assert x["Click here"]["n_inlinks"] == 6
+    y = out.filter(F.col("target_url") == "https://t.example.com/y").collect()
+    assert len(y) == 1 and y[0]["n_inlinks"] == 1
+    # plan: Arrow-vectorized UDF and the rank filter pushed to WindowGroupLimit
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan

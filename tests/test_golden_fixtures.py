@@ -66,3 +66,32 @@ def test_config_clamps():
     assert CrawlConfig(max_fetch_per_round=-5, variant="main").validated() \
         .max_fetch_per_round == 1
     assert CrawlConfig().validated().max_fetch_per_round is None
+
+def test_extract_anchors_hrefs_match_links_goldens():
+    """extract_anchors must walk the identical link set as extract_links
+    (same prefilter/absolutize/fragment-strip) on every golden fixture —
+    only ADDING the text capture."""
+    import glob
+    import os
+    for path in sorted(glob.glob(f"{FIX}/*.html")):
+        name = os.path.basename(path)[:-5]
+        html = open(path).read()
+        anchors = refspec.extract_anchors(html, URL)
+        assert [a for a, _ in anchors] == refspec.extract_links(html, URL), name
+
+
+def test_extract_anchors_text_capture():
+    html = ('<html><body>'
+            '<p><a href="/a">  Hello \n  <b>world</b> </a></p>'
+            '<p><a href="img"><img src="x.png"/></a></p>'
+            '<p><a href="#frag">skip</a>'
+            '<a href="javascript:x()">skip</a>'
+            '<a href="mailto:a@b">skip</a></p>'
+            '<p><a href="https://other.example.com/p?q=1#z">Other</a></p>'
+            '</body></html>')
+    got = refspec.extract_anchors(html, "https://host.example.com/base/")
+    assert got == [
+        ("https://host.example.com/a", "Hello world"),
+        ("https://host.example.com/base/img", ""),   # image link: empty text
+        ("https://other.example.com/p?q=1", "Other"),  # fragment stripped
+    ]
