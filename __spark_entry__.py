@@ -407,6 +407,13 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.line_dedup(docs, min_df=5, min_chars=6)
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link matrix (src_host -> dst_host counts + distinct
+    linking pages + internal flag) over the deterministic doc graph."""
+    docs = _docs(spark, sf_dir)
+    return graph.host_graph(docs, graph.doc_count(docs))
+
+
 def q_anchor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus over the deterministic doc graph: pages carry
     per-edge anchor text, the Arrow UDF extracts (href, text) pairs, and the
@@ -493,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_epochs": q_weighted_epochs,
         "line_dedup": q_line_dedup,
         "anchor_corpus": q_anchor_corpus,
+        "host_graph": q_host_graph,
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
@@ -1210,6 +1218,15 @@ FROM m GROUP BY doc_id""",
         # 2-iteration fixed-point PageRank: BIGINT micro-units (SCALE=1e12),
         # damping 85/100, 3 out-edges/node via (31*src + 7k + 3) mod n;
         # integral division mirrors Spark's `div`
+        "host_graph": _GRAPH_CTE + """
+SELECT s.host AS src_host, t.host AS dst_host,
+       COUNT(*) AS n_links,
+       CAST(COUNT(DISTINCT e.src_id) AS BIGINT) AS n_src_pages,
+       s.host = t.host AS is_internal
+FROM edges e
+JOIN urls s ON s.doc_id = e.src_id
+JOIN urls t ON t.doc_id = e.dst_id
+GROUP BY s.host, t.host""",
         "anchor_corpus": _GRAPH_CTE + """,
 apairs AS (
   SELECT u.url AS target_url,

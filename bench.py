@@ -253,6 +253,13 @@ def main() -> None:
 
     bench("anchor_corpus", anchor_corpus_bench)
 
+    def host_graph_bench():
+        from supercrawler_spark.operators import graph as _graph
+        extras["host_graph_edges"] = _graph.host_graph(
+            docs, _graph.doc_count(docs)).count()
+
+    bench("host_graph", host_graph_bench)
+
     cc_cache = {}
 
     def dedup_clusters_bench():

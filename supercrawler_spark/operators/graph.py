@@ -92,3 +92,31 @@ def pages_from_documents(docs: DataFrame, n_docs: int) -> DataFrame:
                 F.col("text"),
                 F.col("lang"),
             ))
+
+def host_graph(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Domain-level link matrix over the deterministic doc graph:
+    (src_host, dst_host, n_links, n_src_pages, is_internal) — the host-graph
+    aggregation a crawl scheduler prioritizes from (which domains feed which,
+    how much of a host's linkage is internal).
+
+    Scale shape: src_host rides along from the edge-generation projection
+    (zero extra work); only dst_host needs a lookup join on dst_id — narrow
+    (id, host) rows, never page content. One join shuffle + one map-side
+    combinable aggregation keyed on the (src_host, dst_host) pair, whose
+    cardinality is #hosts², tiny next to #edges."""
+    d = with_url(docs).select("doc_id", "host")
+    e = (d.withColumnRenamed("doc_id", "src_id")
+         .withColumnRenamed("host", "src_host")
+         .crossJoin(F.broadcast(
+             docs.sparkSession.range(N_EDGES).withColumnRenamed("id", "k")))
+         .select("src_id", "src_host",
+                 ((F.col("src_id") * 31 + 7 * F.col("k") + 3) % n_docs)
+                 .alias("dst_id")))
+    dst = d.select(F.col("doc_id").alias("dst_id"),
+                   F.col("host").alias("dst_host"))
+    return (e.join(dst, "dst_id")
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("src_id").alias("n_src_pages"))
+            .withColumn("is_internal",
+                        F.col("src_host") == F.col("dst_host")))

@@ -125,3 +125,70 @@ def test_event_metrics_stream(spark, tmp_path):
     assert len(emitted) > 0
     for key, n in emitted.items():
         assert expected[key] == n, key
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path_factory):
+    """Streaming stateful dedup: duplicates arriving in LATER micro-batches
+    are suppressed against state (first arrival wins), and the set of
+    distinct content hashes equals the batch exact_dedup's."""
+    import os
+    import time
+    from supercrawler_spark.streaming.dedup import stream_exact_dedup
+    from supercrawler_spark.operators.dedup import exact_dedup
+
+    src = tmp_path_factory.mktemp("sd_src")
+    # batch 0: ids 0-9 (ids 0 and 1 share text -> within-batch dup)
+    b0 = [(i, "text zero" if i <= 1 else f"text {i}") for i in range(10)]
+    # batch 1: ids 10-19; 10/11/12 duplicate batch-0 texts, rest fresh
+    b1 = [(10, "text zero"), (11, "text 5"), (12, "text 9")] + \
+         [(i, f"text {i}") for i in range(13, 20)]
+    spark.createDataFrame(b0, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    stage = tmp_path_factory.mktemp("sd_stage")
+    for sub, mt in (("f0", 1_000), ("f1", 2_000)):
+        for f in os.listdir(str(src / sub)):
+            if f.endswith(".parquet"):
+                dst = str(stage / f"{sub}.parquet")
+                os.link(str(src / sub / f), dst)
+                os.utime(dst, (mt, mt))  # file order = batch order
+
+    out = stream_exact_dedup(spark, str(stage),
+                             str(tmp_path_factory.mktemp("sd_out") / "o"))
+    rows = out.collect()
+    all_docs = spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    batch = exact_dedup(all_docs).collect()
+    # once per distinct hash, same hash set as the batch operator
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == len(batch)
+    assert set(hashes) == {r["content_hash"] for r in batch}
+    # cross-batch duplicates suppressed in the batch-1 direction
+    kept = {r["doc_id"] for r in rows}
+    assert {10, 11, 12}.isdisjoint(kept)
+    assert {13, 14, 15, 16, 17, 18, 19} <= kept
+
+
+def test_stream_dedup_watermarked_suppresses_within_horizon(spark,
+                                                            tmp_path_factory):
+    import os
+    from supercrawler_spark.streaming.dedup import stream_exact_dedup
+    src = tmp_path_factory.mktemp("sdw")
+    b0 = [(0, "dup text", "2026-01-01 10:00:00"),
+          (1, "solo a", "2026-01-01 10:00:00")]
+    b1 = [(2, "dup text", "2026-01-01 10:30:00"),   # within 1h horizon
+          (3, "solo b", "2026-01-01 10:30:00")]
+    for i, b in enumerate((b0, b1)):
+        spark.createDataFrame(b, "doc_id long, text string, ts string") \
+            .coalesce(1).write.parquet(str(src / f"b{i}"))
+    stage = tmp_path_factory.mktemp("sdw_stage")
+    for i in range(2):
+        for f in os.listdir(str(src / f"b{i}")):
+            if f.endswith(".parquet"):
+                dst = str(stage / f"b{i}.parquet")
+                os.link(str(src / f"b{i}" / f), dst)
+                os.utime(dst, (1000 * (i + 1),) * 2)
+    out = stream_exact_dedup(spark, str(stage),
+                             str(tmp_path_factory.mktemp("sdw_out") / "o"),
+                             ts_col="ts", watermark="1 hour")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {0, 1, 3}, kept   # id 2's dup suppressed inside horizon
