@@ -407,6 +407,11 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.line_dedup(docs, min_df=5, min_chars=6)
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (top-50 tokens by occurrence)."""
+    return corpus.top_tokens(_docs(spark, sf_dir), k=50)
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level link matrix (src_host -> dst_host counts + distinct
     linking pages + internal flag) over the deterministic doc graph."""
@@ -501,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
+        "top_tokens": q_top_tokens,
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
@@ -1218,6 +1224,19 @@ FROM m GROUP BY doc_id""",
         # 2-iteration fixed-point PageRank: BIGINT micro-units (SCALE=1e12),
         # damping 85/100, 3 out-edges/node via (31*src + 7k + 3) mod n;
         # integral division mirrors Spark's `div`
+        "top_tokens": f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM occ GROUP BY token),
+top AS (
+  SELECT * FROM counts ORDER BY n_occurrences DESC, token LIMIT 50)
+SELECT token, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+            AS BIGINT) AS rank
+FROM top""",
         "host_graph": _GRAPH_CTE + """
 SELECT s.host AS src_host, t.host AS dst_host,
        COUNT(*) AS n_links,

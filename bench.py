@@ -259,6 +259,7 @@ def main() -> None:
             docs, _graph.doc_count(docs)).count()
 
     bench("host_graph", host_graph_bench)
+    bench("top_tokens", lambda: corpus.top_tokens(docs, k=50).count())
 
     cc_cache = {}
 

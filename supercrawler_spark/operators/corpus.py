@@ -16,7 +16,7 @@ source-mix accounting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from supercrawler_spark.operators.textquality import _tokens
 
@@ -139,3 +139,27 @@ def source_stats(docs: DataFrame, text_col: str = "text",
                  F.sum("n_chars").cast("long").alias("total_chars"),
                  F.round(F.avg("n_toks"), 6).alias("mean_tokens"),
                  F.countDistinct("lang").alias("n_langs")))
+
+def top_tokens(docs: DataFrame, k: int = 50, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide vocabulary heavy hitters: the ``k`` most frequent tokens
+    with occurrence and document counts — the Zipf-head/top-vocabulary query
+    every corpus report starts with. Output (token, n_occurrences, n_docs,
+    rank), ordered by (count desc, token asc) for determinism.
+
+    Scale shape: the exploded (token, doc_id) stream never materializes
+    globally — occurrence counts partial-aggregate map-side, the distinct
+    doc count rides the same shuffle as a two-level agg (distinct pairs,
+    then counts), and the global top-k is TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows, no single-partition sort).
+    The rank window runs AFTER the limit, over k rows."""
+    occ = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_tokens(text_col)).alias("token"))
+    pairs = (occ.groupBy("token", "doc_id")
+             .agg(F.count("*").alias("_n")))
+    counts = (pairs.groupBy("token")
+              .agg(F.sum("_n").cast("long").alias("n_occurrences"),
+                   F.count("*").cast("long").alias("n_docs")))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
