@@ -39,6 +39,11 @@ def main() -> None:
                     help="engine-variant semantics (SURVEY §2.9)")
     ap.add_argument("--no-snapshot-dedup", action="store_true",
                     help="skip latest-warc_ts resolution (pages url-unique)")
+    ap.add_argument("--max-fetch-per-round", type=int, default=None,
+                    help="frontier dequeue cap per round (overflow re-queues)")
+    ap.add_argument("--host-priority", default=None,
+                    help="parquet path of (host, priority) scores — e.g. "
+                         "pagerank output — ordering the throttled dequeue")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,8 +57,12 @@ def main() -> None:
     robots = spark.read.parquet(args.robots) if args.robots else None
     cfg = CrawlConfig(crawl_depth=args.depth, politeness=args.politeness,
                       num_buckets=args.num_buckets, variant=args.variant,
-                      snapshot_dedup=not args.no_snapshot_dedup)
-    crawler = Crawler(spark, pages, cfg, store_dir=args.store, robots=robots)
+                      snapshot_dedup=not args.no_snapshot_dedup,
+                      max_fetch_per_round=args.max_fetch_per_round)
+    prio = (spark.read.parquet(args.host_priority)
+            if args.host_priority else None)
+    crawler = Crawler(spark, pages, cfg, store_dir=args.store, robots=robots,
+                      host_priority=prio)
     seeds = None if args.resume else spark.read.parquet(args.seeds)
     result = crawler.run(seeds)
 
