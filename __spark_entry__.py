@@ -191,6 +191,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-cluster guard path: band blocks larger than max_bucket_size are
+    dropped before the self-join (bounded fan-out at web scale); cap 2 is
+    deliberately small so the capped output DIFFERS from the uncapped query
+    at gate scale (non-vacuous oracle)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), max_bucket_size=2)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -475,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -816,6 +825,21 @@ bands AS (
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+        "minhash_lsh_pairs_capped": shingle_cte + "," + minhash_core + """,
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         array_to_string(list_sort(list(CAST(hash_id AS VARCHAR) || ':' ||
+                                        CAST(min_hash AS VARCHAR))), ',') AS band_key
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 2
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2""",
         "simhash": f"""

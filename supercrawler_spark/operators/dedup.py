@@ -85,10 +85,23 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs whose signatures agree on at least one full
     band of ``band_size`` consecutive minhashes. Output (a_id, b_id, n_bands)
-    with a_id < b_id."""
+    with a_id < b_id.
+
+    ``max_bucket_size`` drops band blocks with more than that many members
+    before the self-join — the standard mega-cluster guard: a block of k
+    near-identical boilerplate docs yields k² join rows, and above a few
+    hundred members the block is better handled by exact dedup than by
+    pairwise scoring. The size count is a window pass keyed the same as
+    the join; it costs at most one extra narrow shuffle of the
+    (doc_id, band, band_key) relation per join side — strings only, never
+    document text — versus the k² join-row explosion it prevents. Pairs
+    lost are exactly those inside dropped blocks
+    (every member still meets the rest of the corpus through its other
+    bands). None = unbounded (small-corpus default; at 10^10 docs set it)."""
     sig = minhash_signatures(docs, num_hashes, text_col, id_col)
     bands = (sig
              .withColumn("band", (F.col("hash_id") / band_size).cast("long"))
@@ -96,6 +109,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
              .agg(F.concat_ws(",", F.sort_array(F.collect_list(
                  F.concat_ws(":", F.col("hash_id"), F.col("min_hash")))))
                  .alias("band_key")))
+    if max_bucket_size is not None:
+        wsz = Window.partitionBy("band", "band_key")
+        bands = (bands.withColumn("_bsz", F.count("*").over(wsz))
+                 .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])

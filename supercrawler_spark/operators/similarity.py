@@ -232,7 +232,8 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         n_planes: int = 16, n_bands: int = 4,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64) -> DataFrame:
+                        dim: int = 64,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, sim >= threshold),
     LSH-BLOCKED: candidates are generated through banded hyperplane buckets
     (never an all-pairs theta join), deduped to distinct id pairs, then
@@ -243,6 +244,15 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     probability); the oracle mirrors the same bucketing."""
     bb = hyperplane_band_buckets(embeddings, n_planes, n_bands,
                                  id_col, vec_col, dim)
+    if max_bucket_size is not None:
+        # mega-cluster guard (same pattern as dedup.minhash_lsh_pairs):
+        # a (band, bucket) block of k members yields k^2/2 pair rows — drop
+        # over-crowded blocks before the self-join; the count window costs
+        # one extra narrow (vec_id, band, bucket) shuffle per side, cheap
+        # against the blocked k^2 explosion
+        wsz = Window.partitionBy("band", "bucket")
+        bb = (bb.withColumn("_bsz", F.count("*").over(wsz))
+              .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
     a = bb.select(F.col("vec_id").alias("a_id"), "band", "bucket")
     b = bb.select(F.col("vec_id").alias("b_id"), "band", "bucket")
     pairs = (a.join(b, ["band", "bucket"])

@@ -237,3 +237,45 @@ def test_frame_sample_plan_zero_frames_zero_rows(spark):
         got.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert 1 not in got and 2 not in got
     assert sorted(got[3]) == [0, 1]
+
+def test_minhash_bucket_cap_drops_mega_cluster(spark):
+    """max_bucket_size: a planted 10-copy boilerplate cluster (10 identical
+    signatures -> every band block has 10 members -> 45 pairs) is dropped by
+    cap=4, while an ordinary 2-doc near-dup pair survives."""
+    boiler = "repeat this exact boilerplate text again and again ok " * 3
+    rows = [(i, boiler) for i in range(10)]
+    rows += [(20, "some unique interesting document text here today friends"),
+             (21, "some unique interesting document text here today people")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["a_id"], r["b_id"])
+            for r in dedup.minhash_lsh_pairs(docs).collect()}
+    capped = {(r["a_id"], r["b_id"])
+              for r in dedup.minhash_lsh_pairs(docs, max_bucket_size=4)
+              .collect()}
+    mega = {p for p in full if p[0] < 10}
+    assert len(mega) == 45                       # 10-choose-2
+    assert capped.isdisjoint(mega)               # guard dropped the cluster
+    assert capped == full - mega                 # ...and ONLY the cluster
+
+
+def test_embedding_near_dups_bucket_cap(spark):
+    """Same guard on the hyperplane-banded near-dup path: 8 identical
+    vectors form over-crowded (band, bucket) blocks that cap=4 drops; a
+    distinct near-identical pair survives."""
+    base = [float((7 * d) % 13 - 6) for d in range(64)]
+    twin = list(base); twin[0] += 0.001
+    other = [float((11 * d) % 17 - 8) for d in range(64)]
+    other2 = list(other); other2[1] += 0.001
+    rows = [(i, base) for i in range(8)]
+    rows += [(20, other), (21, other2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {(r["a_id"], r["b_id"])
+            for r in similarity.embedding_near_dups(emb, threshold=0.99)
+            .collect()}
+    capped = {(r["a_id"], r["b_id"])
+              for r in similarity.embedding_near_dups(
+                  emb, threshold=0.99, max_bucket_size=4).collect()}
+    mega = {p for p in full if p[0] < 8}
+    assert len(mega) == 28                       # 8-choose-2
+    assert capped.isdisjoint(mega)
+    assert (20, 21) in capped
