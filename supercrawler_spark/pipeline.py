@@ -1,0 +1,127 @@
+"""End-to-end training-corpus preparation: the operators composed the way a
+real pre-training data run chains them.
+
+    raw docs ─ quality gate ─ exact dedup ─ near-dup resolve ─
+      benchmark decontamination ─ [PII scrub] ─ [line dedup] ─
+        deterministic shuffle/export
+
+Each stage is one of the library's verified operators; this module only
+wires them and keeps the scale discipline intact:
+
+- Stage DECISIONS travel as narrow id/removal lists, never as re-shuffled
+  text: the quality gate emits surviving ids (one scan, no shuffle), dedup
+  and decontamination emit drop-lists, and the corpus is pruned by
+  LEFT-ANTI joins on doc_id — drop-lists are duplicate/contaminated docs,
+  a small fraction of a real corpus, so these anti-joins broadcast.
+- The report counts come from the small side of each stage (gate survivors
+  aggregate, drop-list counts) plus one final count — not a corpus count
+  per stage.
+- Text is rewritten at most once (the optional PII scrub), at the very end,
+  right before export.
+
+The reference crawls and extracts (src/supercrawler.rs); everything after
+that is what a 100 TB consumer does with the crawl's output — the part the
+reference leaves to the user and this engine makes first-class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from supercrawler_spark.operators import clusters as _clusters
+from supercrawler_spark.operators import corpus as _corpus
+from supercrawler_spark.operators import dedup as _dedup
+from supercrawler_spark.operators import textquality as _tq
+from supercrawler_spark.operators import trainmix as _trainmix
+
+
+@dataclass
+class CorpusPipelineConfig:
+    min_tokens: int = 20
+    max_punct_ratio: float = 0.2
+    langs: tuple = ("en",)
+    near_dedup: bool = True
+    decontaminate_n: int = 8
+    decontaminate_min_hits: int = 1
+    scrub_pii: bool = False
+    line_dedup_min_df: int | None = None   # None = skip line-level dedup
+    extra: dict = field(default_factory=dict)
+
+
+def prepare_training_corpus(docs: DataFrame,
+                            benchmark: DataFrame | None = None,
+                            config: CorpusPipelineConfig | None = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id"
+                            ) -> tuple[DataFrame, dict]:
+    """Run the full preparation chain; returns ``(clean_docs, report)``.
+    ``clean_docs`` keeps the input schema (text possibly PII-scrubbed /
+    line-deduped); ``report`` maps stage → rows dropped (or rewritten)."""
+    cfg = config or CorpusPipelineConfig()
+    report: dict[str, int] = {}
+    n_input = docs.count()
+    report["input_docs"] = n_input
+
+    # 1. quality gate — single scan; survivors as a narrow id list
+    gate = _tq.filter_corpus(docs, cfg.min_tokens, cfg.max_punct_ratio,
+                             cfg.langs, text_col, id_col)
+    # survivors are most of a real corpus, so this is the one id join that
+    # cannot broadcast at scale — a doc_id-keyed semi-join of narrow ids
+    # (AQE broadcasts it at test scale on its own)
+    keep_ids = gate.select("doc_id")
+    cur = docs.join(keep_ids.withColumnRenamed("doc_id", id_col),
+                    id_col, "left_semi")
+    n_gate = keep_ids.count()
+    report["quality_gate_dropped"] = n_input - n_gate
+
+    # 2. exact dedup — drop every non-keeper of a duplicate-text group
+    groups = _dedup.exact_dedup(cur, text_col, id_col)
+    hashed = cur.withColumn("_ch", _dedup._md5_long(F.col(text_col)))
+    keepers = groups.select(F.col("content_hash").alias("_ch"), "keeper_id")
+    cur = (hashed.join(keepers, "_ch")
+           .filter(F.col(id_col) == F.col("keeper_id"))
+           .drop("_ch", "keeper_id"))
+    n_exact = cur.count()
+    report["exact_dup_dropped"] = n_gate - n_exact
+
+    # 3. near-dup resolution — quality-aware keeper per LSH cluster
+    if cfg.near_dedup:
+        res = _clusters.resolve_duplicates(cur, text_col=text_col,
+                                           id_col=id_col)
+        drop = res.filter(~F.col("keep")).select(F.col("doc_id").alias(id_col))
+        report["near_dup_dropped"] = drop.count()
+        cur = cur.join(drop, id_col, "left_anti")
+
+    # 4. benchmark decontamination
+    if benchmark is not None:
+        removal = _trainmix.decontaminate(
+            cur, benchmark, cfg.decontaminate_n, cfg.decontaminate_min_hits,
+            text_col, id_col)
+        drop = removal.select(F.col("doc_id").alias(id_col))
+        report["decontaminated_dropped"] = drop.count()
+        cur = cur.join(drop, id_col, "left_anti")
+
+    # 5. optional text rewrites — the only stages that touch text bytes
+    if cfg.line_dedup_min_df is not None:
+        from supercrawler_spark.operators import linededup as _ld
+        deduped = _ld.line_dedup(cur, min_df=cfg.line_dedup_min_df,
+                                 text_col=text_col, id_col=id_col)
+        cur = (cur.drop(text_col)
+               .join(deduped.select(F.col("doc_id").alias(id_col),
+                                    F.col("text_clean").alias(text_col)),
+                     id_col))
+        report["line_deduped_docs"] = cur.count()
+    if cfg.scrub_pii:
+        scrubbed = _corpus.scrub_pii(cur, text_col, id_col)
+        report["pii_docs_touched"] = int(
+            scrubbed.filter((F.col("n_emails") + F.col("n_ips")
+                             + F.col("n_phones")) > 0).count())
+        cur = (cur.drop(text_col)
+               .join(scrubbed.select(F.col("doc_id").alias(id_col),
+                                     F.col("redacted").alias(text_col)),
+                     id_col))
+
+    report["output_docs"] = cur.count()
+    return cur, report

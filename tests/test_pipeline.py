@@ -1,0 +1,90 @@
+"""End-to-end corpus-preparation pipeline: every stage exercised once, with
+report arithmetic and survivor identity checked."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark.pipeline import CorpusPipelineConfig, \
+    prepare_training_corpus
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and it runs far away "
+        "into the green quiet woods tonight with a friend on the hill")
+B2 = ("a tall ship sails on the wide open sea and the crew is happy to see "
+      "the land after many long days of salt wind and waves out there")
+B5 = ("please remember that the weather in the mountains can change fast so "
+      "pack a warm coat and tell a friend where you are going this weekend")
+B6 = ("cooking a good soup takes time and patience because the broth needs "
+      "to simmer for hours while you stir it and add the fresh vegetables")
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        (0, GOOD),
+        (1, "too short"),                                   # quality gate
+        (2, B2),
+        (3, B2),                                            # exact dup of 2
+        # near-dup of 0: punct-junk copy loses to 0 on quality
+        (4, GOOD + " #@!$%^!!"),
+        (5, B5 + " it contains the secret benchmark answer token stream "
+                 "for the famous eval question here"),
+        (6, B6 + " write to me at someone@example.com for more of it"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(100, "the secret benchmark answer token stream for the famous "
+               "eval question")],
+        "doc_id long, text string")
+
+
+def test_pipeline_stages_and_report(spark, raw, bench):
+    cfg = CorpusPipelineConfig(min_tokens=10, scrub_pii=True)
+    clean, report = prepare_training_corpus(raw, benchmark=bench, config=cfg)
+    kept = {r["doc_id"]: r["text"] for r in clean.collect()}
+
+    assert report["input_docs"] == 7
+    assert report["quality_gate_dropped"] == 1          # doc 1
+    assert report["exact_dup_dropped"] == 1             # doc 3 (min-id 2 kept)
+    assert report["near_dup_dropped"] >= 1              # doc 4 loses to 0
+    assert report["decontaminated_dropped"] == 1        # doc 5
+    assert report["output_docs"] == len(kept)
+    # identity: survivors are exactly the clean ones
+    assert set(kept) == {0, 2, 6}
+    # near-dup resolution kept the HIGH-quality copy (0), not the junk (4)
+    assert 4 not in kept
+    # PII scrub rewrote doc 6's email
+    assert "someone@example.com" not in kept[6]
+    assert "<EMAIL>" in kept[6]
+    assert report["pii_docs_touched"] == 1
+    # untouched docs keep their text byte-identically
+    assert kept[0] == GOOD
+
+
+def test_pipeline_no_benchmark_no_pii(spark, raw):
+    cfg = CorpusPipelineConfig(min_tokens=10)
+    clean, report = prepare_training_corpus(raw, config=cfg)
+    assert "decontaminated_dropped" not in report
+    assert "pii_docs_touched" not in report
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert {0, 2, 5, 6} == kept        # doc 5 survives without decontam
+    # text column untouched when no rewrite stage is on
+    row6 = clean.filter(F.col("doc_id") == 6).first()
+    assert "someone@example.com" in row6["text"]
+
+
+def test_pipeline_line_dedup_stage(spark):
+    boiler = "subscribe to our newsletter for updates today friends"
+    rows = [(i, GOOD + f" unique part {i}\n" + boiler) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CorpusPipelineConfig(min_tokens=10, near_dedup=False,
+                               line_dedup_min_df=2)
+    clean, report = prepare_training_corpus(docs, config=cfg)
+    assert report["line_deduped_docs"] == 4
+    for r in clean.collect():
+        assert boiler not in r["text"]
+        assert f"unique part {r['doc_id']}" in r["text"]
