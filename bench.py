@@ -287,12 +287,22 @@ def main() -> None:
                            for r in similarity.ivf_ann_topk(emb, q, k=3)
                            .collect()}
 
+    def exact_baseline():
+        # computed once, shared by both recall extras; self-contained so a
+        # bench subset without lsh_ann_topk still reports ivf recall
+        if "exact" not in ann_sets:
+            q = emb.filter(F.col("vec_id") < 20)
+            ann_sets["exact"] = {
+                (r["query_id"], r["neighbor_id"])
+                for r in similarity.cosine_topk(emb, q, k=3).collect()}
+        return ann_sets["exact"]
+
     bench("lsh_ann_topk", lsh_ann)
     if "lsh" in ann_sets:
         lsh_recall_extras()
     bench("ivf_ann_topk", ivf_ann)
-    if "ivf" in ann_sets and "exact" in ann_sets:
-        exact = ann_sets["exact"]
+    if "ivf" in ann_sets:
+        exact = exact_baseline()
         extras["ivf_ann_recall_at3"] = round(
             len(ann_sets["ivf"] & exact) / max(1, len(exact)), 4)
     bench("embedding_near_dups", lambda: similarity.embedding_near_dups(

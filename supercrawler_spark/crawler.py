@@ -403,8 +403,14 @@ class Crawler:
             # worst case (the pages side is never involved).
             rank_in, order_cols = fetchable, ["seq"]
             if self.host_priority is not None:
-                pr = self.host_priority.select(
-                    "host", F.col("priority").cast("double").alias("_prio"))
+                # max-aggregate first: a duplicate host row in a user-supplied
+                # score table would otherwise MULTIPLY frontier rows through
+                # the left join (duplicate fetches, and non-unique order keys
+                # for the dense rank)
+                pr = (self.host_priority
+                      .groupBy("host")
+                      .agg(F.max(F.col("priority").cast("double"))
+                           .alias("_prio")))
                 rank_in = (fetchable.join(pr, "host", "left")
                            .withColumn(
                                "_negp",

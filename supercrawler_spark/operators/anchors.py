@@ -40,19 +40,23 @@ def anchor_pairs(pages: DataFrame, url_col: str = "url",
 
 def anchor_corpus(pairs: DataFrame, top_k: int = 3) -> DataFrame:
     """Per-target anchor-text summary as flat rows: the ``top_k`` most
-    frequent anchor texts per target (count desc, anchor asc tie-break),
-    each row carrying the target's total in-link count.
+    frequent NON-EMPTY anchor texts per target (count desc, anchor asc
+    tie-break), each row carrying the target's total in-link count —
+    ``n_inlinks`` counts ALL in-links including empty-text (image/icon)
+    anchors, so it is the true in-degree, not just the ranked subset's sum.
 
-    Output: (target_url, anchor, n_with_anchor, rank, n_inlinks)."""
-    counts = (pairs.filter(F.col("anchor") != "")
+    Output: (target_url, anchor, n_with_anchor, rank, n_inlinks). Targets
+    with only empty-text anchors have no ranked rows and are absent."""
+    counts = (pairs
               .groupBy("target_url", "anchor")
               .agg(F.count("*").alias("n_with_anchor")))
+    wall = Window.partitionBy("target_url")
     w = Window.partitionBy("target_url").orderBy(
         F.desc("n_with_anchor"), F.asc("anchor"))
-    wall = Window.partitionBy("target_url")
     return (counts
             .withColumn("n_inlinks",
                         F.sum("n_with_anchor").over(wall).cast("long"))
+            .filter(F.col("anchor") != "")
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= top_k)
             .select("target_url", "anchor", "n_with_anchor", "rank",
@@ -60,31 +64,13 @@ def anchor_corpus(pairs: DataFrame, top_k: int = 3) -> DataFrame:
 
 
 def pages_with_text_anchors(docs: DataFrame, n_docs: int) -> DataFrame:
-    """``graph.pages_from_documents`` variant whose anchors carry per-edge
-    text ('doc <dst> k<k>') instead of the constant 'link' — used by the
+    """``graph.pages_from_documents`` with per-edge anchor text
+    ('doc <dst> k<k>') instead of the constant 'link' — used by the
     anchor-corpus oracle query so the text aggregation is non-vacuous while
-    the crawl fixtures stay byte-stable."""
-    e = graph.url_edges(docs, n_docs)
-    links = (e.groupBy("src_id")
-             .agg(F.concat_ws("", F.transform(
-                 F.array_sort(F.collect_list(
-                     F.struct("k", "dst_url", "dst_id"))),
-                 lambda s: F.concat(
-                     F.lit('<p><a href="'), s["dst_url"], F.lit('">doc '),
-                     s["dst_id"].cast("string"), F.lit(" k"),
-                     s["k"].cast("string"), F.lit("</a></p>"))))
-                 .alias("links_html")))
-    d = graph.with_url(docs)
-    return (d.join(links, d.doc_id == links.src_id, "left")
-            .select(
-                "url",
-                F.concat(
-                    F.lit("<html><head><title>Doc "),
-                    F.col("doc_id").cast("string"),
-                    F.lit("</title></head><body><p>"),
-                    F.col("text"),
-                    F.lit("</p>"),
-                    F.coalesce(F.col("links_html"), F.lit("")),
-                    F.lit("</body></html>"),
-                ).cast("binary").alias("html"),
-            ))
+    the default crawl fixtures stay byte-stable (one shared envelope
+    builder, only the anchor-label expression differs)."""
+    return graph.pages_from_documents(
+        docs, n_docs,
+        anchor_text=lambda s: F.concat(
+            F.lit("doc "), s["dst_id"].cast("string"),
+            F.lit(" k"), s["k"].cast("string"))).select("url", "html")

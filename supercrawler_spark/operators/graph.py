@@ -62,18 +62,26 @@ def seeds(docs: DataFrame) -> DataFrame:
         .select("doc_id", "url", "host")
 
 
-def pages_from_documents(docs: DataFrame, n_docs: int) -> DataFrame:
+def pages_from_documents(docs: DataFrame, n_docs: int,
+                         anchor_text=None) -> DataFrame:
     """Reshape ``documents`` into the engine's pages table
     (url, warc_ts, html binary, text, lang) — FIXTURES.md §6. The html embeds
     the deterministic edge links as <a href> anchors (document order = k), so
     the full engine (UDF link extraction included) crawls exactly the
-    arithmetic graph that the DuckDB recursive-CTE oracle walks."""
+    arithmetic graph that the DuckDB recursive-CTE oracle walks.
+
+    ``anchor_text``: optional callable mapping the per-edge struct
+    (k, dst_url, dst_id) to a Column used as the anchor's text; default is
+    the constant 'link' (the byte-stable crawl-fixture form)."""
     e = url_edges(docs, n_docs)
+    label = anchor_text or (lambda s: F.lit("link"))
     links = (e.groupBy("src_id")
              .agg(F.concat_ws("", F.transform(
-                 F.array_sort(F.collect_list(F.struct("k", "dst_url"))),
+                 F.array_sort(F.collect_list(
+                     F.struct("k", "dst_url", "dst_id"))),
                  lambda s: F.concat(F.lit('<p><a href="'), s["dst_url"],
-                                    F.lit('">link</a></p>'))))
+                                    F.lit('">'), label(s),
+                                    F.lit("</a></p>"))))
                  .alias("links_html")))
     d = with_url(docs)
     return (d.join(links, d.doc_id == links.src_id, "left")
@@ -99,22 +107,18 @@ def host_graph(docs: DataFrame, n_docs: int) -> DataFrame:
     aggregation a crawl scheduler prioritizes from (which domains feed which,
     how much of a host's linkage is internal).
 
-    Scale shape: src_host rides along from the edge-generation projection
-    (zero extra work); only dst_host needs a lookup join on dst_id — narrow
-    (id, host) rows, never page content. One join shuffle + one map-side
+    Scale shape: built on the shared ``edges()`` generator (single source of
+    truth for the edge formula — it also lives in the oracle's _GRAPH_CTE);
+    both endpoint hosts attach through narrow (id, host) lookup joins —
+    never page content. Two id-keyed join shuffles + one map-side
     combinable aggregation keyed on the (src_host, dst_host) pair, whose
     cardinality is #hosts², tiny next to #edges."""
     d = with_url(docs).select("doc_id", "host")
-    e = (d.withColumnRenamed("doc_id", "src_id")
-         .withColumnRenamed("host", "src_host")
-         .crossJoin(F.broadcast(
-             docs.sparkSession.range(N_EDGES).withColumnRenamed("id", "k")))
-         .select("src_id", "src_host",
-                 ((F.col("src_id") * 31 + 7 * F.col("k") + 3) % n_docs)
-                 .alias("dst_id")))
+    src = d.select(F.col("doc_id").alias("src_id"),
+                   F.col("host").alias("src_host"))
     dst = d.select(F.col("doc_id").alias("dst_id"),
                    F.col("host").alias("dst_host"))
-    return (e.join(dst, "dst_id")
+    return (edges(docs, n_docs).join(src, "src_id").join(dst, "dst_id")
             .groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n_links"),
                  F.countDistinct("src_id").alias("n_src_pages"))

@@ -13,9 +13,10 @@ wires them and keeps the scale discipline intact:
   and decontamination emit drop-lists, and the corpus is pruned by
   LEFT-ANTI joins on doc_id — drop-lists are duplicate/contaminated docs,
   a small fraction of a real corpus, so these anti-joins broadcast.
-- The report counts come from the small side of each stage (gate survivors
-  aggregate, drop-list counts) plus one final count — not a corpus count
-  per stage.
+- Drop-list stages report from the SMALL side (persisted narrow id lists);
+  the exact-dedup and final counts are corpus counts, but each runs once
+  and the drop-list caches keep their expensive lineages (LSH + iterative
+  connected components) from re-executing per downstream consumer.
 - Text is rewritten at most once (the optional PII scrub), at the very end,
   right before export.
 
@@ -61,6 +62,7 @@ def prepare_training_corpus(docs: DataFrame,
     line-deduped); ``report`` maps stage → rows dropped (or rewritten)."""
     cfg = config or CorpusPipelineConfig()
     report: dict[str, int] = {}
+    caches: list[DataFrame] = []
     n_input = docs.count()
     report["input_docs"] = n_input
 
@@ -70,7 +72,8 @@ def prepare_training_corpus(docs: DataFrame,
     # survivors are most of a real corpus, so this is the one id join that
     # cannot broadcast at scale — a doc_id-keyed semi-join of narrow ids
     # (AQE broadcasts it at test scale on its own)
-    keep_ids = gate.select("doc_id")
+    keep_ids = gate.select("doc_id").persist()
+    caches.append(keep_ids)
     cur = docs.join(keep_ids.withColumnRenamed("doc_id", id_col),
                     id_col, "left_semi")
     n_gate = keep_ids.count()
@@ -90,7 +93,12 @@ def prepare_training_corpus(docs: DataFrame,
     if cfg.near_dedup:
         res = _clusters.resolve_duplicates(cur, text_col=text_col,
                                            id_col=id_col)
-        drop = res.filter(~F.col("keep")).select(F.col("doc_id").alias(id_col))
+        # persist the tiny drop-list: its lineage is the full LSH + iterative
+        # connected-components plan, which would otherwise re-execute for
+        # the count, the anti-join, and every later stage built on cur
+        drop = (res.filter(~F.col("keep"))
+                .select(F.col("doc_id").alias(id_col)).persist())
+        caches.append(drop)
         report["near_dup_dropped"] = drop.count()
         cur = cur.join(drop, id_col, "left_anti")
 
@@ -99,7 +107,8 @@ def prepare_training_corpus(docs: DataFrame,
         removal = _trainmix.decontaminate(
             cur, benchmark, cfg.decontaminate_n, cfg.decontaminate_min_hits,
             text_col, id_col)
-        drop = removal.select(F.col("doc_id").alias(id_col))
+        drop = removal.select(F.col("doc_id").alias(id_col)).persist()
+        caches.append(drop)
         report["decontaminated_dropped"] = drop.count()
         cur = cur.join(drop, id_col, "left_anti")
 
@@ -124,4 +133,10 @@ def prepare_training_corpus(docs: DataFrame,
                      id_col))
 
     report["output_docs"] = cur.count()
+    for c in caches:
+        c.unpersist()
+    # NOTE: the drop-list caches are released here, so the FIRST caller
+    # materialization of clean_docs recomputes each drop lineage once more;
+    # write the result (e.g. sinks.export_shards) immediately rather than
+    # re-deriving it repeatedly.
     return cur, report

@@ -604,30 +604,9 @@ def _clean_to_mdx_inner(content: str, source_url: str) -> str:
 def extract_links(content: str, source_url: str) -> list[str]:
     """All a[href] in document order from the RAW html (the reference parses
     the unstripped body for links, rs:738), prefiltered (F1), absolutized
-    (F2), fragment-stripped (F3); duplicates preserved."""
-    base = rust_url_parse(source_url)
-    if base is None:
-        return []
-    doc = parse_html(content)
-    urls: list[str] = []
-    for el in doc.descendants():
-        if el.tag != "a":
-            continue
-        href = el.attr("href")
-        if href is None:
-            continue
-        trimmed = href.strip()
-        if (
-            not trimmed
-            or trimmed.startswith("#")
-            or trimmed.startswith("javascript:")
-            or trimmed.startswith("mailto:")
-        ):
-            continue
-        absolute = rust_url_join(base, trimmed, strip_fragment=True)
-        if absolute is not None:
-            urls.append(absolute)
-    return urls
+    (F2), fragment-stripped (F3); duplicates preserved. Delegates to
+    ``extract_anchors`` — one walker owns the prefilter/absolutize kernel."""
+    return [href for href, _ in extract_anchors(content, source_url)]
 
 
 def extract_anchors(content: str, source_url: str) -> list[tuple[str, str]]:

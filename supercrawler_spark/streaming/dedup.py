@@ -25,7 +25,6 @@ so the streamed output is directly comparable to the batch operator
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -50,10 +49,13 @@ def stream_exact_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
              .dropDuplicatesWithinWatermark(["content_hash"]))
     else:
         s = s.dropDuplicates(["content_hash"])
+    # the checkpoint lives WITH the output: re-invoking on a grown source
+    # resumes from the saved state/source offsets, so already-emitted hashes
+    # stay suppressed and already-read files are not re-appended — a fresh
+    # temp checkpoint per call would re-emit the whole history every run
     q = (s.writeStream.outputMode("append").format("parquet")
          .option("path", out_dir)
-         .option("checkpointLocation",
-                 os.path.join(tempfile.mkdtemp(prefix="dedup_ckpt_"), "ck"))
+         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()

@@ -226,8 +226,8 @@ def test_anchor_corpus_aggregation_and_plan(spark):
     assert set(x) == {"Click here", "best page"}
     assert x["Click here"]["rank"] == 1 and x["Click here"]["n_with_anchor"] == 3
     assert x["best page"]["rank"] == 2 and x["best page"]["n_with_anchor"] == 1
-    # total excludes the empty-text anchor: 3+1+1+1 = 6
-    assert x["Click here"]["n_inlinks"] == 6
+    # n_inlinks is the TRUE in-degree: 7 anchors incl. the empty-text one
+    assert x["Click here"]["n_inlinks"] == 7
     y = out.filter(F.col("target_url") == "https://t.example.com/y").collect()
     assert len(y) == 1 and y[0]["n_inlinks"] == 1
     # plan: Arrow-vectorized UDF and the rank filter pushed to WindowGroupLimit

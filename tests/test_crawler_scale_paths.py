@@ -318,7 +318,10 @@ def test_priority_dequeue_orders_throttled_frontier(spark, corpus_sf0001,
     hosts = sorted({u.split("/")[2] for u in urls})
     assert len(hosts) >= 2, "need multi-host seeds for a priority test"
     top = hosts[-1]  # alphabetically-last host outranks everything
-    prio = spark.createDataFrame([(top, 10.0)], "host STRING, priority DOUBLE")
+    # duplicate host rows on purpose: the engine must max-aggregate, not
+    # multiply frontier rows through the join
+    prio = spark.createDataFrame([(top, 10.0), (top, 4.0)],
+                                 "host STRING, priority DOUBLE")
 
     cfg = CrawlConfig(crawl_depth=0, num_buckets=8, max_fetch_per_round=5)
     res = crawl(spark, pages, my_seeds, cfg,

@@ -192,3 +192,32 @@ def test_stream_dedup_watermarked_suppresses_within_horizon(spark,
                              ts_col="ts", watermark="1 hour")
     kept = {r["doc_id"] for r in out.collect()}
     assert kept == {0, 1, 3}, kept   # id 2's dup suppressed inside horizon
+
+def test_stream_dedup_resumes_across_invocations(spark, tmp_path_factory):
+    """Re-invoking on a grown source must resume from the persisted
+    checkpoint: old files are not re-emitted and hashes seen in run 1 stay
+    suppressed in run 2 (the continuous-ingestion contract)."""
+    import os
+    from supercrawler_spark.streaming.dedup import stream_exact_dedup
+    stage = tmp_path_factory.mktemp("sdr_stage")
+    out = str(tmp_path_factory.mktemp("sdr_out") / "o")
+
+    def add_batch(name, rows, mtime):
+        d = tmp_path_factory.mktemp(name)
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(str(d))
+        f = [x for x in os.listdir(str(d)) if x.endswith(".parquet")][0]
+        dst = str(stage / f"{name}.parquet")
+        os.link(str(d / f), dst)
+        os.utime(dst, (mtime, mtime))
+
+    add_batch("b0", [(0, "seen text"), (1, "only a")], 1000)
+    out1 = stream_exact_dedup(spark, str(stage), out)
+    assert {r["doc_id"] for r in out1.collect()} == {0, 1}
+
+    # grow the source: one dup of run-1's hash, one fresh doc
+    add_batch("b1", [(2, "seen text"), (3, "only b")], 2000)
+    out2 = stream_exact_dedup(spark, str(stage), out)
+    rows = out2.collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 3}   # 2 suppressed by state
+    assert len(rows) == 3                             # nothing re-emitted
