@@ -415,6 +415,26 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.line_dedup(docs, min_df=5, min_chars=6)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl delta between two deterministic snapshots of the
+    doc-graph pages: doc_id%17 removed, doc_id%13 rewritten (changed),
+    doc_id%19 gains a '/new' twin (added). The engine compares map-side
+    content hashes; the oracle enumerates the mutations arithmetically."""
+    docs = _docs(spark, sf_dir)
+    d = graph.with_url(docs).select("doc_id", "url", "text")
+    old = d.select("url", F.col("text").alias("html"))
+    new = (d.filter(F.col("doc_id") % 17 != 0)
+           .select("url",
+                   F.when(F.col("doc_id") % 13 == 0,
+                          F.concat(F.col("text"), F.lit(" [v2]")))
+                   .otherwise(F.col("text")).alias("html"))
+           .unionByName(
+               d.filter(F.col("doc_id") % 19 == 0)
+               .select(F.concat(F.col("url"), F.lit("/new")).alias("url"),
+                       F.col("text").alias("html"))))
+    return recrawl.snapshot_diff(old, new)
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters (top-50 tokens by occurrence)."""
     return corpus.top_tokens(_docs(spark, sf_dir), k=50)
@@ -516,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "top_tokens": q_top_tokens,
+        "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
@@ -1248,6 +1269,17 @@ FROM m GROUP BY doc_id""",
         # 2-iteration fixed-point PageRank: BIGINT micro-units (SCALE=1e12),
         # damping 85/100, 3 out-edges/node via (31*src + 7k + 3) mod n;
         # integral division mirrors Spark's `div`
+        "snapshot_diff": """
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT url || '/new' AS url, 'added' AS status
+FROM urls WHERE doc_id % 19 = 0
+UNION ALL
+SELECT url, 'removed' FROM urls WHERE doc_id % 17 = 0
+UNION ALL
+SELECT url, 'changed' FROM urls WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0""",
         "top_tokens": f"""
 WITH occ AS (
   SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

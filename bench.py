@@ -244,6 +244,19 @@ def main() -> None:
 
     bench("recrawl_schedule", recrawl_bench)
 
+    def snapshot_diff_bench():
+        from supercrawler_spark.operators import graph as _graph
+        from supercrawler_spark.operators.recrawl import snapshot_diff
+        d = _graph.with_url(docs).select("doc_id", "url", "text")
+        old_s = d.select("url", F.col("text").alias("html"))
+        new_s = (d.filter(F.col("doc_id") % 17 != 0)
+                 .select("url", F.when(F.col("doc_id") % 13 == 0,
+                                       F.concat(F.col("text"), F.lit(" v2")))
+                         .otherwise(F.col("text")).alias("html")))
+        extras["snapshot_delta_rows"] = snapshot_diff(old_s, new_s).count()
+
+    bench("snapshot_diff", snapshot_diff_bench)
+
     def anchor_corpus_bench():
         from supercrawler_spark.operators import anchors as _anchors
         from supercrawler_spark.operators import graph as _graph

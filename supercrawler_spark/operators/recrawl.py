@@ -43,3 +43,33 @@ def recrawl_schedule(pages: DataFrame, now_ts, min_age_days: int = 60,
             .withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= per_host_cap)
             .select("url", "host", "age_days", "rk"))
+
+def snapshot_diff(old_pages: DataFrame, new_pages: DataFrame,
+                  url_col: str = "url", content_col: str = "html",
+                  include_unchanged: bool = False) -> DataFrame:
+    """Incremental-crawl delta between two pages snapshots: one row per url
+    with status 'added' (new only), 'removed' (old only), 'changed' (both,
+    content differs) — and 'unchanged' when ``include_unchanged`` (off by
+    default; at web scale unchanged is the overwhelming majority and is
+    usually only counted, not materialized).
+
+    Scale shape: content is hashed MAP-SIDE on each scan (md5 of the bytes),
+    so the full-outer join moves only (url, 16-byte hash) rows — page bodies
+    never shuffle. One url-keyed join, status is a projection."""
+    def side(df, alias):
+        return df.select(
+            F.col(url_col).alias("url"),
+            F.md5(F.col(content_col).cast("binary")).alias(alias))
+    a = side(old_pages, "_old_h")
+    b = side(new_pages, "_new_h")
+    out = (a.join(b, "url", "full_outer")
+           .withColumn("status",
+                       F.when(F.col("_old_h").isNull(), F.lit("added"))
+                       .when(F.col("_new_h").isNull(), F.lit("removed"))
+                       .when(F.col("_old_h") != F.col("_new_h"),
+                             F.lit("changed"))
+                       .otherwise(F.lit("unchanged")))
+           .select("url", "status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

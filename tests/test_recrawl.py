@@ -62,3 +62,24 @@ def test_deterministic_under_repartition(pages):
     b = sorted(map(tuple, recrawl.recrawl_schedule(
         pages.repartition(7), NOW, per_host_cap=2).collect()))
     assert a == b
+
+def test_snapshot_diff_statuses_and_narrow_join(spark):
+    from supercrawler_spark.operators.recrawl import snapshot_diff
+    old = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"old body"), ("u3", b"gone")],
+        "url string, html binary")
+    new = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"new body"), ("u4", b"fresh")],
+        "url string, html binary")
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"u2": "changed", "u3": "removed", "u4": "added"}
+    full = {r["url"]: r["status"]
+            for r in snapshot_diff(old, new, include_unchanged=True).collect()}
+    assert full["u1"] == "unchanged" and len(full) == 4
+    # scale shape: page bodies never shuffle — the join exchanges carry only
+    # (url, md5) columns
+    plan = snapshot_diff(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    exch = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    assert exch and not any("html" in l for l in exch), exch
