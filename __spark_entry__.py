@@ -415,6 +415,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.line_dedup(docs, min_df=5, min_chars=6)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events log (30-minute gap): one
+    entity-keyed shuffle drives lag, the running session counter and the
+    per-session aggregate."""
+    from supercrawler_spark.operators.sessions import sessionize
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_minutes=30)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl delta between two deterministic snapshots of the
     doc-graph pages: doc_id%17 removed, doc_id%13 rewritten (changed),
@@ -537,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "top_tokens": q_top_tokens,
         "snapshot_diff": q_snapshot_diff,
+        "sessionize": q_sessionize,
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
@@ -1269,6 +1279,22 @@ FROM m GROUP BY doc_id""",
         # 2-iteration fixed-point PageRank: BIGINT micro-units (SCALE=1e12),
         # damping 85/100, 3 out-edges/node via (31*src + 7k + 3) mod n;
         # integral division mirrors Spark's `div`
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, round(SUM(value), 6) AS total_value
+FROM s GROUP BY user_id, session_seq""",
         "snapshot_diff": """
 WITH urls AS (
   SELECT doc_id,

@@ -257,6 +257,13 @@ def main() -> None:
 
     bench("snapshot_diff", snapshot_diff_bench)
 
+    def sessionize_bench():
+        from supercrawler_spark.operators.sessions import sessionize
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        extras["sessions"] = sessionize(ev, gap_minutes=30).count()
+
+    bench("sessionize", sessionize_bench)
+
     def anchor_corpus_bench():
         from supercrawler_spark.operators import anchors as _anchors
         from supercrawler_spark.operators import graph as _graph

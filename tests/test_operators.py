@@ -221,3 +221,25 @@ def test_stream_dedup_resumes_across_invocations(spark, tmp_path_factory):
     rows = out2.collect()
     assert {r["doc_id"] for r in rows} == {0, 1, 3}   # 2 suppressed by state
     assert len(rows) == 3                             # nothing re-emitted
+
+def test_sessionize_known_gaps_and_single_exchange(spark):
+    from supercrawler_spark.operators.sessions import sessionize
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, 1.0),
+        (2, "2024-01-01 10:10:00", 7, 2.0),   # same session (10 min)
+        (3, "2024-01-01 11:00:00", 7, 4.0),   # 50-min gap -> new session
+        (4, "2024-01-01 10:05:00", 8, 8.0),   # other entity
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in sessionize(ev, gap_minutes=30).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)]["n_events"] == 2 and out[(7, 1)]["total_value"] == 3.0
+    assert str(out[(7, 1)]["session_end"]).startswith("2024-01-01 10:10")
+    assert out[(7, 2)]["n_events"] == 1
+    # one entity-keyed exchange serves lag + running sum + aggregation
+    import re
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
