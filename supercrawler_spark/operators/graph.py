@@ -34,12 +34,16 @@ def doc_count(docs: DataFrame) -> int:
     return docs.count()
 
 
-def edges(docs: DataFrame, n_docs: int) -> DataFrame:
-    """(src_id, dst_id, k) — three deterministic out-edges per document."""
+def edges(docs: DataFrame, n_docs: int,
+          carry: tuple[str, ...] = ()) -> DataFrame:
+    """(src_id, [carry...,] k, dst_id) — three deterministic out-edges per
+    document. ``carry`` names extra ``docs`` columns to ride the edge
+    projection for free (no later src-side join); the edge formula lives
+    ONLY here (and in the oracle's _GRAPH_CTE)."""
     spark = docs.sparkSession
     ks = spark.range(N_EDGES).withColumnRenamed("id", "k")
-    return (docs.select("doc_id").crossJoin(F.broadcast(ks))
-            .select(F.col("doc_id").alias("src_id"), "k",
+    return (docs.select("doc_id", *carry).crossJoin(F.broadcast(ks))
+            .select(F.col("doc_id").alias("src_id"), *carry, "k",
                     ((F.col("doc_id") * 31 + 7 * F.col("k") + 3) % n_docs)
                     .alias("dst_id")))
 
@@ -107,18 +111,19 @@ def host_graph(docs: DataFrame, n_docs: int) -> DataFrame:
     aggregation a crawl scheduler prioritizes from (which domains feed which,
     how much of a host's linkage is internal).
 
-    Scale shape: built on the shared ``edges()`` generator (single source of
-    truth for the edge formula — it also lives in the oracle's _GRAPH_CTE);
-    both endpoint hosts attach through narrow (id, host) lookup joins —
-    never page content. Two id-keyed join shuffles + one map-side
-    combinable aggregation keyed on the (src_host, dst_host) pair, whose
-    cardinality is #hosts², tiny next to #edges."""
+    Scale shape: built on the shared ``edges()`` generator (single source
+    of truth for the edge formula — it also lives in the oracle's
+    _GRAPH_CTE), with src_host riding the edge projection for free via
+    ``carry``; only dst_host needs a lookup join on dst_id — narrow
+    (id, host) rows, never page content. ONE id-keyed join shuffle + one
+    map-side combinable aggregation keyed on the (src_host, dst_host)
+    pair, whose cardinality is #hosts², tiny next to #edges."""
     d = with_url(docs).select("doc_id", "host")
-    src = d.select(F.col("doc_id").alias("src_id"),
-                   F.col("host").alias("src_host"))
     dst = d.select(F.col("doc_id").alias("dst_id"),
                    F.col("host").alias("dst_host"))
-    return (edges(docs, n_docs).join(src, "src_id").join(dst, "dst_id")
+    return (edges(d.withColumnRenamed("host", "src_host"), n_docs,
+                  carry=("src_host",))
+            .join(dst, "dst_id")
             .groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n_links"),
                  F.countDistinct("src_id").alias("n_src_pages"))

@@ -46,6 +46,7 @@ def recrawl_schedule(pages: DataFrame, now_ts, min_age_days: int = 60,
 
 def snapshot_diff(old_pages: DataFrame, new_pages: DataFrame,
                   url_col: str = "url", content_col: str = "html",
+                  ts_col: str = "warc_ts",
                   include_unchanged: bool = False) -> DataFrame:
     """Incremental-crawl delta between two pages snapshots: one row per url
     with status 'added' (new only), 'removed' (old only), 'changed' (both,
@@ -53,20 +54,40 @@ def snapshot_diff(old_pages: DataFrame, new_pages: DataFrame,
     default; at web scale unchanged is the overwhelming majority and is
     usually only counted, not materialized).
 
-    Scale shape: content is hashed MAP-SIDE on each scan (md5 of the bytes),
-    so the full-outer join moves only (url, 16-byte hash) rows — page bodies
-    never shuffle. One url-keyed join, status is a projection."""
-    def side(df, alias):
-        return df.select(
+    Multi-capture tables (repeated (url, warc_ts) rows — the engine's own
+    pages model) are reduced to the LATEST capture per url per side when
+    ``ts_col`` is present; without it, ties resolve deterministically by
+    max hash. NULL content is tracked by an explicit presence marker, so a
+    url with a failed/empty capture on one side is still 'changed' /
+    matched correctly rather than misread as a join miss.
+
+    Scale shape: content is hashed MAP-SIDE on each scan (the codebase's
+    8-byte portable content hash), so the per-side reduction and the
+    full-outer join move only (url, 8-byte hash) rows — page bodies never
+    shuffle. One url-keyed shuffle per side feeding the join, status is a
+    projection."""
+    from supercrawler_spark.operators.dedup import _md5_long
+
+    def side(df: DataFrame, h: str, p: str) -> DataFrame:
+        has_ts = ts_col in df.columns
+        hashed = df.select(
             F.col(url_col).alias("url"),
-            F.md5(F.col(content_col).cast("binary")).alias(alias))
-    a = side(old_pages, "_old_h")
-    b = side(new_pages, "_new_h")
+            _md5_long(F.col(content_col)).alias(h),
+            *([F.col(ts_col).alias("_ts")] if has_ts else []))
+        if has_ts:
+            red = hashed.groupBy("url").agg(
+                F.max_by(F.col(h), F.col("_ts")).alias(h))
+        else:
+            red = hashed.groupBy("url").agg(F.max(F.col(h)).alias(h))
+        return red.withColumn(p, F.lit(True))
+
+    a = side(old_pages, "_old_h", "_old_p")
+    b = side(new_pages, "_new_h", "_new_p")
     out = (a.join(b, "url", "full_outer")
            .withColumn("status",
-                       F.when(F.col("_old_h").isNull(), F.lit("added"))
-                       .when(F.col("_new_h").isNull(), F.lit("removed"))
-                       .when(F.col("_old_h") != F.col("_new_h"),
+                       F.when(F.col("_old_p").isNull(), F.lit("added"))
+                       .when(F.col("_new_p").isNull(), F.lit("removed"))
+                       .when(~F.col("_old_h").eqNullSafe(F.col("_new_h")),
                              F.lit("changed"))
                        .otherwise(F.lit("unchanged")))
            .select("url", "status"))

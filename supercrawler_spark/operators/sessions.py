@@ -31,8 +31,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     brk = (prev.isNull()
            | (F.col(ts_col) - prev
               > F.expr(f"INTERVAL {int(gap_minutes)} MINUTES"))).cast("long")
-    run = Window.partitionBy(entity_col).orderBy(ts_col, order_tiebreak) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (events
             .withColumn("_brk", brk)
             .withColumn("session_seq", F.sum("_brk").over(run))

@@ -63,6 +63,18 @@ def prepare_training_corpus(docs: DataFrame,
     cfg = config or CorpusPipelineConfig()
     report: dict[str, int] = {}
     caches: list[DataFrame] = []
+    try:
+        return _run_pipeline(docs, benchmark, cfg, text_col, id_col,
+                             report, caches)
+    finally:
+        # release the persisted id lists even when a stage raises —
+        # otherwise an analysis error would pin them in executor storage
+        # for the rest of the application
+        for c in caches:
+            c.unpersist()
+
+
+def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
     n_input = docs.count()
     report["input_docs"] = n_input
 
@@ -133,10 +145,8 @@ def prepare_training_corpus(docs: DataFrame,
                      id_col))
 
     report["output_docs"] = cur.count()
-    for c in caches:
-        c.unpersist()
-    # NOTE: the drop-list caches are released here, so the FIRST caller
-    # materialization of clean_docs recomputes each drop lineage once more;
-    # write the result (e.g. sinks.export_shards) immediately rather than
-    # re-deriving it repeatedly.
+    # NOTE: the caller's try/finally releases the drop-list caches on
+    # return, so the FIRST caller materialization of clean_docs recomputes
+    # each drop lineage once more; write the result (e.g.
+    # sinks.export_shards) immediately rather than re-deriving it.
     return cur, report

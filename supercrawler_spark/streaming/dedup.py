@@ -38,6 +38,28 @@ def stream_exact_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
     """Run the dedup stream over a parquet directory source (one micro-batch
     per ``max_files_per_trigger`` files, availableNow) and return the
     deduplicated output DataFrame. First arrival per content hash wins."""
+    # a resumed checkpoint is only valid for the SAME source and state
+    # shape: validate the call parameters against the ones persisted with
+    # the checkpoint, failing loud instead of resuming dedup state built
+    # over a different source (or crashing deep in the state store on a
+    # dropDuplicates vs dropDuplicatesWithinWatermark operator mismatch)
+    import json
+    params = {"docs_dir": os.path.abspath(docs_dir), "text_col": text_col,
+              "ts_col": ts_col, "watermark": watermark if ts_col else None}
+    ppath = os.path.join(out_dir, "_dedup_params.json")
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds a dedup checkpoint for "
+                f"{prev}; re-invoke with the same parameters or use a "
+                f"fresh out_dir (got {params})")
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(ppath, "w") as f:
+            json.dump(params, f, indent=1, sort_keys=True)
+
     schema = spark.read.parquet(docs_dir).schema
     stream = (spark.readStream.schema(schema).format("parquet")
               .option("maxFilesPerTrigger", max_files_per_trigger)

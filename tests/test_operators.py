@@ -243,3 +243,19 @@ def test_sessionize_known_gaps_and_single_exchange(spark):
     import re
     plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+def test_stream_dedup_rejects_mismatched_resume(spark, tmp_path_factory):
+    import os
+    import pytest as _pytest
+    from supercrawler_spark.streaming.dedup import stream_exact_dedup
+    stage = tmp_path_factory.mktemp("sdm_stage")
+    d = tmp_path_factory.mktemp("sdm_src")
+    spark.createDataFrame([(0, "a")], "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(d))
+    f = [x for x in os.listdir(str(d)) if x.endswith(".parquet")][0]
+    os.link(str(d / f), str(stage / "b0.parquet"))
+    out = str(tmp_path_factory.mktemp("sdm_out") / "o")
+    stream_exact_dedup(spark, str(stage), out)
+    other = tmp_path_factory.mktemp("sdm_other")
+    with _pytest.raises(ValueError, match="same parameters"):
+        stream_exact_dedup(spark, str(other), out)

@@ -83,3 +83,34 @@ def test_snapshot_diff_statuses_and_narrow_join(spark):
     import re
     exch = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
     assert exch and not any("html" in l for l in exch), exch
+
+def test_snapshot_diff_null_content_and_multicapture(spark):
+    from supercrawler_spark.operators.recrawl import snapshot_diff
+    # multi-capture old side: u1 latest capture (ts 2) matches new -> the
+    # stale ts-1 body must NOT produce a phantom 'changed' or duplicate row
+    old = spark.createDataFrame(
+        [("u1", b"A", 1), ("u1", b"B", 2),
+         ("u2", None, 1),            # failed capture: NULL body, url EXISTS
+         ("u3", b"C", 1)],
+        "url string, html binary, warc_ts long")
+    new = spark.createDataFrame(
+        [("u1", b"B", 3),
+         ("u2", b"real body now", 3),
+         ("u4", None, 3)],           # new url whose fetch failed
+        "url string, html binary, warc_ts long")
+    rows = snapshot_diff(old, new, include_unchanged=True).collect()
+    got = {r["url"]: r["status"] for r in rows}
+    assert len(rows) == len(got), "duplicate rows per url"
+    assert got == {"u1": "unchanged",   # latest captures match
+                   "u2": "changed",    # NULL -> content is a change
+                   "u3": "removed",
+                   "u4": "added"}      # present only in new, despite NULL
+
+
+def test_snapshot_diff_without_ts_column(spark):
+    from supercrawler_spark.operators.recrawl import snapshot_diff
+    old = spark.createDataFrame([("u1", b"x")], "url string, html binary")
+    new = spark.createDataFrame([("u1", b"y"), ("u2", b"z")],
+                                "url string, html binary")
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "changed", "u2": "added"}
