@@ -191,6 +191,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased minhash Jaccard estimate per LSH candidate pair — the scale
+    path for similarity values (signatures only; no shingle-set joins)."""
+    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
+
+
 def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mega-cluster guard path: band blocks larger than max_bucket_size are
     dropped before the self-join (bounded fan-out at web scale); cap 2 is
@@ -513,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
+        "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -857,6 +864,27 @@ bands AS (
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+        "minhash_jaccard_estimate": shingle_cte + "," + minhash_core + """,
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         array_to_string(list_sort(list(CAST(hash_id AS VARCHAR) || ':' ||
+                                        CAST(min_hash AS VARCHAR))), ',') AS band_key
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       CAST(SUM(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       round(SUM(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+             / 8.0, 6) AS jaccard_est
+FROM p
+JOIN sig sa ON sa.doc_id = p.a_id
+JOIN sig sb ON sb.doc_id = p.b_id AND sb.hash_id = sa.hash_id
 GROUP BY 1, 2""",
         "minhash_lsh_pairs_capped": shingle_cte + "," + minhash_core + """,
 bands AS (

@@ -264,6 +264,24 @@ def main() -> None:
 
     bench("sessionize", sessionize_bench)
 
+    def jaccard_estimate_bench():
+        # 32 hashes: the LSH-candidate conditioning floor drops to 2/32 and
+        # the estimator resolves the full similarity spectrum (see operator
+        # docstring); exact at threshold=0 so low-J candidates stay in the
+        # comparison instead of leaving a zero-variance all-dups join.
+        est = dedup.minhash_jaccard_estimate(docs, num_hashes=32)
+        exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+        j = est.join(exact, ["a_id", "b_id"])
+        row = j.agg(F.corr("jaccard_est", "jaccard").alias("c"),
+                    F.avg(F.abs(F.col("jaccard_est") - F.col("jaccard")))
+                    .alias("mae"),
+                    F.count("*").alias("n")).collect()[0]
+        extras["jaccard_est_corr"] = round(float(row["c"] or 0.0), 4)
+        extras["jaccard_est_mae"] = round(float(row["mae"] or 0.0), 4)
+        extras["jaccard_est_pairs"] = int(row["n"])
+
+    bench("minhash_jaccard_estimate", jaccard_estimate_bench)
+
     def anchor_corpus_bench():
         from supercrawler_spark.operators import anchors as _anchors
         from supercrawler_spark.operators import graph as _graph

@@ -269,3 +269,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("a_id", "b_id", "jaccard"))
+
+def minhash_jaccard_estimate(docs: DataFrame, num_hashes: int = 8,
+                             band_size: int = 2, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_bucket_size: int | None = None) -> DataFrame:
+    """Estimated Jaccard similarity for every LSH candidate pair: the
+    classic unbiased minhash estimator — the fraction of the ``num_hashes``
+    hash functions on which the two signatures agree. Output
+    (a_id, b_id, n_agree, jaccard_est).
+
+    This is the scale path for similarity VALUES: exact
+    ``ngram_jaccard_pairs`` intersects full shingle sets (corpus-sized
+    join work), while the estimate needs only the n_docs x num_hashes
+    signature table — candidate pairs are LSH-bounded and the signatures
+    join back per pair like the vectors in lsh_ann_topk. Estimator error
+    ~ 1/sqrt(num_hashes); bench reports the measured correlation vs the
+    exact operator.
+
+    Selection-bias caveat: candidates are conditioned on >=1 band agreeing,
+    so every estimate has a floor of band_size/num_hashes (at the 8x2
+    oracle default that floor is 0.25 — low-similarity false-positive
+    candidates read as >=0.25). Raise num_hashes to shrink the floor and
+    the variance together: the bench measures at 32 hashes, where the
+    estimate/exact correlation over all LSH candidates is ~0.99 vs ~0 at
+    8 (the 8-hash default exists to keep the DuckDB oracle cheap)."""
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col)
+    pairs = minhash_lsh_pairs(docs, num_hashes, band_size, text_col, id_col,
+                              max_bucket_size).select("a_id", "b_id")
+    sa = sig.select(F.col("doc_id").alias("a_id"), "hash_id",
+                    F.col("min_hash").alias("_ha"))
+    sb = sig.select(F.col("doc_id").alias("b_id"), "hash_id",
+                    F.col("min_hash").alias("_hb"))
+    return (pairs.join(sa, "a_id").join(sb, ["b_id", "hash_id"])
+            .groupBy("a_id", "b_id")
+            .agg(F.sum((F.col("_ha") == F.col("_hb")).cast("long"))
+                 .alias("n_agree"))
+            .withColumn("jaccard_est",
+                        F.round(F.col("n_agree") / num_hashes, 6)))

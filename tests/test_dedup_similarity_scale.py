@@ -279,3 +279,20 @@ def test_embedding_near_dups_bucket_cap(spark):
     assert len(mega) == 28                       # 8-choose-2
     assert capped.isdisjoint(mega)
     assert (20, 21) in capped
+
+def test_minhash_jaccard_estimate_known_pairs(spark):
+    """Identical docs estimate 1.0; disjoint docs produce no pair; a real
+    overlap pair lands strictly between with the unbiased estimator."""
+    a = "the quick brown fox jumps over the lazy dog and runs far away now"
+    rows = [(0, a), (1, a),                       # identical -> est 1.0
+            (2, a + " with a small extra tail appended here"),
+            (3, "completely different words about parquet shuffles and "
+                "spark plans at large scale tonight my friends")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a_id"], r["b_id"]): r for r in
+           dedup.minhash_jaccard_estimate(docs).collect()}
+    assert out[(0, 1)]["jaccard_est"] == 1.0
+    assert out[(0, 1)]["n_agree"] == 8
+    assert all(p[0] != 3 and p[1] != 3 for p in out)
+    if (0, 2) in out:        # banding may or may not surface the partial pair
+        assert 0.0 < out[(0, 2)]["jaccard_est"] <= 1.0
