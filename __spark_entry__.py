@@ -503,6 +503,36 @@ def q_yt_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yt.generate_markdown(videos, limit=5)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: deterministic fixed-token-budget training packs,
+    windowed per shard so the running sum parallelizes (operators/packing)."""
+    from supercrawler_spark.operators.packing import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=64, n_shards=8)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: per-doc mean -log2 p(token) under the
+    corpus's own top-K unigram model (operators/lm); K=20 so the OOV floor
+    path is exercised (the synthetic vocab is small)."""
+    from supercrawler_spark.operators.lm import unigram_logprob
+    return unigram_logprob(_docs(spark, sf_dir), vocab_size=20)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup core: 8-token sliding-window hashes repeated
+    across >= 2 docs, position-preserving (operators/spans). Non-vacuous at
+    sf0.01: the corpus's near-duplicate docs share long token runs."""
+    from supercrawler_spark.operators.spans import duplicate_spans
+    return duplicate_spans(_docs(spark, sf_dir), w=8, min_docs=2)
+
+
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-window fraction — the RefinedWeb-style drop/trim
+    signal, computed without materializing per-span rows."""
+    from supercrawler_spark.operators.spans import span_dup_stats
+    return span_dup_stats(_docs(spark, sf_dir), w=8, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_seen": q_crawl_seen,
@@ -520,6 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+        "pack_sequences": q_pack_sequences,
+        "unigram_logprob": q_unigram_logprob,
+        "duplicate_spans": q_duplicate_spans,
+        "span_dup_stats": q_span_dup_stats,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -886,6 +920,72 @@ FROM p
 JOIN sig sa ON sa.doc_id = p.a_id
 JOIN sig sb ON sb.doc_id = p.b_id AND sb.hash_id = sa.hash_id
 GROUP BY 1, 2""",
+        "pack_sequences": """
+WITH d AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         CAST(('0x' || substr(md5('pack-1:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (
+  SELECT doc_id, n_tokens, hv % 8 AS shard,
+         SUM(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+         - n_tokens AS strt
+  FROM d)
+SELECT doc_id, shard, strt // 64 AS pack, strt % 64 AS "offset", n_tokens
+FROM c""",
+        "unigram_logprob": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0),
+counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT SUM(cnt) AS total FROM counts),
+vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 20)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+       round(AVG(-log2(COALESCE(v.cnt, 1) / tot.total)), 6) AS avg_nll
+FROM tok t LEFT JOIN vocab v USING (token), tot
+GROUP BY t.doc_id""",
+        "duplicate_spans": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, s['pos'] AS pos, s['h'] AS span_hash FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(t) - 7),
+             i -> {'pos': CAST(i - 1 AS BIGINT),
+                   'h': CAST(('0x' || substr(md5(
+                          array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT)}
+           )) AS s
+    FROM toks WHERE len(t) >= 8)),
+dup AS (
+  SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM wins GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT w.doc_id, w.pos, w.span_hash, dup.n_docs
+FROM wins w JOIN dup USING (span_hash)""",
+        "span_dup_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, s['pos'] AS pos, s['h'] AS span_hash FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(t) - 7),
+             i -> {'pos': CAST(i - 1 AS BIGINT),
+                   'h': CAST(('0x' || substr(md5(
+                          array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT)}
+           )) AS s
+    FROM toks WHERE len(t) >= 8)),
+dup AS (
+  SELECT span_hash FROM wins
+  GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN span_hash IN (SELECT span_hash FROM dup)
+                THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+       round(SUM(CASE WHEN span_hash IN (SELECT span_hash FROM dup)
+                 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_fraction
+FROM wins
+GROUP BY doc_id""",
         "minhash_lsh_pairs_capped": shingle_cte + "," + minhash_core + """,
 bands AS (
   SELECT doc_id, hash_id // 2 AS band,

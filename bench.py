@@ -264,6 +264,35 @@ def main() -> None:
 
     bench("sessionize", sessionize_bench)
 
+    def pack_sequences_bench():
+        from supercrawler_spark.operators.packing import pack_sequences
+        packed = pack_sequences(docs, budget=2048, n_shards=64)
+        row = packed.agg(F.count("*").alias("n"),
+                         F.countDistinct("shard", "pack").alias("p")).collect()[0]
+        extras["packed_docs"] = int(row["n"])
+        extras["packs"] = int(row["p"])
+
+    bench("pack_sequences", pack_sequences_bench)
+
+    def unigram_logprob_bench():
+        from supercrawler_spark.operators.lm import unigram_logprob
+        scored = unigram_logprob(docs, vocab_size=1000)
+        row = scored.agg(F.avg("avg_nll").alias("m"),
+                         F.count("*").alias("n")).collect()[0]
+        extras["unigram_mean_nll"] = round(float(row["m"]), 3)
+
+    bench("unigram_logprob", unigram_logprob_bench)
+
+    def span_dup_stats_bench():
+        from supercrawler_spark.operators.spans import span_dup_stats
+        st = span_dup_stats(docs, w=8, min_docs=2)
+        row = st.agg(F.sum("dup_windows").alias("d"),
+                     F.sum("n_windows").alias("n")).collect()[0]
+        extras["dup_window_fraction"] = round(
+            float(row["d"]) / float(row["n"]), 4)
+
+    bench("span_dup_stats", span_dup_stats_bench)
+
     def jaccard_estimate_bench():
         # 32 hashes: the LSH-candidate conditioning floor drops to 2/32 and
         # the estimator resolves the full similarity spectrum (see operator

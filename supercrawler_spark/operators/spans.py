@@ -1,0 +1,82 @@
+"""Duplicate-span detection: the scalable core of exact-substring dedup.
+
+Suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better") removes any >= N-token span repeated across
+the corpus. A distributed suffix array is impractical at 100 TB; the
+standard approximation is sliding fixed-width token-window hashing: a span
+repeated across documents makes every token window inside it collide, so
+flagging window hashes seen in more than one document recovers the repeated
+spans (at window-width granularity) with plain hash aggregation — the same
+machinery as shingling, but position-preserving.
+
+Scale design: window hashes aggregate with map-side partial aggs (one
+shuffle keyed on the hash), and only the *duplicated* hash set joins back —
+on real web text that's the boilerplate tail, orders of magnitude smaller
+than the corpus. The per-document summary (``span_dup_stats``) exists so the
+common pipeline decision ("drop or trim docs whose duplicated fraction
+exceeds X", RefinedWeb-style) never materializes per-span rows at all. No
+Python UDFs; exact DuckDB-oracle twins in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from supercrawler_spark.operators.textquality import _tokens
+from supercrawler_spark.operators.trainmix import md5long
+
+
+def _windows(docs: DataFrame, w: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos, span_hash): hash of every ``w``-token sliding window
+    (stride 1, 0-based token position). Documents shorter than ``w`` tokens
+    yield nothing (F.sequence would count DOWN for negative spans)."""
+    toks = _tokens(text_col)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - w),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            md5long(F.concat_ws(" ", F.slice(toks, i + 1, w)))
+            .alias("span_hash")))
+    return (docs
+            .filter(F.size(toks) >= w)
+            .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.span_hash").alias("span_hash")))
+
+
+def duplicate_spans(docs: DataFrame, w: int = 8, min_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, span_hash, n_docs): every ``w``-token window whose hash
+    occurs in at least ``min_docs`` DISTINCT documents — the positions a
+    substring-dedup pass would cut. Consecutive flagged positions merge into
+    one repeated span of length (run + w - 1) tokens downstream."""
+    wins = _windows(docs, w, text_col, id_col)
+    dup = (wins.groupBy("span_hash")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs))
+    return (wins.join(dup, "span_hash")
+            .select("doc_id", "pos", "span_hash", "n_docs"))
+
+
+def span_dup_stats(docs: DataFrame, w: int = 8, min_docs: int = 2,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_windows, dup_windows, dup_fraction): per-document share of
+    ``w``-token windows that are duplicated across >= ``min_docs`` docs —
+    the drop/trim signal, computed without materializing per-span rows.
+    Documents shorter than ``w`` tokens have no windows and are absent."""
+    wins = _windows(docs, w, text_col, id_col)
+    dup = (wins.groupBy("span_hash")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("span_hash"))
+    flagged = (wins.join(dup, "span_hash", "left_semi")
+               .groupBy("doc_id").agg(F.count("*").alias("dup_windows")))
+    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    return (totals.join(flagged, "doc_id", "left")
+            .select("doc_id", "n_windows",
+                    F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long")
+                    .alias("dup_windows"))
+            .withColumn("dup_fraction",
+                        F.round(F.col("dup_windows") / F.col("n_windows"), 6)))

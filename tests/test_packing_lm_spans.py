@@ -1,0 +1,79 @@
+"""pack_sequences / unigram_logprob / duplicate-span operators: hand-computed
+oracles on tiny corpora plus the determinism/conservation invariants that
+matter at scale (packing must not depend on input partitioning; token mass
+must be conserved; short docs must vanish, not crash)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark.operators.packing import pack_sequences
+from supercrawler_spark.operators.lm import unigram_logprob
+from supercrawler_spark.operators.spans import duplicate_spans, span_dup_stats
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_contiguous_and_deterministic(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 11)))
+            for i in range(40)] + [(99, "   ")]  # blank doc drops out
+    docs = _mk_docs(spark, rows)
+    out = pack_sequences(docs, budget=16, n_shards=4).collect()
+    assert len(out) == 40 and all(r["doc_id"] != 99 for r in out)
+    # token mass conserved
+    assert sum(r["n_tokens"] for r in out) == sum((3 + (i * 7) % 11)
+                                                  for i in range(40))
+    # within each shard the starts tile the token stream with no gaps
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pack"] * 16 + r["offset"])
+        start = 0
+        for r in rs:
+            assert r["pack"] * 16 + r["offset"] == start
+            assert 0 <= r["offset"] < 16
+            start += r["n_tokens"]
+    # identical assignment regardless of input partitioning
+    again = pack_sequences(docs.repartition(7), budget=16, n_shards=4).collect()
+    key = lambda rs: sorted(tuple(r) for r in rs)
+    assert key(again) == key(out)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    docs = _mk_docs(spark, [(0, "a a b"), (1, "a c")])
+    out = {r["doc_id"]: r for r in
+           unigram_logprob(docs, vocab_size=2).collect()}
+    # counts: a=3 b=1 c=1, total=5; vocab(top2, ties on token) = {a, b}
+    nll = lambda p: -math.log2(p)
+    exp0 = (2 * nll(3 / 5) + nll(1 / 5)) / 3
+    exp1 = (nll(3 / 5) + nll(1 / 5)) / 2   # c is OOV -> floor 1/total
+    assert out[0]["n_tokens"] == 3 and out[0]["oov_tokens"] == 0
+    assert out[1]["n_tokens"] == 2 and out[1]["oov_tokens"] == 1
+    assert abs(out[0]["avg_nll"] - exp0) < 1e-5
+    assert abs(out[1]["avg_nll"] - exp1) < 1e-5
+
+
+def test_duplicate_spans_flags_shared_run(spark):
+    shared = "one two three four five six seven eight"          # 8 tokens
+    docs = _mk_docs(spark, [
+        (0, "intro words here " + shared + " tail a"),
+        (1, shared + " completely different ending text"),
+        (2, "unrelated body of text with nothing shared at all here"),
+        (3, "tiny doc"),                                         # < w tokens
+    ])
+    spans = duplicate_spans(docs, w=8).collect()
+    flagged = {(r["doc_id"], r["pos"]) for r in spans}
+    assert (0, 3) in flagged and (1, 0) in flagged               # the run
+    assert all(r["doc_id"] in (0, 1) for r in spans)
+    assert all(r["n_docs"] == 2 for r in spans)
+
+    stats = {r["doc_id"]: r for r in span_dup_stats(docs, w=8).collect()}
+    assert 3 not in stats                                        # no windows
+    assert stats[2]["dup_windows"] == 0
+    assert stats[0]["dup_windows"] == 1 and stats[1]["dup_windows"] == 1
+    assert stats[0]["n_windows"] == 6                            # 13 tokens
+    assert stats[0]["dup_fraction"] == pytest.approx(1 / 6, abs=1e-6)
