@@ -526,6 +526,27 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), w=8, min_docs=2)
 
 
+def q_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection over deterministically-injected URL shapes:
+    src0 gets calendar/session-query urls on even doc_ids (query_ratio
+    trips), src1 gets /p/x/p/x cyclic paths on doc_id%3==0 (repeat_ratio
+    trips), other hosts stay clean — so the suspect flag is non-vacuous in
+    BOTH directions (operators/traps)."""
+    from supercrawler_spark.operators.traps import trap_signals
+    docs = _docs(spark, sf_dir)
+    path = F.expr("""CASE
+        WHEN source = 'src0' AND doc_id % 2 = 0 THEN
+          concat('/cal/', CAST(2000 + doc_id % 30 AS STRING), '/',
+                 CAST(doc_id % 12 AS STRING), '/index?session=',
+                 CAST(doc_id AS STRING))
+        WHEN source = 'src1' AND doc_id % 3 = 0 THEN
+          concat('/p/x/p/x/', CAST(doc_id AS STRING))
+        ELSE concat('/doc/', CAST(doc_id AS STRING)) END""")
+    urls = docs.select(F.concat(F.lit("https://"), F.col("source"),
+                                F.lit(".example.com"), path).alias("url"))
+    return trap_signals(urls)
+
+
 def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-window fraction — the RefinedWeb-style drop/trim
     signal, computed without materializing per-span rows."""
@@ -554,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "duplicate_spans": q_duplicate_spans,
         "span_dup_stats": q_span_dup_stats,
+        "trap_signals": q_trap_signals,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -963,6 +985,38 @@ dup AS (
   FROM wins GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2)
 SELECT w.doc_id, w.pos, w.span_hash, dup.n_docs
 FROM wins w JOIN dup USING (span_hash)""",
+        "trap_signals": """
+WITH u AS (
+  SELECT 'https://' || source || '.example.com' ||
+         CASE
+           WHEN source = 'src0' AND doc_id % 2 = 0 THEN
+             '/cal/' || CAST(2000 + doc_id % 30 AS VARCHAR) || '/' ||
+             CAST(doc_id % 12 AS VARCHAR) || '/index?session=' ||
+             CAST(doc_id AS VARCHAR)
+           WHEN source = 'src1' AND doc_id % 3 = 0 THEN
+             '/p/x/p/x/' || CAST(doc_id AS VARCHAR)
+           ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents),
+per_url AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         CASE WHEN position('?' IN url) > 0 THEN 1 ELSE 0 END AS has_query,
+         list_filter(string_split(
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           '/'), x -> x <> '') AS segs
+  FROM u),
+agg AS (
+  SELECT host, COUNT(*) AS n_urls,
+         round(AVG(has_query), 6) AS query_ratio,
+         round(AVG(CASE WHEN len(segs) > len(list_distinct(segs))
+                   THEN 1 ELSE 0 END), 6) AS repeat_ratio,
+         round(AVG(len(segs)), 6) AS avg_depth,
+         CAST(MAX(len(segs)) AS BIGINT) AS max_depth
+  FROM per_url GROUP BY host)
+SELECT host, n_urls, query_ratio, repeat_ratio, avg_depth, max_depth,
+       CASE WHEN n_urls >= 10 AND (query_ratio > 0.3 OR repeat_ratio > 0.2
+                                   OR avg_depth > 4.0)
+            THEN 1 ELSE 0 END AS suspect
+FROM agg""",
         "span_dup_stats": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents

@@ -293,6 +293,13 @@ def main() -> None:
 
     bench("span_dup_stats", span_dup_stats_bench)
 
+    def trap_signals_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_trap_signals(spark, sf_dir)
+        extras["trap_hosts"] = out.filter(F.col("suspect") == 1).count()
+
+    bench("trap_signals", trap_signals_bench)
+
     def jaccard_estimate_bench():
         # 32 hashes: the LSH-candidate conditioning floor drops to 2/32 and
         # the estimator resolves the full similarity spectrum (see operator

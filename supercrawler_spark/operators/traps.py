@@ -1,0 +1,59 @@
+"""Crawl-trap detection: per-host URL-shape signals that flag spider traps.
+
+Calendar pages, session-id query strings, and cyclic path segments generate
+unbounded URL spaces under a single host; a BFS crawler that doesn't watch
+for them spends its fetch budget on one host's infinite corner. The standard
+defence is cheap URL-shape statistics per host — no fetching, no content:
+
+- ``query_ratio``: fraction of URLs carrying a query string (session ids,
+  calendar offsets, faceted-search permutations);
+- ``repeat_ratio``: fraction of URLs whose path repeats a segment
+  (``/a/b/a/b/…`` cycles from relative-link resolution bugs);
+- ``avg_depth`` / ``max_depth``: path-segment depth (trap URLs grow).
+
+A host is a trap suspect when it has at least ``min_urls`` URLs and any
+signal exceeds its threshold; feed the suspects into ``host_priority`` (or a
+scope filter) to throttle them. Everything is one projection over the URL
+scan plus one map-side-combinable groupBy(host) — at 10^10 frontier URLs the
+shuffle carries only per-host partial sums, never URLs.
+
+The reference crawls a fixed seed scope and has no trap logic; this is a
+SURVEY.md §2 crawl-frontier extension. Input URLs are assumed unique (the
+frontier/seen tables guarantee it). No Python UDFs; exact DuckDB-oracle twin
+in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def trap_signals(urls: DataFrame, url_col: str = "url", min_urls: int = 10,
+                 max_query_ratio: float = 0.3, max_repeat_ratio: float = 0.2,
+                 max_avg_depth: float = 4.0) -> DataFrame:
+    """(host, n_urls, query_ratio, repeat_ratio, avg_depth, max_depth,
+    suspect): per-host trap signals over a URL table; ``suspect`` = 1 when
+    the host clears ``min_urls`` and any ratio/depth threshold trips."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    per_url = urls.select(
+        F.regexp_extract(u, _HOST_RE, 1).alias("host"),
+        (F.instr(u, "?") > 0).cast("long").alias("has_query"),
+        (F.size(segs) > F.size(F.array_distinct(segs))).cast("long")
+        .alias("has_repeat"),
+        F.size(segs).cast("long").alias("depth"))
+    agg = (per_url.groupBy("host")
+           .agg(F.count("*").alias("n_urls"),
+                F.round(F.avg("has_query"), 6).alias("query_ratio"),
+                F.round(F.avg("has_repeat"), 6).alias("repeat_ratio"),
+                F.round(F.avg("depth"), 6).alias("avg_depth"),
+                F.max("depth").alias("max_depth")))
+    suspect = ((F.col("n_urls") >= min_urls)
+               & ((F.col("query_ratio") > max_query_ratio)
+                  | (F.col("repeat_ratio") > max_repeat_ratio)
+                  | (F.col("avg_depth") > max_avg_depth)))
+    return agg.withColumn("suspect", suspect.cast("long"))
