@@ -526,6 +526,14 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), w=8, min_docs=2)
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 2 rounds) over the embeddings
+    table: scan-speed argmin against a one-row broadcast centroid array,
+    one k x dim map-side-combinable shuffle per update (operators/kmeans)."""
+    from supercrawler_spark.operators.kmeans import kmeans_assign
+    return kmeans_assign(_emb(spark, sf_dir), k=8, n_iters=2)
+
+
 def q_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection over deterministically-injected URL shapes:
     src0 gets calendar/session-query urls on even doc_ids (query_ratio
@@ -576,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "span_dup_stats": q_span_dup_stats,
         "trap_signals": q_trap_signals,
+        "kmeans_assign": q_kmeans_assign,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -985,6 +994,33 @@ dup AS (
   FROM wins GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2)
 SELECT w.doc_id, w.pos, w.span_hash, dup.n_docs
 FROM wins w JOIN dup USING (span_hash)""",
+        # two unrolled Lloyd rounds; argmin = lexicographic MIN over
+        # [dist, cell] (cell tie-break), update = per-dimension AVG
+        "kmeans_assign": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8),
+a0 AS (
+  SELECT e.vec_id,
+         MIN([list_sum(list_transform(range(64),
+              i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
+              CAST(c.cell AS DOUBLE)]) AS s
+  FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
+a0x AS (SELECT vec_id, CAST(s[2] AS BIGINT) AS cell FROM a0),
+c1 AS (
+  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cell, p.pos, AVG(e.ev[p.pos+1]) AS m
+    FROM a0x a JOIN e USING (vec_id)
+    CROSS JOIN (SELECT x AS pos FROM range(64) r(x)) p
+    GROUP BY a.cell, p.pos) GROUP BY cell),
+a1 AS (
+  SELECT e.vec_id,
+         MIN([list_sum(list_transform(range(64),
+              i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
+              CAST(c.cell AS DOUBLE)]) AS s
+  FROM e CROSS JOIN c1 c GROUP BY e.vec_id)
+SELECT vec_id, CAST(s[2] AS BIGINT) AS cell, round(s[1], 6) AS dist FROM a1""",
         "trap_signals": """
 WITH u AS (
   SELECT 'https://' || source || '.example.com' ||

@@ -300,6 +300,13 @@ def main() -> None:
 
     bench("trap_signals", trap_signals_bench)
 
+    def kmeans_bench():
+        from supercrawler_spark.operators.kmeans import kmeans_assign
+        out = kmeans_assign(emb, k=16, n_iters=3)
+        extras["kmeans_cells"] = out.select("cell").distinct().count()
+
+    bench("kmeans_assign", kmeans_bench)
+
     def jaccard_estimate_bench():
         # 32 hashes: the LSH-candidate conditioning floor drops to 2/32 and
         # the estimator resolves the full similarity spectrum (see operator

@@ -1,0 +1,64 @@
+"""Deterministic Lloyd's k-means over an embedding column.
+
+Clustering is the curation step the similarity operators don't cover:
+cluster-balanced sampling, topic-mix accounting, and per-cluster quality
+cuts all start from a k-means assignment of the corpus embeddings
+(SemDeDup-style semantic dedup uses exactly this shape). This is textbook
+Lloyd's with everything made deterministic so the DuckDB oracle can replay
+it bit-for-bit: centroids initialize from the first ``k`` vectors by id,
+distances are squared L2 accumulated in a fixed order, and argmin ties
+break on the cell id.
+
+Scale design: the k centroids collapse into a ONE-ROW array that is
+broadcast against the embeddings scan, and the argmin is a per-row
+``array_min`` over (dist, cell) structs — assignment is pure scan-speed
+projection, no corpus-sized shuffle at all. The only exchange per iteration
+is the centroid update: groupBy(cell) with ``dim`` map-side-combinable
+averages, shuffling k x dim partial sums. Iterations are unrolled into the
+plan (like ``pagerank``); for big iteration counts persist the assignment
+between rounds — at the default 2-3 the lineage is fine. No Python UDFs;
+exact DuckDB-oracle twin in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sq_dist(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
+                  dim: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, dist): cluster assignment after ``n_iters`` Lloyd
+    rounds (assign -> mean-update between rounds; the returned assignment is
+    under the last updated centroids). ``dist`` is the squared L2 distance
+    to the winning centroid, rounded to 6 decimals."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ev"))
+    cents = (e.filter(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("cell"), F.col("ev").alias("cv")))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        one_row = centroids.agg(
+            F.collect_list(F.struct("cell", "cv")).alias("cs"))
+        best = F.array_min(F.transform(
+            F.col("cs"),
+            lambda c: F.struct(_sq_dist(F.col("ev"), c["cv"]).alias("dist"),
+                               c["cell"].alias("cell"))))
+        return (e.crossJoin(F.broadcast(one_row))
+                .select("vec_id", "ev", best.alias("s"))
+                .select("vec_id", "ev", F.col("s.cell").alias("cell"),
+                        F.col("s.dist").alias("dist")))
+
+    a = assign(cents)
+    for _ in range(n_iters - 1):
+        cents = (a.groupBy("cell")
+                 .agg(F.array(*[F.avg(F.col("ev")[i]) for i in range(dim)])
+                      .alias("cv")))
+        a = assign(cents)
+    return a.select("vec_id", "cell", F.round("dist", 6).alias("dist"))
