@@ -520,10 +520,11 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring-dedup core: 8-token sliding-window hashes repeated
-    across >= 2 docs, position-preserving (operators/spans). Non-vacuous at
-    sf0.01: the corpus's near-duplicate docs share long token runs."""
+    >= 2 times corpus-wide (within or across docs), position-preserving
+    (operators/spans). Non-vacuous at sf0.01: the corpus's near-duplicate
+    docs share long token runs."""
     from supercrawler_spark.operators.spans import duplicate_spans
-    return duplicate_spans(_docs(spark, sf_dir), w=8, min_docs=2)
+    return duplicate_spans(_docs(spark, sf_dir), w=8, min_count=2)
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,7 +560,7 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-window fraction — the RefinedWeb-style drop/trim
     signal, computed without materializing per-span rows."""
     from supercrawler_spark.operators.spans import span_dup_stats
-    return span_dup_stats(_docs(spark, sf_dir), w=8, min_docs=2)
+    return span_dup_stats(_docs(spark, sf_dir), w=8, min_count=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -990,9 +991,9 @@ wins AS (
            )) AS s
     FROM toks WHERE len(t) >= 8)),
 dup AS (
-  SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs
-  FROM wins GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2)
-SELECT w.doc_id, w.pos, w.span_hash, dup.n_docs
+  SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+  FROM wins GROUP BY span_hash HAVING COUNT(*) >= 2)
+SELECT w.doc_id, w.pos, w.span_hash, dup.n_docs, dup.n_occ
 FROM wins w JOIN dup USING (span_hash)""",
         # two unrolled Lloyd rounds; argmin = lexicographic MIN over
         # [dist, cell] (cell tie-break), update = per-dimension AVG
@@ -1000,7 +1001,7 @@ FROM wins w JOIN dup USING (span_hash)""",
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
   FROM embeddings),
-c0 AS (SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8),
+c0 AS (SELECT vec_id AS cell, ev AS cv FROM e ORDER BY vec_id LIMIT 8),
 a0 AS (
   SELECT e.vec_id,
          MIN([list_sum(list_transform(range(64),
@@ -1008,9 +1009,12 @@ a0 AS (
               CAST(c.cell AS DOUBLE)]) AS s
   FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
 a0x AS (SELECT vec_id, CAST(s[2] AS BIGINT) AS cell FROM a0),
+-- order-independent centroid mean: 1e-6-scaled integer sums, one divide
 c1 AS (
   SELECT cell, list(m ORDER BY pos) AS cv FROM (
-    SELECT a.cell, p.pos, AVG(e.ev[p.pos+1]) AS m
+    SELECT a.cell, p.pos,
+           SUM(CAST(floor(e.ev[p.pos+1] * 1000000 + 0.5) AS BIGINT))
+           / (1000000.0 * COUNT(*)) AS m
     FROM a0x a JOIN e USING (vec_id)
     CROSS JOIN (SELECT x AS pos FROM range(64) r(x)) p
     GROUP BY a.cell, p.pos) GROUP BY cell),
@@ -1034,10 +1038,13 @@ WITH u AS (
            ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS url
   FROM documents),
 per_url AS (
-  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
-         CASE WHEN position('?' IN url) > 0 THEN 1 ELSE 0 END AS has_query,
+  SELECT lower(regexp_extract(split_part(url, '#', 1),
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         CASE WHEN position('?' IN split_part(url, '#', 1)) > 0
+              THEN 1 ELSE 0 END AS has_query,
          list_filter(string_split(
-           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           regexp_extract(split_part(url, '#', 1),
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
            '/'), x -> x <> '') AS segs
   FROM u),
 agg AS (
@@ -1047,7 +1054,7 @@ agg AS (
                    THEN 1 ELSE 0 END), 6) AS repeat_ratio,
          round(AVG(len(segs)), 6) AS avg_depth,
          CAST(MAX(len(segs)) AS BIGINT) AS max_depth
-  FROM per_url GROUP BY host)
+  FROM per_url WHERE host <> '' GROUP BY host)
 SELECT host, n_urls, query_ratio, repeat_ratio, avg_depth, max_depth,
        CASE WHEN n_urls >= 10 AND (query_ratio > 0.3 OR repeat_ratio > 0.2
                                    OR avg_depth > 4.0)
@@ -1068,7 +1075,7 @@ wins AS (
     FROM toks WHERE len(t) >= 8)),
 dup AS (
   SELECT span_hash FROM wins
-  GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2)
+  GROUP BY span_hash HAVING COUNT(*) >= 2)
 SELECT doc_id, COUNT(*) AS n_windows,
        CAST(SUM(CASE WHEN span_hash IN (SELECT span_hash FROM dup)
                 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,

@@ -285,7 +285,7 @@ def main() -> None:
 
     def span_dup_stats_bench():
         from supercrawler_spark.operators.spans import span_dup_stats
-        st = span_dup_stats(docs, w=8, min_docs=2)
+        st = span_dup_stats(docs, w=8, min_count=2)
         row = st.agg(F.sum("dup_windows").alias("d"),
                      F.sum("n_windows").alias("n")).collect()[0]
         extras["dup_window_fraction"] = round(
@@ -310,20 +310,25 @@ def main() -> None:
     def jaccard_estimate_bench():
         # 32 hashes: the LSH-candidate conditioning floor drops to 2/32 and
         # the estimator resolves the full similarity spectrum (see operator
-        # docstring); exact at threshold=0 so low-J candidates stay in the
-        # comparison instead of leaving a zero-variance all-dups join.
+        # docstring). Timed cell = the estimator pass alone (like
+        # lsh_ann_topk); the accuracy comparison below runs untimed.
         est = dedup.minhash_jaccard_estimate(docs, num_hashes=32)
-        exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0)
-        j = est.join(exact, ["a_id", "b_id"])
-        row = j.agg(F.corr("jaccard_est", "jaccard").alias("c"),
-                    F.avg(F.abs(F.col("jaccard_est") - F.col("jaccard")))
-                    .alias("mae"),
-                    F.count("*").alias("n")).collect()[0]
-        extras["jaccard_est_corr"] = round(float(row["c"] or 0.0), 4)
-        extras["jaccard_est_mae"] = round(float(row["mae"] or 0.0), 4)
-        extras["jaccard_est_pairs"] = int(row["n"])
+        extras["jaccard_est_pairs"] = est.count()
 
     bench("minhash_jaccard_estimate", jaccard_estimate_bench)
+
+    # untimed extras: estimate-vs-exact accuracy over the SAME uncapped
+    # Jaccard the signatures estimate (df cap disabled on the exact side;
+    # threshold=0 keeps low-J candidates in the comparison)
+    est = dedup.minhash_jaccard_estimate(docs, num_hashes=32)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0,
+                                      max_shingle_df=None)
+    row = (est.join(exact, ["a_id", "b_id"])
+           .agg(F.corr("jaccard_est", "jaccard").alias("c"),
+                F.avg(F.abs(F.col("jaccard_est") - F.col("jaccard")))
+                .alias("mae")).collect()[0])
+    extras["jaccard_est_corr"] = round(float(row["c"] or 0.0), 4)
+    extras["jaccard_est_mae"] = round(float(row["mae"] or 0.0), 4)
 
     def anchor_corpus_bench():
         from supercrawler_spark.operators import anchors as _anchors

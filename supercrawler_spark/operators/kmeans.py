@@ -5,24 +5,31 @@ cluster-balanced sampling, topic-mix accounting, and per-cluster quality
 cuts all start from a k-means assignment of the corpus embeddings
 (SemDeDup-style semantic dedup uses exactly this shape). This is textbook
 Lloyd's with everything made deterministic so the DuckDB oracle can replay
-it bit-for-bit: centroids initialize from the first ``k`` vectors by id,
-distances are squared L2 accumulated in a fixed order, and argmin ties
-break on the cell id.
+it bit-for-bit: centroids initialize from the k smallest vector ids,
+per-row distances accumulate in a fixed order, argmin ties break on the
+cell id, and the centroid-mean update sums 1e-6-scaled INTEGER components
+(like ``pagerank``'s micro-unit ranks) so the result is independent of
+partial-aggregation combine order — a plain double AVG would drift in its
+low bits with partitioning and could flip near-tie assignments.
 
 Scale design: the k centroids collapse into a ONE-ROW array that is
 broadcast against the embeddings scan, and the argmin is a per-row
 ``array_min`` over (dist, cell) structs — assignment is pure scan-speed
 projection, no corpus-sized shuffle at all. The only exchange per iteration
 is the centroid update: groupBy(cell) with ``dim`` map-side-combinable
-averages, shuffling k x dim partial sums. Iterations are unrolled into the
-plan (like ``pagerank``); for big iteration counts persist the assignment
-between rounds — at the default 2-3 the lineage is fine. No Python UDFs;
-exact DuckDB-oracle twin in ``__spark_entry__.oracle_sql``.
+integer sums, shuffling k x dim partials. The 1e6 scale bounds component
+sums to ~|ev|·1e6·n_cell — safe in int64 up to ~10^12 unit-scale vectors
+per cell. Iterations are unrolled into the plan (like ``pagerank``); for
+big iteration counts persist the assignment between rounds — at the
+default 2-3 the lineage is fine. No Python UDFs; exact DuckDB-oracle twin
+in ``__spark_entry__.oracle_sql``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+_SCALE = 1_000_000
 
 
 def _sq_dist(a, b):
@@ -36,11 +43,20 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
     """(vec_id, cell, dist): cluster assignment after ``n_iters`` Lloyd
     rounds (assign -> mean-update between rounds; the returned assignment is
     under the last updated centroids). ``dist`` is the squared L2 distance
-    to the winning centroid, rounded to 6 decimals."""
+    to the winning centroid, rounded to 6 decimals. Vectors whose length is
+    not ``dim`` raise (a silent zip_with mismatch would poison the update
+    with NULLs); if the table has fewer than ``k`` rows, that many centroids
+    are used."""
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ev"))
-    cents = (e.filter(F.col("vec_id") < k)
+        F.when(F.size(F.col(vec_col)) == dim, ev).otherwise(F.raise_error(
+            F.concat(F.lit(f"kmeans_assign: embedding length != dim={dim}: "),
+                     F.size(F.col(vec_col)).cast("string")))).alias("ev"))
+    # k smallest ids — TakeOrderedAndProject, honest "first k by id" even
+    # when ids are sparse or offset (filter(vec_id < k) would silently
+    # under-seed such tables)
+    cents = (e.orderBy("vec_id").limit(k)
              .select(F.col("vec_id").alias("cell"), F.col("ev").alias("cv")))
 
     def assign(centroids: DataFrame) -> DataFrame:
@@ -57,8 +73,15 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
 
     a = assign(cents)
     for _ in range(n_iters - 1):
-        cents = (a.groupBy("cell")
-                 .agg(F.array(*[F.avg(F.col("ev")[i]) for i in range(dim)])
-                      .alias("cv")))
+        # order-independent mean: integer micro-unit sums, then one divide
+        sums = (a.groupBy("cell")
+                .agg(*[F.sum(F.floor(F.col("ev")[i] * _SCALE + 0.5)
+                             .cast("long")).alias(f"_s{i}")
+                       for i in range(dim)],
+                     F.count("*").alias("_n")))
+        cents = sums.select(
+            "cell",
+            F.array(*[F.col(f"_s{i}") / (float(_SCALE) * F.col("_n"))
+                      for i in range(dim)]).alias("cv"))
         a = assign(cents)
     return a.select("vec_id", "cell", F.round("dist", 6).alias("dist"))

@@ -44,39 +44,47 @@ def _windows(docs: DataFrame, w: int, text_col: str, id_col: str) -> DataFrame:
                     F.col("s.span_hash").alias("span_hash")))
 
 
-def duplicate_spans(docs: DataFrame, w: int = 8, min_docs: int = 2,
+def _dup_hashes(wins: DataFrame, min_count: int) -> DataFrame:
+    """Window hashes occurring at least ``min_count`` times in the corpus —
+    total occurrences, not distinct docs, so a span repeated 500x inside ONE
+    spam document is flagged exactly like a cross-document boilerplate span
+    (that within-document case is the one the suffix-array method was
+    built for). (span_hash, n_docs, n_occ)."""
+    return (wins.groupBy("span_hash")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occ"))
+            .filter(F.col("n_occ") >= min_count))
+
+
+def duplicate_spans(docs: DataFrame, w: int = 8, min_count: int = 2,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, pos, span_hash, n_docs): every ``w``-token window whose hash
-    occurs in at least ``min_docs`` DISTINCT documents — the positions a
-    substring-dedup pass would cut. Consecutive flagged positions merge into
-    one repeated span of length (run + w - 1) tokens downstream."""
+    """(doc_id, pos, span_hash, n_docs, n_occ): every ``w``-token window
+    whose hash occurs at least ``min_count`` times corpus-wide (within OR
+    across documents) — the positions a substring-dedup pass would cut.
+    Consecutive flagged positions merge into one repeated span of length
+    (run + w - 1) tokens downstream."""
     wins = _windows(docs, w, text_col, id_col)
-    dup = (wins.groupBy("span_hash")
-           .agg(F.countDistinct("doc_id").alias("n_docs"))
-           .filter(F.col("n_docs") >= min_docs))
-    return (wins.join(dup, "span_hash")
-            .select("doc_id", "pos", "span_hash", "n_docs"))
+    return (wins.join(_dup_hashes(wins, min_count), "span_hash")
+            .select("doc_id", "pos", "span_hash", "n_docs", "n_occ"))
 
 
-def span_dup_stats(docs: DataFrame, w: int = 8, min_docs: int = 2,
+def span_dup_stats(docs: DataFrame, w: int = 8, min_count: int = 2,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_windows, dup_windows, dup_fraction): per-document share of
-    ``w``-token windows that are duplicated across >= ``min_docs`` docs —
-    the drop/trim signal, computed without materializing per-span rows.
-    Documents shorter than ``w`` tokens have no windows and are absent."""
+    ``w``-token windows repeated >= ``min_count`` times corpus-wide — the
+    drop/trim signal, computed without materializing per-span rows.
+    Documents shorter than ``w`` tokens have no windows and are absent.
+    One left join + one conditional aggregation (no totals join-back), so
+    the window-explode kernel appears twice in the plan, not three times."""
     wins = _windows(docs, w, text_col, id_col)
-    dup = (wins.groupBy("span_hash")
-           .agg(F.countDistinct("doc_id").alias("n_docs"))
-           .filter(F.col("n_docs") >= min_docs)
-           .select("span_hash"))
-    flagged = (wins.join(dup, "span_hash", "left_semi")
-               .groupBy("doc_id").agg(F.count("*").alias("dup_windows")))
-    totals = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
-    return (totals.join(flagged, "doc_id", "left")
-            .select("doc_id", "n_windows",
-                    F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long")
-                    .alias("dup_windows"))
+    dup = _dup_hashes(wins, min_count).select("span_hash",
+                                              F.lit(1).alias("_hit"))
+    return (wins.join(dup, "span_hash", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                 .alias("dup_windows"))
             .withColumn("dup_fraction",
                         F.round(F.col("dup_windows") / F.col("n_windows"), 6)))

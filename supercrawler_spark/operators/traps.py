@@ -27,8 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
-_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 
 
 def trap_signals(urls: DataFrame, url_col: str = "url", min_urls: int = 10,
@@ -36,17 +36,23 @@ def trap_signals(urls: DataFrame, url_col: str = "url", min_urls: int = 10,
                  max_avg_depth: float = 4.0) -> DataFrame:
     """(host, n_urls, query_ratio, repeat_ratio, avg_depth, max_depth,
     suspect): per-host trap signals over a URL table; ``suspect`` = 1 when
-    the host clears ``min_urls`` and any ratio/depth threshold trips."""
-    u = F.col(url_col)
-    path = F.regexp_extract(u, _PATH_RE, 1)
+    the host clears ``min_urls`` and any ratio/depth threshold trips.
+
+    The fragment is stripped before query detection (a '?' inside '#…' is
+    not a query string), the scheme match is case-insensitive, hosts are
+    lowercased, and URLs with no parseable scheme://host (relative or
+    scheme-relative strays) are EXCLUDED rather than pooled into a phantom
+    host '' that could mask or fake a suspect."""
+    base = F.substring_index(F.col(url_col), "#", 1)
+    path = F.regexp_extract(base, _PATH_RE, 1)
     segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
     per_url = urls.select(
-        F.regexp_extract(u, _HOST_RE, 1).alias("host"),
-        (F.instr(u, "?") > 0).cast("long").alias("has_query"),
+        F.lower(F.regexp_extract(base, _HOST_RE, 1)).alias("host"),
+        (F.instr(base, "?") > 0).cast("long").alias("has_query"),
         (F.size(segs) > F.size(F.array_distinct(segs))).cast("long")
         .alias("has_repeat"),
         F.size(segs).cast("long").alias("depth"))
-    agg = (per_url.groupBy("host")
+    agg = (per_url.filter(F.col("host") != "").groupBy("host")
            .agg(F.count("*").alias("n_urls"),
                 F.round(F.avg("has_query"), 6).alias("query_ratio"),
                 F.round(F.avg("has_repeat"), 6).alias("repeat_ratio"),

@@ -59,17 +59,23 @@ def test_unigram_logprob_hand_computed(spark):
 
 def test_duplicate_spans_flags_shared_run(spark):
     shared = "one two three four five six seven eight"          # 8 tokens
+    spam = "buy now from our store today please thanks "        # 8 tokens
     docs = _mk_docs(spark, [
         (0, "intro words here " + shared + " tail a"),
         (1, shared + " completely different ending text"),
         (2, "unrelated body of text with nothing shared at all here"),
         (3, "tiny doc"),                                         # < w tokens
+        (4, spam * 2),                                 # WITHIN-doc repeat
     ])
     spans = duplicate_spans(docs, w=8).collect()
     flagged = {(r["doc_id"], r["pos"]) for r in spans}
     assert (0, 3) in flagged and (1, 0) in flagged               # the run
-    assert all(r["doc_id"] in (0, 1) for r in spans)
-    assert all(r["n_docs"] == 2 for r in spans)
+    # the single-doc spam repeat is flagged too (n_docs=1, n_occ=2)
+    assert (4, 0) in flagged and (4, 8) in flagged
+    by_doc = {r["doc_id"]: r for r in spans}
+    assert by_doc[4]["n_docs"] == 1 and by_doc[4]["n_occ"] == 2
+    assert by_doc[0]["n_docs"] == 2
+    assert all(r["doc_id"] in (0, 1, 4) for r in spans)
 
     stats = {r["doc_id"]: r for r in span_dup_stats(docs, w=8).collect()}
     assert 3 not in stats                                        # no windows
@@ -77,3 +83,4 @@ def test_duplicate_spans_flags_shared_run(spark):
     assert stats[0]["dup_windows"] == 1 and stats[1]["dup_windows"] == 1
     assert stats[0]["n_windows"] == 6                            # 13 tokens
     assert stats[0]["dup_fraction"] == pytest.approx(1 / 6, abs=1e-6)
+    assert stats[4]["dup_windows"] == 2                          # spam doc

@@ -16,9 +16,18 @@ def test_trap_signals_flags_query_and_cycle_hosts(spark):
         # clean.example.com: 12 shallow unique paths
         + [(f"https://clean.example.com/doc/{i}",) for i in range(12)]
         # small.example.com: 100% queries but only 3 urls (< min_urls)
-        + [(f"https://small.example.com/x?q={i}",) for i in range(3)])
+        + [(f"https://small.example.com/x?q={i}",) for i in range(3)]
+        # uppercase scheme/host still parses and folds into clean host
+        + [("HTTPS://CLEAN.example.com/doc/up",)]
+        # '?' inside the fragment is NOT a query string
+        + [("https://clean.example.com/doc/frag#sec?x=1",)]
+        # unparseable strays are excluded, not pooled into host ''
+        + [("/relative/path?x=1",), ("//scheme-relative.com/a?b=1",)])
     out = {r["host"]: r for r in
            trap_signals(spark.createDataFrame(urls, "url string")).collect()}
+    assert "" not in out
+    assert out["clean.example.com"]["n_urls"] == 14
+    assert out["clean.example.com"]["query_ratio"] == 0.0
 
     assert out["trap.example.com"]["suspect"] == 1
     assert out["trap.example.com"]["query_ratio"] == 1.0
