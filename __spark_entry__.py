@@ -24,6 +24,7 @@ from supercrawler_spark.operators import (
     anchors, bloom, clusters, corpus, dedup, graph, linededup, multimodal,
     pagerank, recrawl, similarity, textquality, trainmix, yt,
 )
+from supercrawler_spark.operators import sketches as _sketches
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,6 +564,74 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(_docs(spark, sf_dir), w=8, min_count=2)
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-family structure mining over the same injected URL shapes as
+    q_trap_signals: the calendar/session urls collapse to ONE
+    '/cal/{n}/{n}/index?{q}' template, the cyclic paths to '/p/x/p/x/{n}'
+    (operators/traps)."""
+    from supercrawler_spark.operators.traps import url_templates
+    docs = _docs(spark, sf_dir)
+    path = F.expr("""CASE
+        WHEN source = 'src0' AND doc_id % 2 = 0 THEN
+          concat('/cal/', CAST(2000 + doc_id % 30 AS STRING), '/',
+                 CAST(doc_id % 12 AS STRING), '/index?session=',
+                 CAST(doc_id AS STRING))
+        WHEN source = 'src1' AND doc_id % 3 = 0 THEN
+          concat('/p/x/p/x/', CAST(doc_id AS STRING))
+        ELSE concat('/doc/', CAST(doc_id AS STRING)) END""")
+    urls = docs.select(F.concat(F.lit("https://"), F.col("source"),
+                                F.lit(".example.com"), path).alias("url"))
+    return url_templates(urls, k=5, min_urls=2)
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed corpus length histogram (operators/corpus) — integer
+    bit-length buckets, one tiny shuffle after map-side combine."""
+    from supercrawler_spark.operators.corpus import length_histogram
+    return length_histogram(_docs(spark, sf_dir))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs: kmeans cells (k=8, 2 Lloyd rounds)
+    block the candidates, cosine >= 0.4 inside a cell only — the
+    learned-cluster twin of the hash-blocked embedding_near_dups
+    (operators/kmeans.semdedup)."""
+    from supercrawler_spark.operators.kmeans import semdedup
+    return semdedup(_emb(spark, sf_dir), k=8, n_iters=2, threshold=0.4)
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keyterms (smooth idf); vocabulary-sized
+    count tables sort-merge back on the token key, per-doc top-k via
+    WindowGroupLimit (operators/terms)."""
+    from supercrawler_spark.operators.terms import tfidf_topterms
+    docs = _docs(spark, sf_dir)
+    return tfidf_topterms(docs, n_docs=docs.count(), k=5)
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI with a min-count floor —
+    linear in corpus tokens, never within-doc all-pairs (operators/terms)."""
+    from supercrawler_spark.operators.terms import bigram_pmi
+    return bigram_pmi(_docs(spark, sf_dir), min_count=5, k=50)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct sketch per event_type, exercising
+    BOTH estimator branches: user_id (150 distinct -> the m*ln(m/V)
+    small-range correction) and event_id (unique per row -> the raw
+    harmonic-mean path). Registers from md5 bits, integer-exact harmonic
+    sums, so DuckDB replays the estimate bit-for-bit (operators/sketches)."""
+    from supercrawler_spark.operators.sketches import hll_distinct
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = (hll_distinct(ev, ["event_type"], "user_id")
+             .withColumn("metric", F.lit("users")))
+    ids = (hll_distinct(ev, ["event_type"], "event_id")
+           .withColumn("metric", F.lit("events")))
+    return users.unionByName(ids).select("event_type", "metric",
+                                         "hll_distinct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_seen": q_crawl_seen,
@@ -618,6 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_corpus": q_anchor_corpus,
         "host_graph": q_host_graph,
         "top_tokens": q_top_tokens,
+        "tfidf_topterms": q_tfidf_topterms,
+        "bigram_pmi": q_bigram_pmi,
+        "hll_distinct": q_hll_distinct,
+        "url_templates": q_url_templates,
+        "length_histogram": q_length_histogram,
+        "semdedup": q_semdedup,
         "snapshot_diff": q_snapshot_diff,
         "sessionize": q_sessionize,
         "pagerank": q_pagerank,
@@ -837,6 +912,34 @@ SELECT query_id, neighbor_id,
        round(sim, 6) AS sim
 FROM scored
 QUALIFY rank <= 3""".format(cos=_COS_E)
+    _kmeans_cte = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cell, ev AS cv FROM e ORDER BY vec_id LIMIT 8),
+a0 AS (
+  SELECT e.vec_id,
+         MIN([list_sum(list_transform(range(64),
+              i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
+              CAST(c.cell AS DOUBLE)]) AS s
+  FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
+a0x AS (SELECT vec_id, CAST(s[2] AS BIGINT) AS cell FROM a0),
+-- order-independent centroid mean: 1e-6-scaled integer sums, one divide
+c1 AS (
+  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cell, p.pos,
+           SUM(CAST(floor(e.ev[p.pos+1] * 1000000 + 0.5) AS BIGINT))
+           / (1000000.0 * COUNT(*)) AS m
+    FROM a0x a JOIN e USING (vec_id)
+    CROSS JOIN (SELECT x AS pos FROM range(64) r(x)) p
+    GROUP BY a.cell, p.pos) GROUP BY cell),
+a1 AS (
+  SELECT e.vec_id,
+         MIN([list_sum(list_transform(range(64),
+              i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
+              CAST(c.cell AS DOUBLE)]) AS s
+  FROM e CROSS JOIN c1 c GROUP BY e.vec_id)"""
+
     near_dup_sql = _bb_cte(16, 4) + f""",
 pairs AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -997,34 +1100,20 @@ SELECT w.doc_id, w.pos, w.span_hash, dup.n_docs, dup.n_occ
 FROM wins w JOIN dup USING (span_hash)""",
         # two unrolled Lloyd rounds; argmin = lexicographic MIN over
         # [dist, cell] (cell tie-break), update = per-dimension AVG
-        "kmeans_assign": """
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
-  FROM embeddings),
-c0 AS (SELECT vec_id AS cell, ev AS cv FROM e ORDER BY vec_id LIMIT 8),
-a0 AS (
-  SELECT e.vec_id,
-         MIN([list_sum(list_transform(range(64),
-              i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
-              CAST(c.cell AS DOUBLE)]) AS s
-  FROM e CROSS JOIN c0 c GROUP BY e.vec_id),
-a0x AS (SELECT vec_id, CAST(s[2] AS BIGINT) AS cell FROM a0),
--- order-independent centroid mean: 1e-6-scaled integer sums, one divide
-c1 AS (
-  SELECT cell, list(m ORDER BY pos) AS cv FROM (
-    SELECT a.cell, p.pos,
-           SUM(CAST(floor(e.ev[p.pos+1] * 1000000 + 0.5) AS BIGINT))
-           / (1000000.0 * COUNT(*)) AS m
-    FROM a0x a JOIN e USING (vec_id)
-    CROSS JOIN (SELECT x AS pos FROM range(64) r(x)) p
-    GROUP BY a.cell, p.pos) GROUP BY cell),
-a1 AS (
-  SELECT e.vec_id,
-         MIN([list_sum(list_transform(range(64),
-              i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
-              CAST(c.cell AS DOUBLE)]) AS s
-  FROM e CROSS JOIN c1 c GROUP BY e.vec_id)
+        "kmeans_assign": _kmeans_cte + """
 SELECT vec_id, CAST(s[2] AS BIGINT) AS cell, round(s[1], 6) AS dist FROM a1""",
+        # SemDeDup: the kmeans cells block the pairs; cosine mirrors the
+        # LSH near-dup oracle's expression verbatim
+        "semdedup": _kmeans_cte + f""",
+ax AS (SELECT vec_id, CAST(s[2] AS BIGINT) AS cell FROM a1),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell
+  FROM ax a JOIN ax b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT p.a_id, p.b_id, p.cell, round({_COS_E}, 6) AS sim
+  FROM pairs p JOIN embeddings e1 ON e1.vec_id = p.a_id
+               JOIN embeddings e2 ON e2.vec_id = p.b_id)
+SELECT a_id, b_id, cell, sim FROM scored WHERE sim >= 0.4""",
         "trap_signals": """
 WITH u AS (
   SELECT 'https://' || source || '.example.com' ||
@@ -1544,6 +1633,107 @@ SELECT token, n_occurrences, n_docs,
        CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
             AS BIGINT) AS rank
 FROM top""",
+        "tfidf_topterms": f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+pairs AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM occ GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM pairs GROUP BY token),
+scored AS (
+  SELECT p.doc_id, p.token, p.tf,
+         p.tf * (ln(((SELECT COUNT(*) FROM documents) + 1.0)
+                    / (d.df + 1.0)) + 1.0) AS tfidf_raw
+  FROM pairs p JOIN dfreq d USING (token)),
+ranked AS (
+  SELECT doc_id, token, tf, tfidf_raw,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf_raw DESC, token ASC)
+              AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, token, tf, round(tfidf_raw, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 5""",
+        "bigram_pmi": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+bi AS (
+  SELECT s.g[1] AS x, s.g[2] AS y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]]))
+      AS g
+    FROM toks WHERE len(t) >= 2) s
+  GROUP BY x, y),
+u AS (
+  SELECT token, COUNT(*) AS n_t FROM (
+    SELECT unnest(t) AS token FROM toks) GROUP BY token),
+tot AS (SELECT (SELECT CAST(SUM(n_t) AS DOUBLE) FROM u) AS n1,
+               (SELECT CAST(SUM(n_xy) AS DOUBLE) FROM bi) AS n2),
+scored AS (
+  SELECT b.x, b.y, b.n_xy,
+         ln((b.n_xy * t.n1 * t.n1) / (t.n2 * ux.n_t * uy.n_t)) AS pmi_raw
+  FROM bi b
+  JOIN u ux ON ux.token = b.x
+  JOIN u uy ON uy.token = b.y
+  CROSS JOIN tot t
+  WHERE b.n_xy >= 5),
+top AS (SELECT * FROM scored ORDER BY pmi_raw DESC, x ASC, y ASC LIMIT 50)
+SELECT x, y, n_xy, round(pmi_raw, 6) AS pmi,
+       CAST(row_number() OVER (ORDER BY pmi_raw DESC, x ASC, y ASC)
+            AS BIGINT) AS rank
+FROM top""",
+        "hll_distinct": (
+            "SELECT event_type, 'users' AS metric, hll_distinct FROM ("
+            + _sketches.hll_oracle_sql("events", "event_type", "user_id",
+                                       key_alias="event_type")
+            + ") UNION ALL SELECT event_type, 'events' AS metric,"
+            " hll_distinct FROM ("
+            + _sketches.hll_oracle_sql("events", "event_type", "event_id",
+                                       key_alias="event_type") + ")"),
+        "url_templates": """
+WITH u AS (
+  SELECT 'https://' || source || '.example.com' ||
+         CASE WHEN source = 'src0' AND doc_id % 2 = 0 THEN
+                '/cal/' || CAST(2000 + doc_id % 30 AS VARCHAR) || '/' ||
+                CAST(doc_id % 12 AS VARCHAR) || '/index?session=' ||
+                CAST(doc_id AS VARCHAR)
+              WHEN source = 'src1' AND doc_id % 3 = 0 THEN
+                '/p/x/p/x/' || CAST(doc_id AS VARCHAR)
+              ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents),
+per_url AS (
+  SELECT lower(regexp_extract(split_part(url, '#', 1),
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         regexp_replace(regexp_replace(
+             regexp_extract(split_part(url, '#', 1),
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+             '[0-9a-f]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g')
+         || CASE WHEN position('?' IN split_part(url, '#', 1)) > 0
+                 THEN '?{q}' ELSE '' END AS template
+  FROM u),
+counts AS (
+  SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM per_url WHERE host <> '' GROUP BY host, template
+  HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT host, template, n_urls,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY n_urls DESC, template)
+              AS BIGINT) AS rank
+  FROM counts)
+SELECT host, template, n_urls, rank FROM ranked WHERE rank <= 5""",
+        "length_histogram": f"""
+WITH d AS (
+  SELECT CASE WHEN length(text) = 0 THEN 0
+              ELSE length(bin(length(text))) END AS bucket,
+         length(text) AS n_chars,
+         len({_TOKS}) AS n_toks
+  FROM documents)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket = 0 THEN 0
+            ELSE CAST(power(2.0, bucket - 1) AS BIGINT) END AS lo_chars,
+       CAST(power(2.0, bucket) AS BIGINT) - 1 AS hi_chars,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(AVG(n_toks), 6) AS avg_tokens
+FROM d GROUP BY bucket""",
         "host_graph": _GRAPH_CTE + """
 SELECT s.host AS src_host, t.host AS dst_host,
        COUNT(*) AS n_links,

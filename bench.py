@@ -307,6 +307,54 @@ def main() -> None:
 
     bench("kmeans_assign", kmeans_bench)
 
+    def tfidf_bench():
+        from supercrawler_spark.operators.terms import tfidf_topterms
+        out = tfidf_topterms(docs, n_docs=docs.count(), k=5)
+        extras["tfidf_rows"] = out.count()
+
+    bench("tfidf_topterms", tfidf_bench)
+
+    def bigram_pmi_bench():
+        from supercrawler_spark.operators.terms import bigram_pmi
+        out = bigram_pmi(docs, min_count=5, k=50)
+        extras["pmi_top_pairs"] = out.count()
+
+    bench("bigram_pmi", bigram_pmi_bench)
+
+    def hll_bench():
+        from supercrawler_spark.operators.sketches import hll_distinct
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        est = {r["event_type"]: r["hll_distinct"]
+               for r in hll_distinct(ev, ["event_type"], "user_id").collect()}
+        exact = {r["event_type"]: r["d"] for r in
+                 ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("d")).collect()}
+        relerr = max(abs(est[k] - exact[k]) / exact[k] for k in exact)
+        extras["hll_event_types"] = len(est)
+        extras["hll_max_relerr"] = round(relerr, 4)
+
+    bench("hll_distinct", hll_bench)
+
+    def semdedup_bench():
+        from supercrawler_spark.operators.kmeans import semdedup
+        out = semdedup(emb, k=16, n_iters=2, threshold=0.4)
+        extras["semdedup_pairs"] = out.count()
+
+    bench("semdedup", semdedup_bench)
+
+    def url_templates_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_url_templates(spark, sf_dir)
+        extras["url_template_families"] = out.count()
+
+    bench("url_templates", url_templates_bench)
+
+    def length_histogram_bench():
+        from supercrawler_spark.operators.corpus import length_histogram
+        extras["length_buckets"] = length_histogram(docs).count()
+
+    bench("length_histogram", length_histogram_bench)
+
     def jaccard_estimate_bench():
         # 32 hashes: the LSH-candidate conditioning floor drops to 2/32 and
         # the estimator resolves the full similarity spectrum (see operator

@@ -140,6 +140,38 @@ def source_stats(docs: DataFrame, text_col: str = "text",
                  F.round(F.avg("n_toks"), 6).alias("mean_tokens"),
                  F.countDistinct("lang").alias("n_langs")))
 
+def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Log2-bucketed document-length histogram: (bucket, lo_chars, hi_chars,
+    n_docs, total_chars, avg_tokens) where bucket ``b`` covers lengths
+    ``[2^(b-1), 2^b - 1]`` (bucket 0 = empty documents) — the corpus-shape
+    report behind length-filter thresholds and pack-budget sizing.
+
+    The bucket id is the integer bit length of the char count (pure
+    ``length(bin(n))`` — no float log2 whose boundary values could disagree
+    across engines), so the single groupBy key has ~40 values at any corpus
+    size: map-side partial aggregation collapses each input partition to a
+    few dozen rows before the one tiny shuffle.
+    """
+    n_chars = F.length(F.col(text_col))
+    bucket = F.when(n_chars == 0, F.lit(0)) \
+        .otherwise(F.length(F.bin(n_chars.cast("long")))).cast("long")
+    n_toks = F.size(_tokens(text_col))
+    return (docs
+            .select(bucket.alias("bucket"), n_chars.alias("n_chars"),
+                    n_toks.alias("n_toks"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.round(F.avg("n_toks"), 6).alias("avg_tokens"))
+            .select("bucket",
+                    F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+                        F.pow(F.lit(2.0), F.col("bucket") - 1).cast("long"))
+                    .alias("lo_chars"),
+                    (F.pow(F.lit(2.0), F.col("bucket")).cast("long") - 1)
+                    .alias("hi_chars"),
+                    "n_docs", "total_chars", "avg_tokens"))
+
+
 def top_tokens(docs: DataFrame, k: int = 50, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Corpus-wide vocabulary heavy hitters: the ``k`` most frequent tokens

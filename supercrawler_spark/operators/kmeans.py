@@ -85,3 +85,48 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
                       for i in range(dim)]).alias("cv"))
         a = assign(cents)
     return a.select("vec_id", "cell", F.round("dist", 6).alias("dist"))
+
+
+def semdedup(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64,
+             assignment: DataFrame | None = None,
+             max_cell_size: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-duplicate pairs:
+    (a_id, b_id, cell, sim) for every within-cluster pair whose cosine
+    similarity clears ``threshold``, with clusters from
+    :func:`kmeans_assign`. Downstream keeps ``min(a_id)`` per duplicate
+    group (or argmax quality via ``clusters.resolve_duplicates``).
+
+    The k-means cells are the blocking structure — pairs are only scored
+    INSIDE a cell, so the corpus-wide O(n²) cosine matrix never exists. At
+    scale pick ``k ~ n / target_cell_size`` (the paper uses ~50k clusters
+    for LAION); ``max_cell_size`` guards runaway cells the same way
+    ``embedding_near_dups`` guards hot LSH buckets. Pipelines that already
+    ran :func:`kmeans_assign` should pass the (persisted) ``assignment``
+    in — otherwise the unrolled Lloyd lineage executes once per side of the
+    self-join.
+    """
+    from supercrawler_spark.operators.similarity import cosine
+    if assignment is None:
+        assignment = kmeans_assign(embeddings, k, n_iters, dim=dim,
+                                   id_col=id_col, vec_col=vec_col)
+    m = (embeddings
+         .select(F.col(id_col).alias("vec_id"),
+                 F.transform(F.col(vec_col),
+                             lambda x: x.cast("double")).alias("v"))
+         .join(assignment.select("vec_id", "cell"), "vec_id"))
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+        wsz = Window.partitionBy("cell")
+        m = (m.withColumn("_csz", F.count("*").over(wsz))
+             .filter(F.col("_csz") <= max_cell_size).drop("_csz"))
+    a = m.select(F.col("vec_id").alias("a_id"), "cell",
+                 F.col("v").alias("av"))
+    b = m.select(F.col("vec_id").alias("b_id"), "cell",
+                 F.col("v").alias("bv"))
+    return (a.join(b, "cell")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("sim", F.round(cosine(F.col("av"), F.col("bv")), 6))
+            .filter(F.col("sim") >= threshold)
+            .select("a_id", "b_id", "cell", "sim"))

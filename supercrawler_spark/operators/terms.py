@@ -1,0 +1,100 @@
+"""Term-statistics operators: per-document TF-IDF keyterms and corpus-wide
+bigram collocations (PMI) — the keyword-extraction and phrase-mining passes
+a training-data pipeline runs for topic accounting, dedup keys, and
+boilerplate discovery.
+
+The reference (duggal1/supercrawler) collects documents but has no term
+statistics; these extend its pipeline the same way ``corpus.top_tokens``
+does (SURVEY.md §2 "training-data operators").
+
+Scale shape: everything partial-aggregates map-side before its single
+shuffle; the vocabulary-sized count tables join back on the token key
+(sort-merge — the vocabulary of a 100 TB web corpus is far beyond any
+broadcast threshold); per-document top-k runs as a rank window whose
+``rank <= k`` filter Spark 4 pushes into a WindowGroupLimit (per-partition
+heaps, no full per-doc sort materialization). Corpus totals are one-row
+aggregates broadcast back with a cross join — never a driver collect in the
+plan. No Python UDFs; exact DuckDB-oracle twins in
+``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from supercrawler_spark.operators.textquality import _tokens
+
+
+def tfidf_topterms(docs: DataFrame, n_docs: int, k: int = 5,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token, tf, tfidf, rank): each document's ``k`` highest
+    TF-IDF terms, smooth-idf variant ``tf * (ln((N+1)/(df+1)) + 1)`` with
+    ``N = n_docs`` (pass the corpus size in, like ``graph.url_edges`` —
+    keeping it a parameter avoids a second scan just to count).
+
+    Ties break on ``token`` ascending so the output is deterministic; equal
+    (tf, df) produce bit-identical tfidf in both engines, so tie-breaks are
+    portable. ``tfidf`` is rounded to 6 decimals in the OUTPUT only — the
+    rank is computed on the unrounded value.
+    """
+    pairs = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(_tokens(text_col)).alias("token"))
+             .groupBy("doc_id", "token")
+             .agg(F.count("*").cast("long").alias("tf")))
+    dfreq = pairs.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))) + 1.0
+    scored = (pairs.join(dfreq, "token")
+              .withColumn("_tfidf", F.col("tf") * idf))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "token", "tf",
+                    F.round("_tfidf", 6).alias("tfidf"), "rank"))
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5, k: int = 50,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(x, y, n_xy, pmi, rank): the ``k`` adjacent-token bigrams with the
+    highest pointwise mutual information ``ln(p(x,y) / (p(x) p(y)))``, with
+    ``p`` estimated from corpus bigram/unigram occurrence counts and a
+    ``min_count`` floor keeping one-off rare pairs out (the standard PMI
+    degenerate case).
+
+    Adjacent bigrams only — a within-document all-pairs co-occurrence is
+    quadratic in document vocabulary and dies on long web pages; adjacency
+    is linear in corpus tokens and is what collocation mining wants.
+    The PMI ratio is assembled with one fixed association
+    ``(n_xy * N1 * N1) / (N2 * n_x * n_y)`` mirrored verbatim in the oracle
+    so both engines round the same double. Top-k is TakeOrderedAndProject
+    ordered by (pmi desc, x, y); the rank window runs after the limit over
+    k rows.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("x"),
+                           F.element_at(toks, i + 1).alias("y")))) \
+        .otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bi = (docs.select(F.explode(grams).alias("g"))
+          .select(F.col("g.x").alias("x"), F.col("g.y").alias("y"))
+          .groupBy("x", "y").agg(F.count("*").cast("long").alias("n_xy")))
+    uni = (docs.select(F.explode(toks).alias("token"))
+           .groupBy("token").agg(F.count("*").cast("long").alias("n_t")))
+    tot_uni = uni.agg(F.sum("n_t").cast("double").alias("_n1"))
+    tot_bi = bi.agg(F.sum("n_xy").cast("double").alias("_n2"))
+    ux = uni.select(F.col("token").alias("x"), F.col("n_t").alias("n_x"))
+    uy = uni.select(F.col("token").alias("y"), F.col("n_t").alias("n_y"))
+    scored = (bi.filter(F.col("n_xy") >= min_count)
+              .join(ux, "x").join(uy, "y")
+              .crossJoin(F.broadcast(tot_uni))
+              .crossJoin(F.broadcast(tot_bi))
+              .withColumn("_pmi", F.log(
+                  (F.col("n_xy") * F.col("_n1") * F.col("_n1"))
+                  / (F.col("_n2") * F.col("n_x") * F.col("n_y")))))
+    top = scored.orderBy(F.desc("_pmi"), F.asc("x"), F.asc("y")).limit(k)
+    w = Window.orderBy(F.desc("_pmi"), F.asc("x"), F.asc("y"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("x", "y", "n_xy", F.round("_pmi", 6).alias("pmi"),
+                    "rank"))

@@ -25,7 +25,7 @@ in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
@@ -63,3 +63,39 @@ def trap_signals(urls: DataFrame, url_col: str = "url", min_urls: int = 10,
                   | (F.col("repeat_ratio") > max_repeat_ratio)
                   | (F.col("avg_depth") > max_avg_depth)))
     return agg.withColumn("suspect", suspect.cast("long"))
+
+
+def url_templates(urls: DataFrame, url_col: str = "url", k: int = 5,
+                  min_urls: int = 2) -> DataFrame:
+    """(host, template, n_urls, rank): each host's ``k`` most common URL
+    path templates, with digit runs folded to ``{n}`` and long hex runs to
+    ``{hex}``, and ``?{q}`` marking a query string — the structure-mining
+    pass that tells a crawler which URL families dominate a site (pagination,
+    calendars, session mirrors) and feeds scope rules or `host_priority`.
+
+    Same parsing discipline as :func:`trap_signals` (fragment stripped,
+    case-insensitive scheme, lowercased host, unparseable strays excluded).
+    Scale shape: one projection + groupBy(host, template) with map-side
+    partial aggregation (template cardinality per host is tiny by
+    construction — that is the point of templating), then a per-host rank
+    window whose ``rank <= k`` filter Spark 4 pushes into WindowGroupLimit.
+    """
+    base = F.substring_index(F.col(url_col), "#", 1)
+    path = F.regexp_extract(base, _PATH_RE, 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}"),
+        r"[0-9]+", "{n}")
+    template = F.concat(template,
+                        F.when(F.instr(base, "?") > 0, F.lit("?{q}"))
+                        .otherwise(F.lit("")))
+    counts = (urls
+              .select(F.lower(F.regexp_extract(base, _HOST_RE, 1))
+                      .alias("host"), template.alias("template"))
+              .filter(F.col("host") != "")
+              .groupBy("host", "template")
+              .agg(F.count("*").alias("n_urls"))
+              .filter(F.col("n_urls") >= min_urls))
+    w = Window.partitionBy("host").orderBy(F.desc("n_urls"),
+                                           F.asc("template"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,95 @@
+"""Unit tests for operators/terms (TF-IDF keyterms, bigram PMI) and
+operators/sketches (deterministic HyperLogLog)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark.operators.sketches import HLL_M, hll_distinct
+from supercrawler_spark.operators.terms import bigram_pmi, tfidf_topterms
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    docs = _mk_docs(spark, [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "the zyzzyva zyzzyva zyzzyva appeared"),
+    ])
+    out = tfidf_topterms(docs, n_docs=3, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    top2 = sorted(by_doc[2], key=lambda r: r["rank"])[0]
+    assert top2["token"] == "zyzzyva" and top2["tf"] == 3
+    # hand-check the smooth-idf value: 3 * (ln(4/2) + 1)
+    assert top2["tfidf"] == pytest.approx(3 * (math.log(2.0) + 1.0), abs=1e-6)
+    # 'the' appears in every doc -> idf = ln(4/4)+1 = 1, never beats zyzzyva
+    assert all(r["token"] != "the" or r["rank"] > 1 for r in by_doc[2])
+
+
+def test_tfidf_tie_breaks_on_token(spark):
+    docs = _mk_docs(spark, [(0, "bb aa")])
+    out = sorted(tfidf_topterms(docs, n_docs=1, k=2).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["token"] for r in out] == ["aa", "bb"]
+
+
+def test_bigram_pmi_planted_collocation(spark):
+    filler = " ".join(f"w{i % 7} common" for i in range(30))
+    docs = _mk_docs(spark, [
+        (i, f"san francisco is {filler}") for i in range(6)
+    ])
+    out = bigram_pmi(docs, min_count=5, k=10).collect()
+    pairs = {(r["x"], r["y"]): r for r in out}
+    assert ("san", "francisco") in pairs
+    planted = pairs[("san", "francisco")]
+    assert planted["n_xy"] == 6
+    # perfectly-correlated pair outranks the generic high-frequency one
+    generic = [r for r in out if (r["x"], r["y"]) == ("common", "w1")]
+    if generic:
+        assert planted["pmi"] > generic[0]["pmi"]
+    assert planted["rank"] <= 3
+    # min_count floor: a once-only bigram never appears
+    assert all(r["n_xy"] >= 5 for r in out)
+
+
+def test_bigram_pmi_single_token_docs_excluded(spark):
+    docs = _mk_docs(spark, [(0, "solo")] * 1 + [(1, "a b " * 5)])
+    out = bigram_pmi(docs, min_count=2, k=10).collect()
+    assert all("solo" not in (r["x"], r["y"]) for r in out)
+
+
+def test_hll_estimate_within_error(spark):
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("k").alias("key"), F.col("id").alias("v"))
+    est = hll_distinct(df, ["key"], "v").collect()[0]["hll_distinct"]
+    # 3 sigma at m=4096 registers ~ 4.9%
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_small_range_branch_and_duplicates(spark):
+    # 100 distinct values repeated 50x: linear-counting branch, and the
+    # estimate must ignore duplication entirely
+    df = spark.range(5000).select(
+        F.lit("k").alias("key"), (F.col("id") % 100).alias("v"))
+    est = hll_distinct(df, ["key"], "v").collect()[0]["hll_distinct"]
+    assert abs(est - 100) / 100 < 0.07
+
+
+def test_hll_partition_invariant(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        F.col("id").alias("v"))
+    a = {r["key"]: r["hll_distinct"]
+         for r in hll_distinct(df, ["key"], "v").collect()}
+    b = {r["key"]: r["hll_distinct"]
+         for r in hll_distinct(df.repartition(7), ["key"], "v").collect()}
+    assert a == b and len(a) == 3
+    assert HLL_M == 4096
