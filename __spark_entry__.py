@@ -24,6 +24,7 @@ from supercrawler_spark.operators import (
     anchors, bloom, clusters, corpus, dedup, graph, linededup, multimodal,
     pagerank, recrawl, similarity, textquality, trainmix, yt,
 )
+from supercrawler_spark.operators import cmsketch as _cms
 from supercrawler_spark.operators import sketches as _sketches
 
 
@@ -591,6 +592,37 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(_docs(spark, sf_dir))
 
 
+_CMS_PROBES = ["join", "hash", "row", "batch", "scan", "filter", "merge",
+               "the", "zqx_absent_1", "zqx_absent_2"]
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for a fixed probe set (8 common
+    tokens + 2 absent keys exercising the 0 path): d x w integer counter
+    grid, never a vocabulary-sized exact count table
+    (operators/cmsketch)."""
+    from supercrawler_spark.operators.cmsketch import cms_build, cms_estimate
+    from supercrawler_spark.operators.textquality import _tokens
+    toks = _docs(spark, sf_dir).select(F.explode(_tokens("text")).alias("key"))
+    probes = spark.createDataFrame([(w,) for w in _CMS_PROBES], "key string")
+    return cms_estimate(cms_build(toks), probes)
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 2 rounds — integer micro-unit sums + a
+    floor(x * (SCALE/total)) normalization that is a pure function of exact
+    integers (operators/pagerank.hits). The deterministic doc graph is
+    3-regular (HITS would be uniform — a vacuous check), so the query drops
+    every edge with (src + 2·dst) % 5 == 0 to give the degrees variance."""
+    from supercrawler_spark.operators import graph
+    from supercrawler_spark.operators.pagerank import hits
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e = graph.edges(docs, n).filter(
+        (F.col("src_id") + 2 * F.col("dst_id")) % 5 != 0)
+    return hits(docs, iters=2, n_docs=n, edges=e)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup pairs: kmeans cells (k=8, 2 Lloyd rounds)
     block the candidates, cosine >= 0.4 inside a cell only — the
@@ -693,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "length_histogram": q_length_histogram,
         "semdedup": q_semdedup,
+        "cms_token_counts": q_cms_token_counts,
+        "hits": q_hits,
         "snapshot_diff": q_snapshot_diff,
         "sessionize": q_sessionize,
         "pagerank": q_pagerank,
@@ -939,6 +973,41 @@ a1 AS (
               i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
               CAST(c.cell AS DOUBLE)]) AS s
   FROM e CROSS JOIN c1 c GROUP BY e.vec_id)"""
+
+    def _hits_oracle(iters: int = 2) -> str:
+        # unrolled CTE chain mirroring operators/pagerank.hits: exact BIGINT
+        # edge sums, floor(x * (SCALE/total)) normalization
+        def norm(dst, src):
+            return (f"{dst} AS (SELECT id, CAST(floor(CAST(s AS DOUBLE) * "
+                    f"(1000000000000.0 / CAST((SELECT SUM(s) FROM {src}) "
+                    f"AS DOUBLE))) AS BIGINT) AS s FROM {src})")
+        parts = ["""
+WITH p AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src_id, (d.doc_id * 31 + 7 * t.k + 3) % p.n AS dst_id
+  FROM documents d CROSS JOIN p
+       CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+e AS (SELECT * FROM e0 WHERE (src_id + 2 * dst_id) % 5 <> 0),
+s0 AS (SELECT doc_id AS id, 1000000000000 // p.n AS s
+       FROM documents CROSS JOIN p)"""]
+        prev_h = "s0"
+        for i in range(1, iters + 1):
+            parts.append(f"""
+a{i}r AS (SELECT e.dst_id AS id, SUM(x.s) AS s
+  FROM e JOIN {prev_h} x ON x.id = e.src_id GROUP BY e.dst_id),
+a{i}f AS (SELECT d.doc_id AS id, coalesce(a{i}r.s, 0) AS s
+  FROM documents d LEFT JOIN a{i}r ON a{i}r.id = d.doc_id),
+{norm(f'a{i}', f'a{i}f')},
+h{i}r AS (SELECT e.src_id AS id, SUM(x.s) AS s
+  FROM e JOIN a{i} x ON x.id = e.dst_id GROUP BY e.src_id),
+h{i}f AS (SELECT d.doc_id AS id, coalesce(h{i}r.s, 0) AS s
+  FROM documents d LEFT JOIN h{i}r ON h{i}r.id = d.doc_id),
+{norm(f'h{i}', f'h{i}f')}""")
+            prev_h = f"h{i}"
+        return ",".join(parts) + f"""
+SELECT d.doc_id, h{iters}.s AS hub, a{iters}.s AS auth
+FROM documents d JOIN h{iters} ON h{iters}.id = d.doc_id
+JOIN a{iters} ON a{iters}.id = d.doc_id"""
 
     near_dup_sql = _bb_cte(16, 4) + f""",
 pairs AS (
@@ -1688,6 +1757,11 @@ FROM top""",
             " hll_distinct FROM ("
             + _sketches.hll_oracle_sql("events", "event_type", "event_id",
                                        key_alias="event_type") + ")"),
+        "hits": _hits_oracle(2),
+        "cms_token_counts": _cms.cms_oracle_sql(
+            f"SELECT unnest({_TOKS}) AS key FROM documents",
+            "SELECT unnest(["
+            + ", ".join(f"'{w}'" for w in _CMS_PROBES) + "]) AS key"),
         "url_templates": """
 WITH u AS (
   SELECT 'https://' || source || '.example.com' ||

@@ -342,6 +342,22 @@ def main() -> None:
 
     bench("semdedup", semdedup_bench)
 
+    def hits_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_hits(spark, sf_dir)
+        extras["hits_nodes"] = out.count()
+
+    bench("hits", hits_bench)
+
+    def cms_bench():
+        import __spark_entry__ as entry_mod
+        est = {r["key"]: r["est"] for r in
+               entry_mod.q_cms_token_counts(spark, sf_dir).collect()}
+        extras["cms_probe_keys"] = len(est)
+        extras["cms_absent_est"] = int(est["zqx_absent_1"])
+
+    bench("cms_token_counts", cms_bench)
+
     def url_templates_bench():
         import __spark_entry__ as entry_mod
         out = entry_mod.q_url_templates(spark, sf_dir)

@@ -57,3 +57,60 @@ def pagerank(docs: DataFrame, iters: int = 2, n_docs: int | None = None
                           + F.coalesce("c", F.lit(0).cast("long")))
                          .alias("r")))
     return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank"))
+
+
+def hits(docs: DataFrame, iters: int = 2, n_docs: int | None = None,
+         edges: DataFrame | None = None) -> DataFrame:
+    """(doc_id, hub, auth): HITS hubs-and-authorities after ``iters``
+    synchronous rounds over the same deterministic doc graph — the
+    complementary crawl-priority signal to :func:`pagerank` (authorities
+    find content worth fetching, hubs find pages worth re-parsing for
+    links).
+
+    Each round: auth = in-edge sum of hubs, hub = out-edge sum of the NEW
+    auths, each L1-normalized back to SCALE micro-units. The sums are exact
+    BIGINT (combine-order-independent); the normalization is the single
+    expression ``floor(x * (SCALE / total))`` — a pure function of two
+    exact integers, mirrored verbatim in the DuckDB oracle, so the result
+    is bit-identical across engines and partitionings (inputs stay below
+    2^53 so the double products are exact). Scale shape matches pagerank:
+    per round, one edges-x-scores shuffle join + map-side-combinable sum
+    per direction, plus a one-row total broadcast back; the node set never
+    reshuffles wider than its 16-byte (id, score) rows.
+    """
+    if n_docs is None:
+        n_docs = docs.count()
+    if edges is None:
+        # NOTE: the default synthetic graph is 3-regular in BOTH directions
+        # ((id*31+7k+3) mod n is a bijection per k), on which HITS converges
+        # to the uniform vector — pass a degree-varied ``edges`` for a
+        # non-trivial ranking (q_hits filters the graph for exactly this)
+        edges = graph.edges(docs, n_docs)
+    e = edges.select("src_id", "dst_id")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    h = nodes.select("id", F.lit(SCALE // n_docs).cast("long").alias("s"))
+    a = None
+
+    def _norm(scored: DataFrame) -> DataFrame:
+        tot = scored.agg(F.sum("s").alias("_t"))
+        return (scored.crossJoin(F.broadcast(tot))
+                .select("id", F.floor(
+                    F.col("s").cast("double")
+                    * (F.lit(float(SCALE)) / F.col("_t").cast("double")))
+                    .cast("long").alias("s")))
+
+    for _ in range(iters):
+        a_raw = (e.join(h, e.src_id == h.id)
+                 .groupBy("dst_id").agg(F.sum("s").alias("s")))
+        a = _norm(nodes.join(a_raw, nodes.id == a_raw.dst_id, "left")
+                  .select("id", F.coalesce("s", F.lit(0).cast("long"))
+                          .alias("s")))
+        h_raw = (e.join(a, e.dst_id == a.id)
+                 .groupBy("src_id").agg(F.sum("s").alias("s")))
+        h = _norm(nodes.join(h_raw, nodes.id == h_raw.src_id, "left")
+                  .select("id", F.coalesce("s", F.lit(0).cast("long"))
+                          .alias("s")))
+    return (nodes
+            .join(h.withColumnRenamed("s", "hub"), "id")
+            .join(a.withColumnRenamed("s", "auth"), "id")
+            .select(F.col("id").alias("doc_id"), "hub", "auth"))

@@ -84,3 +84,36 @@ def test_pagerank_mass_conserved_and_deterministic(graph_docs):
     assert 0 <= pagerank.SCALE - total < 50 * 2 * 400
     again = pagerank.pagerank(graph_docs.repartition(9), iters=2).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def _hits_fixture(spark):
+    # node 0 links to 1,2,3 (the hub); 4 and 5 also link to 1 (the authority)
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 1), (5, 1)], "src_id long, dst_id long")
+    return docs, edges
+
+
+def test_hits_hub_and_authority_structure(spark):
+    docs, edges = _hits_fixture(spark)
+    out = {r["doc_id"]: r for r in
+           pagerank.hits(docs, iters=2, n_docs=6, edges=edges).collect()}
+    assert len(out) == 6
+    # node 1 collects three hubs' mass: the unique best authority
+    assert out[1]["auth"] == max(r["auth"] for r in out.values())
+    assert all(out[i]["auth"] == 0 for i in (0, 4, 5))     # no in-edges
+    # node 0 points at 3 authorities: the unique best hub
+    assert out[0]["hub"] == max(r["hub"] for r in out.values())
+    assert all(out[i]["hub"] == 0 for i in (1, 2, 3))      # no out-edges
+    # L1 normalization: each score vector sums to ~SCALE (floor truncation)
+    for col in ("hub", "auth"):
+        total = sum(r[col] for r in out.values())
+        assert 0 <= pagerank.SCALE - total < 6
+
+
+def test_hits_partition_invariant(spark):
+    docs, edges = _hits_fixture(spark)
+    a = sorted(map(tuple, pagerank.hits(docs, 2, 6, edges).collect()))
+    b = sorted(map(tuple, pagerank.hits(
+        docs.repartition(5), 2, 6, edges.repartition(3)).collect()))
+    assert a == b

@@ -93,3 +93,31 @@ def test_hll_partition_invariant(spark):
          for r in hll_distinct(df.repartition(7), ["key"], "v").collect()}
     assert a == b and len(a) == 3
     assert HLL_M == 4096
+
+
+def test_cms_overestimates_never_under(spark):
+    from supercrawler_spark.operators.cmsketch import cms_build, cms_estimate
+    rows = [("a",)] * 100 + [("b",)] * 7 + [(f"tail{i}",) for i in range(50)]
+    keys = spark.createDataFrame(rows, "key string")
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("tail0",), ("never_seen",)], "key string")
+    est = {r["key"]: r["est"]
+           for r in cms_estimate(cms_build(keys), probes).collect()}
+    true = {"a": 100, "b": 7, "tail0": 1, "never_seen": 0}
+    for k, t in true.items():
+        assert est[k] >= t                       # CMS never underestimates
+        assert est[k] <= t + 2 * len(rows) // 1024 + 1   # 2N/w slack
+    assert est["never_seen"] == 0                # absent cells count as 0
+
+
+def test_cms_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from supercrawler_spark.operators.cmsketch import cms_build, cms_estimate
+    keys = spark.range(2000).select(
+        (F.col("id") % 97).cast("string").alias("key"))
+    probes = spark.createDataFrame([("0",), ("96",)], "key string")
+    a = sorted(map(tuple, cms_estimate(cms_build(keys), probes).collect()))
+    b = sorted(map(tuple,
+                   cms_estimate(cms_build(keys.repartition(13)),
+                                probes).collect()))
+    assert a == b
