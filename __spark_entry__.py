@@ -608,6 +608,16 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms_build(toks), probes)
 
 
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick document embeddings (operators/embed), exploded
+    to (doc_id, pos, val) rows so the value hash is representation-stable.
+    The un-exploded array form feeds semdedup/kmeans directly."""
+    from supercrawler_spark.operators.embed import hash_embed
+    e = hash_embed(_docs(spark, sf_dir), dim=64)
+    return e.select("doc_id", F.posexplode("embedding").alias("pos", "val")) \
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "val")
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 2 rounds — integer micro-unit sums + a
     floor(x * (SCALE/total)) normalization that is a pure function of exact
@@ -727,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "cms_token_counts": q_cms_token_counts,
         "hits": q_hits,
+        "hash_embed": q_hash_embed,
         "snapshot_diff": q_snapshot_diff,
         "sessionize": q_sessionize,
         "pagerank": q_pagerank,
@@ -1758,6 +1769,22 @@ FROM top""",
             + _sketches.hll_oracle_sql("events", "event_type", "event_id",
                                        key_alias="event_type") + ")"),
         "hits": _hits_oracle(2),
+        "hash_embed": f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+hb AS (
+  SELECT doc_id,
+         try_cast('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64 AS bucket,
+         CASE WHEN try_cast('0x' || substr(md5(token), 9, 1) AS BIGINT) % 2
+                   = 0 THEN 1 ELSE -1 END AS s
+  FROM tk),
+pb AS (SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS v
+       FROM hb GROUP BY doc_id, bucket),
+grid AS (
+  SELECT d.doc_id, p.pos FROM documents d
+  CROSS JOIN (SELECT x AS pos FROM range(64) r(x)) p)
+SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos,
+       coalesce(pb.v, 0) AS val
+FROM grid g LEFT JOIN pb ON pb.doc_id = g.doc_id AND pb.bucket = g.pos""",
         "cms_token_counts": _cms.cms_oracle_sql(
             f"SELECT unnest({_TOKS}) AS key FROM documents",
             "SELECT unnest(["

@@ -342,6 +342,13 @@ def main() -> None:
 
     bench("semdedup", semdedup_bench)
 
+    def hash_embed_bench():
+        from supercrawler_spark.operators.embed import hash_embed
+        out = hash_embed(docs, dim=64)
+        extras["hash_embed_docs"] = out.count()
+
+    bench("hash_embed", hash_embed_bench)
+
     def hits_bench():
         import __spark_entry__ as entry_mod
         out = entry_mod.q_hits(spark, sf_dir)

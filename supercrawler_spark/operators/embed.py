@@ -1,0 +1,62 @@
+"""Hashing-trick document embeddings (featurization for the similarity and
+clustering operators).
+
+A production pipeline embeds documents with a neural encoder (an Arrow-UDF
+batch-inference stage — the model call is sandbox-stubbed like the
+multimodal decoders); this operator is the deterministic classical
+alternative that needs no model at all: the signed hashing trick
+(Weinberger et al. 2009 feature hashing). Each token lands in bucket
+``md5 % dim`` with sign from the next hash bit; the document vector is the
+per-bucket signed count. Cosine over these vectors approximates token-set
+similarity, so the output feeds ``semdedup`` / ``embedding_near_dups`` /
+``kmeans_assign`` directly — an end-to-end documents → vectors → semantic
+dedup path with no external embedding table.
+
+Scale shape: explode(tokens) → one groupBy(doc_id, bucket) with map-side
+partial aggregation → one groupBy(doc_id) pivot into the fixed-width
+vector (both shuffles keyed on doc_id-led keys; the second reuses the
+first's hash partitioning). Integer signed counts — exact, order-free,
+and the DuckDB oracle replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from supercrawler_spark.operators.textquality import _tokens
+
+
+def hash_embed(docs: DataFrame, dim: int = 64, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, embedding array<long> of length ``dim``): signed
+    hashing-trick embedding. Bucket = first 8 md5 hex chars mod ``dim``;
+    sign = parity of the 9th hex char. Empty documents embed as the zero
+    vector."""
+    tok = F.explode(_tokens(text_col)).alias("token")
+    h = F.md5(F.col("token"))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                    F.lit(dim))
+    sign = F.when(
+        F.pmod(F.conv(F.substring(h, 9, 1), 16, 10).cast("long"), F.lit(2))
+        == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    per_bucket = (docs.select(F.col(id_col).alias("doc_id"), tok)
+                  .select("doc_id", bucket.alias("bucket"),
+                          sign.alias("s"))
+                  .groupBy("doc_id", "bucket")
+                  .agg(F.sum("s").alias("v")))
+    # pivot into the fixed-width vector: map_from_entries + dense lookup
+    # (no second scan, no dim-way join)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")),
+                             F.lit(0).cast("long")))
+    emb = (per_bucket.groupBy("doc_id")
+           .agg(F.map_from_entries(
+               F.collect_list(F.struct("bucket", "v"))).alias("m"))
+           .select("doc_id", vec.alias("embedding")))
+    # empty docs (no tokens after split) still deserve a row
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(dim)])
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(emb, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("embedding"), zero).alias("embedding")))

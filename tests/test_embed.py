@@ -1,0 +1,54 @@
+"""hash_embed: deterministic hashing-trick embeddings."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from supercrawler_spark.operators.embed import hash_embed
+
+
+def _expected_vec(text, dim=64):
+    vec = [0] * dim
+    for tok in text.strip().split():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        b = int(h[:8], 16) % dim
+        s = 1 if int(h[8], 16) % 2 == 0 else -1
+        vec[b] += s
+    return vec
+
+
+def test_hash_embed_matches_hand_hash(spark):
+    texts = ["alpha beta gamma alpha", "delta", "alpha beta gamma alpha"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: list(r["embedding"])
+           for r in hash_embed(docs, dim=64).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == _expected_vec(t)
+    # identical text -> identical vector; different text differs
+    assert out[0] == out[2] != out[1]
+    assert len(out[0]) == 64
+    # signed-count mass: L1 norm <= token count
+    assert sum(map(abs, out[0])) <= 4
+
+
+def test_hash_embed_feeds_kmeans_and_partition_invariant(spark):
+    from supercrawler_spark.operators.kmeans import kmeans_assign
+    docs = spark.createDataFrame(
+        [(i, ("spark shuffle join " if i % 2 else "crawl fetch parse ") * 5)
+         for i in range(20)], "doc_id long, text string")
+    emb = hash_embed(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    emb2 = hash_embed(docs.repartition(7), dim=64) \
+        .withColumnRenamed("doc_id", "vec_id")
+    assert sorted(map(tuple, emb.collect())) == \
+        sorted(map(tuple, emb2.collect()))
+    cells = {r["vec_id"]: r["cell"] for r in
+             kmeans_assign(emb.select(
+                 "vec_id",
+                 F.transform("embedding",
+                             lambda x: x.cast("float")).alias("embedding")),
+                 k=2, n_iters=2).collect()}
+    # the two text templates land in two clean clusters
+    assert len({cells[i] for i in range(0, 20, 2)}) == 1
+    assert len({cells[i] for i in range(1, 20, 2)}) == 1
+    assert cells[0] != cells[1]
