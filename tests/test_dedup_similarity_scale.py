@@ -296,3 +296,41 @@ def test_minhash_jaccard_estimate_known_pairs(spark):
     assert all(p[0] != 3 and p[1] != 3 for p in out)
     if (0, 2) in out:        # banding may or may not surface the partial pair
         assert 0.0 < out[(0, 2)]["jaccard_est"] <= 1.0
+
+
+def test_semdedup_pair_join_is_equi_join_on_cell(spark):
+    """The SemDeDup self-join must be an equi-join keyed on the cell (the
+    blocking invariant) — the only BroadcastNestedLoopJoins in the plan are
+    kmeans' bounded one-row centroid broadcasts, never the pair join."""
+    import io
+    from contextlib import redirect_stdout
+    from supercrawler_spark.operators.kmeans import semdedup
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    sd = semdedup(emb, k=4, n_iters=2, threshold=0.9, dim=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sd.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the BNLJ nodes present are all Cross joins against a 1-row aggregate
+    # (the centroid array); the a_id/b_id pair join is a keyed join
+    assert "CartesianProduct" not in plan
+    pair_join_lines = [ln for ln in plan.splitlines()
+                       if "Join" in ln and "a_id" in ln]
+    for ln in pair_join_lines:
+        assert "BroadcastNestedLoopJoin" not in ln
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    import io
+    from contextlib import redirect_stdout
+    from supercrawler_spark.operators.terms import tfidf_topterms
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string")
+    out = tfidf_topterms(docs, n_docs=10, k=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
