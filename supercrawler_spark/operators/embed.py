@@ -17,6 +17,14 @@ partial aggregation → one groupBy(doc_id) pivot into the fixed-width
 vector (both shuffles keyed on doc_id-led keys; the second reuses the
 first's hash partitioning). Integer signed counts — exact, order-free,
 and the DuckDB oracle replays them bit-for-bit.
+
+PERSIST the output before composing it into kmeans/semdedup/near-dup
+plans: the embedding column is a wide expression tree (a dim-ary transform
+of map lookups), and without a cached relation for the optimizer to
+substitute, CollapseProject inlines that tree into every per-dimension
+distance/centroid term — a multiplicative plan blowup that OOMs the JVM
+optimizer (measured at 500 docs x dim 64; persisted, the same composition
+plans and runs in seconds — see pipeline.prepare_training_corpus).
 """
 
 from __future__ import annotations

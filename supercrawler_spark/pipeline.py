@@ -2,8 +2,8 @@
 real pre-training data run chains them.
 
     raw docs ─ quality gate ─ exact dedup ─ near-dup resolve ─
-      benchmark decontamination ─ [PII scrub] ─ [line dedup] ─
-        deterministic shuffle/export
+      [semantic dedup] ─ benchmark decontamination ─ [PII scrub] ─
+        [line dedup] ─ deterministic shuffle/export
 
 Each stage is one of the library's verified operators; this module only
 wires them and keeps the scale discipline intact:
@@ -44,6 +44,16 @@ class CorpusPipelineConfig:
     max_punct_ratio: float = 0.2
     langs: tuple = ("en",)
     near_dedup: bool = True
+    # SemDeDup stage: hash_embed -> kmeans cells -> within-cell cosine
+    semantic_dedup: bool = False
+    semantic_k: int = 8
+    semantic_threshold: float = 0.9
+    semantic_dim: int = 64
+    # lineage-cut directory for the semantic drop-list (parquet write +
+    # re-read). None falls back to an eager localCheckpoint — fine locally,
+    # but set it on a real cluster (reliable storage, releasable, and the
+    # composed embed->kmeans->pair plan is optimized exactly once)
+    work_dir: str | None = None
     decontaminate_n: int = 8
     decontaminate_min_hits: int = 1
     scrub_pii: bool = False
@@ -112,6 +122,44 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
                 .select(F.col("doc_id").alias(id_col)).persist())
         caches.append(drop)
         report["near_dup_dropped"] = drop.count()
+        cur = cur.join(drop, id_col, "left_anti")
+
+    # 3b. optional semantic dedup — documents → hashing-trick vectors →
+    # kmeans cells → within-cell cosine pairs (SemDeDup); the assignment is
+    # persisted so the Lloyd lineage runs once, not once per self-join side,
+    # and the drop-list is the usual narrow anti-join id list
+    if cfg.semantic_dedup:
+        from supercrawler_spark.operators import embed as _embed
+        from supercrawler_spark.operators import kmeans as _kmeans
+        # The composed embed -> kmeans -> pair plan would reference `cur`'s
+        # full lineage ~10x (both self-join sides, both Lloyd rounds); after
+        # the near-dup stage that multiplies a multi-megabyte analyzed tree,
+        # and canonicalizing it (persist registration / cache lookup) OOMs
+        # the driver — measured at sf0.001 on a 1g heap. So the embedding
+        # TABLE — narrow (id + dim longs), the feature artifact a real
+        # pipeline stores anyway — is materialized through a lineage cut:
+        # a parquet round-trip in ``work_dir`` (the crawler's per-round
+        # discipline), else an eager localCheckpoint. Everything downstream
+        # then plans against a scan, not against `cur`'s history.
+        emb_plan = (_embed.hash_embed(cur, cfg.semantic_dim, text_col,
+                                      id_col)
+                    .withColumnRenamed("doc_id", "vec_id"))
+        if cfg.work_dir is not None:
+            import os
+            path = os.path.join(cfg.work_dir, "semantic_embeddings.parquet")
+            emb_plan.write.mode("overwrite").parquet(path)
+            emb = docs.sparkSession.read.parquet(path)
+        else:
+            emb = emb_plan.localCheckpoint(eager=True)
+        assignment = _kmeans.kmeans_assign(
+            emb, k=cfg.semantic_k, n_iters=2, dim=cfg.semantic_dim).persist()
+        caches.append(assignment)
+        pairs = _kmeans.semdedup(emb, threshold=cfg.semantic_threshold,
+                                 dim=cfg.semantic_dim, assignment=assignment)
+        drop = (pairs.select(F.col("b_id").alias(id_col)).distinct()
+                .persist())
+        caches.append(drop)
+        report["semantic_dup_dropped"] = drop.count()
         cur = cur.join(drop, id_col, "left_anti")
 
     # 4. benchmark decontamination

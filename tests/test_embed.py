@@ -37,7 +37,11 @@ def test_hash_embed_feeds_kmeans_and_partition_invariant(spark):
     docs = spark.createDataFrame(
         [(i, ("spark shuffle join " if i % 2 else "crawl fetch parse ") * 5)
          for i in range(20)], "doc_id long, text string")
-    emb = hash_embed(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    # persisted before composing into kmeans — the documented contract
+    # (unpersisted, the optimizer inlines the wide embed expression into
+    # every per-dimension term; see the module docstring)
+    emb = hash_embed(docs, dim=64).withColumnRenamed("doc_id", "vec_id") \
+        .persist()
     emb2 = hash_embed(docs.repartition(7), dim=64) \
         .withColumnRenamed("doc_id", "vec_id")
     assert sorted(map(tuple, emb.collect())) == \
@@ -48,6 +52,7 @@ def test_hash_embed_feeds_kmeans_and_partition_invariant(spark):
                  F.transform("embedding",
                              lambda x: x.cast("float")).alias("embedding")),
                  k=2, n_iters=2).collect()}
+    emb.unpersist()
     # the two text templates land in two clean clusters
     assert len({cells[i] for i in range(0, 20, 2)}) == 1
     assert len({cells[i] for i in range(1, 20, 2)}) == 1

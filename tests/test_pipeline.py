@@ -88,3 +88,47 @@ def test_pipeline_line_dedup_stage(spark):
     for r in clean.collect():
         assert boiler not in r["text"]
         assert f"unique part {r['doc_id']}" in r["text"]
+
+
+def test_pipeline_semantic_dedup_stage(spark):
+    # docs 0 and 1 share the exact token multiset in different order ->
+    # identical hashing-trick vectors (cosine 1); doc 2 is unrelated
+    en = "the and of to a in is it for on "      # langid gate needs en hits
+    t = en + ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 2
+    shuffled = " ".join(reversed(t.split()))     # same token multiset as t
+    other = en + ("one two three four five six seven eight nine ten eleven "
+                  "twelve thirteen fourteen fifteen sixteen seventeen ") * 2
+    docs = spark.createDataFrame(
+        [(0, t), (1, shuffled), (2, other)], "doc_id long, text string")
+    cfg = CorpusPipelineConfig(min_tokens=5, langs=("en", "de", "fr", "es"), near_dedup=False,
+                               semantic_dedup=True, semantic_k=2,
+                               semantic_threshold=0.95)
+    clean, report = prepare_training_corpus(docs, config=cfg)
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert report["semantic_dup_dropped"] == 1
+    assert ids == {0, 2}                       # min-id keeper wins
+    # stage off by default: nothing semantic-dropped
+    cfg_off = CorpusPipelineConfig(min_tokens=5, langs=("en", "de", "fr", "es"),
+                                   near_dedup=False)
+    _, rep_off = prepare_training_corpus(docs, config=cfg_off)
+    assert "semantic_dup_dropped" not in rep_off
+
+
+def test_pipeline_semantic_dedup_work_dir_path(spark, tmp_path):
+    # the parquet lineage-cut path produces the same result as
+    # localCheckpoint (and leaves the embeddings artifact behind)
+    t = ("the and of to a in is it for on "
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa ") * 2
+    docs = spark.createDataFrame(
+        [(0, t), (1, " ".join(reversed(t.split())))],
+        "doc_id long, text string")
+    cfg = CorpusPipelineConfig(min_tokens=5, langs=("en", "de", "fr", "es"),
+                               near_dedup=False, semantic_dedup=True,
+                               semantic_k=2, semantic_threshold=0.95,
+                               work_dir=str(tmp_path))
+    clean, report = prepare_training_corpus(docs, config=cfg)
+    assert report["semantic_dup_dropped"] == 1
+    assert {r["doc_id"] for r in clean.collect()} == {0}
+    emb = spark.read.parquet(str(tmp_path / "semantic_embeddings.parquet"))
+    assert emb.count() == 2 and set(emb.columns) == {"vec_id", "embedding"}
