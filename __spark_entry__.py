@@ -1806,7 +1806,7 @@ per_url AS (
          regexp_replace(regexp_replace(
              regexp_extract(split_part(url, '#', 1),
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
-             '[0-9a-f]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g')
+             '[0-9a-fA-F]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g')
          || CASE WHEN position('?' IN split_part(url, '#', 1)) > 0
                  THEN '?{q}' ELSE '' END AS template
   FROM u),

@@ -73,11 +73,20 @@ def hits(docs: DataFrame, iters: int = 2, n_docs: int | None = None,
     expression ``floor(x * (SCALE / total))`` — a pure function of two
     exact integers, mirrored verbatim in the DuckDB oracle, so the result
     is bit-identical across engines and partitionings (inputs stay below
-    2^53 so the double products are exact). Scale shape matches pagerank:
-    per round, one edges-x-scores shuffle join + map-side-combinable sum
+    2^53 so the double products are exact). Scale shape matches pagerank
+    per round — one edges-x-scores shuffle join + map-side-combinable sum
     per direction, plus a one-row total broadcast back; the node set never
     reshuffles wider than its 16-byte (id, score) rows.
+
+    Unlike pagerank's linear unroll, each ``_norm`` references its input
+    twice (total + main branch), so the UNROLLED plan grows ~4x per
+    iteration: at the default 2 rounds that is a handful of small scan
+    copies, but for ``iters`` beyond ~4 persist (or parquet-cut) the score
+    tables between rounds — the same composed-lineage discipline as
+    ``pipeline``'s semantic stage.
     """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     if n_docs is None:
         n_docs = docs.count()
     if edges is None:

@@ -45,7 +45,11 @@ def hll_distinct(df: DataFrame, key_cols: list[str],
     bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
     rho = (F.lit(49) - bitlen).alias("rho")
     keys = [F.col(c) for c in key_cols]
-    per_reg = (df.select(*keys, reg.alias("reg"), rho)
+    # NULL values are ignored like countDistinct's — md5(NULL) would
+    # otherwise survive the register groupBy as a phantom register whose
+    # NULL term skews the harmonic sum
+    per_reg = (df.filter(F.col(value_col).isNotNull())
+               .select(*keys, reg.alias("reg"), rho)
                .groupBy(*key_cols, "reg")
                .agg(F.max("rho").alias("m_rho")))
     per_key = (per_reg
@@ -70,10 +74,12 @@ def hll_oracle_sql(table: str, key_expr: str, value_expr: str,
                    key_alias: str = "key", where: str = "") -> str:
     """The DuckDB twin of :func:`hll_distinct` — generated next to the
     operator so the constants and association order stay in lockstep."""
+    null_guard = (f"{'AND' if where else 'WHERE'} "
+                  f"({value_expr}) IS NOT NULL")
     return f"""
 WITH h AS (
   SELECT {key_expr} AS key, md5(CAST({value_expr} AS VARCHAR)) AS hx
-  FROM {table} {where}),
+  FROM {table} {where} {null_guard}),
 b AS (
   SELECT key,
          try_cast('0x' || substr(hx, 1, 3) AS BIGINT) AS reg,

@@ -31,6 +31,17 @@ _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 
 
+def _url_parts(url_col: str):
+    """(base, host, path) columns — the ONE parsing discipline both
+    operators in this module share: fragment stripped before query
+    detection, case-insensitive scheme, lowercased host; callers drop
+    host == '' strays."""
+    base = F.substring_index(F.col(url_col), "#", 1)
+    host = F.lower(F.regexp_extract(base, _HOST_RE, 1))
+    path = F.regexp_extract(base, _PATH_RE, 1)
+    return base, host, path
+
+
 def trap_signals(urls: DataFrame, url_col: str = "url", min_urls: int = 10,
                  max_query_ratio: float = 0.3, max_repeat_ratio: float = 0.2,
                  max_avg_depth: float = 4.0) -> DataFrame:
@@ -43,11 +54,10 @@ def trap_signals(urls: DataFrame, url_col: str = "url", min_urls: int = 10,
     lowercased, and URLs with no parseable scheme://host (relative or
     scheme-relative strays) are EXCLUDED rather than pooled into a phantom
     host '' that could mask or fake a suspect."""
-    base = F.substring_index(F.col(url_col), "#", 1)
-    path = F.regexp_extract(base, _PATH_RE, 1)
+    base, host, path = _url_parts(url_col)
     segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
     per_url = urls.select(
-        F.lower(F.regexp_extract(base, _HOST_RE, 1)).alias("host"),
+        host.alias("host"),
         (F.instr(base, "?") > 0).cast("long").alias("has_query"),
         (F.size(segs) > F.size(F.array_distinct(segs))).cast("long")
         .alias("has_repeat"),
@@ -80,17 +90,18 @@ def url_templates(urls: DataFrame, url_col: str = "url", k: int = 5,
     construction — that is the point of templating), then a per-host rank
     window whose ``rank <= k`` filter Spark 4 pushes into WindowGroupLimit.
     """
-    base = F.substring_index(F.col(url_col), "#", 1)
-    path = F.regexp_extract(base, _PATH_RE, 1)
+    base, host, path = _url_parts(url_col)
+    # case-insensitive hex fold — uppercase UUID/hash segments must
+    # template-collapse too, or a host's dominant family shatters into
+    # per-URL singletons and the map-side-combine cardinality claim dies
     template = F.regexp_replace(
-        F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}"),
+        F.regexp_replace(path, r"[0-9a-fA-F]{8,}", "{hex}"),
         r"[0-9]+", "{n}")
     template = F.concat(template,
                         F.when(F.instr(base, "?") > 0, F.lit("?{q}"))
                         .otherwise(F.lit("")))
     counts = (urls
-              .select(F.lower(F.regexp_extract(base, _HOST_RE, 1))
-                      .alias("host"), template.alias("template"))
+              .select(host.alias("host"), template.alias("template"))
               .filter(F.col("host") != "")
               .groupBy("host", "template")
               .agg(F.count("*").alias("n_urls"))

@@ -49,10 +49,10 @@ class CorpusPipelineConfig:
     semantic_k: int = 8
     semantic_threshold: float = 0.9
     semantic_dim: int = 64
-    # lineage-cut directory for the semantic drop-list (parquet write +
-    # re-read). None falls back to an eager localCheckpoint — fine locally,
-    # but set it on a real cluster (reliable storage, releasable, and the
-    # composed embed->kmeans->pair plan is optimized exactly once)
+    # lineage-cut directory for the semantic embedding table (parquet
+    # write + re-read). None falls back to a process-local temp dir —
+    # fine locally; set it on a real cluster (reliable shared storage,
+    # and the artifact is reusable downstream)
     work_dir: str | None = None
     decontaminate_n: int = 8
     decontaminate_min_hits: int = 1
@@ -137,20 +137,23 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
         # and canonicalizing it (persist registration / cache lookup) OOMs
         # the driver — measured at sf0.001 on a 1g heap. So the embedding
         # TABLE — narrow (id + dim longs), the feature artifact a real
-        # pipeline stores anyway — is materialized through a lineage cut:
-        # a parquet round-trip in ``work_dir`` (the crawler's per-round
-        # discipline), else an eager localCheckpoint. Everything downstream
-        # then plans against a scan, not against `cur`'s history.
+        # pipeline stores anyway — is materialized through a parquet
+        # round-trip lineage cut (the crawler's per-round discipline).
+        # Everything downstream then plans against a scan, not against
+        # `cur`'s history.
         emb_plan = (_embed.hash_embed(cur, cfg.semantic_dim, text_col,
                                       id_col)
                     .withColumnRenamed("doc_id", "vec_id"))
-        if cfg.work_dir is not None:
-            import os
-            path = os.path.join(cfg.work_dir, "semantic_embeddings.parquet")
-            emb_plan.write.mode("overwrite").parquet(path)
-            emb = docs.sparkSession.read.parquet(path)
-        else:
-            emb = emb_plan.localCheckpoint(eager=True)
+        import os
+        import tempfile
+        # no work_dir: a temp directory instead of localCheckpoint — the
+        # checkpoint blocks would pin executor storage for the application
+        # lifetime with no unpersist handle, while temp parquet sits on
+        # disk and dies with the process
+        wd = cfg.work_dir or tempfile.mkdtemp(prefix="semantic_dedup_")
+        path = os.path.join(wd, "semantic_embeddings.parquet")
+        emb_plan.write.mode("overwrite").parquet(path)
+        emb = docs.sparkSession.read.parquet(path)
         assignment = _kmeans.kmeans_assign(
             emb, k=cfg.semantic_k, n_iters=2, dim=cfg.semantic_dim).persist()
         caches.append(assignment)

@@ -9,16 +9,22 @@ extend or close it:
 - events inside the gap extend the open session (state update, no output),
 - an event past the gap CLOSES the open session (emitted immediately) and
   opens a new one,
+- a LATE event more than the gap BEFORE the open session forms its own
+  earlier session (batch-equivalent segment merging: each batch's events
+  are gap-chained, merged with the stored open segment by interval
+  distance, and every segment but the newest closes),
 - event-time timeout (watermark passing ``last_ts + gap``) closes an idle
   session without needing a successor event — the mechanism that bounds
-  state: one open session per ACTIVE entity, nothing retained for entities
-  gone quiet.
+  state: one open session per ACTIVE entity, plus a seq-counter row for
+  entities gone quiet.
 
-Late events older than the watermark are dropped by the watermark operator
+Events older than the watermark are dropped by the watermark operator
 before the state function sees them (the standard streaming trade; the
 batch operator is the exact-but-rescan alternative). A per-entity
 ``session_seq`` counter rides in state so closed sessions carry the same
-1-based numbering the batch operator produces.
+1-based numbering the batch operator produces; sessions close in
+start-time order, so the numbering matches batch whenever late data stays
+within one batch's horizon.
 
 Output rows are CLOSED sessions only; sessions still open when an
 ``availableNow`` run drains stay in state and are emitted by a later run
@@ -35,7 +41,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (LongType, StringType, StructField, StructType,
+from pyspark.sql.types import (LongType, StructField, StructType,
                                TimestampType)
 
 OUT_SCHEMA = StructType([
@@ -62,7 +68,6 @@ def _session_fn(gap_us: int):
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         user_id = key[0]
-        closed: list[tuple] = []
 
         if state.exists:
             next_seq, start_us, last_us, n_ev, val_mu = state.get
@@ -71,56 +76,77 @@ def _session_fn(gap_us: int):
         else:
             next_seq, start_us, last_us, n_ev, val_mu = 1, None, None, 0, 0
 
-        def close():
-            nonlocal next_seq, start_us, last_us, n_ev, val_mu
-            closed.append((user_id, next_seq,
-                           pd.Timestamp(start_us, unit="us"),
-                           pd.Timestamp(last_us, unit="us"),
-                           n_ev, val_mu))
-            next_seq += 1
-            start_us, last_us, n_ev, val_mu = None, None, 0, 0
-
         if state.hasTimedOut:
             # watermark passed last_ts + gap with no successor event; keep a
             # seq-counter-only state row (n_events=0, no timeout re-armed) so
             # the entity's NEXT session numbers correctly — state per
             # once-seen entity is one 5-long row, the same flat bound as the
             # streaming dedup's per-hash state
+            closed = []
             if start_us is not None:
-                close()
+                closed.append((user_id, next_seq,
+                               pd.Timestamp(start_us, unit="us"),
+                               pd.Timestamp(last_us, unit="us"),
+                               n_ev, val_mu))
+                next_seq += 1
             state.update((next_seq, 0, 0, 0, 0))
-        else:
-            frames = [p for p in pdfs if len(p)]
-            if not frames:
-                return
-            ev = pd.concat(frames, ignore_index=True)
-            ev["_us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
-            # micro-unit values: combine-order-independent like the batch
-            # operator's round(sum, 6)
-            ev["_mu"] = (ev["value"] * _US).round().astype("int64")
-            ev = ev.sort_values(["_us", "event_id"])
-            for t_us, mu in zip(ev["_us"], ev["_mu"]):
-                if start_us is None:
-                    start_us, last_us, n_ev, val_mu = t_us, t_us, 1, mu
-                elif t_us - last_us > gap_us:
-                    close()
-                    start_us, last_us, n_ev, val_mu = t_us, t_us, 1, mu
+            if closed:
+                yield pd.DataFrame(closed, columns=[f.name for f in
+                                                    OUT_SCHEMA.fields])
+            return
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        ev = pd.concat(frames, ignore_index=True)
+        ev["_us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
+        # micro-unit values: combine-order-independent like the batch
+        # operator's round(sum, 6)
+        ev["_mu"] = (ev["value"] * _US).round().astype("int64")
+        ev = ev.sort_values(["_us", "event_id"])
+
+        # gap-chain this batch's events into segments (start, last, n, sum)
+        segs: list[list[int]] = []
+        for t_us, mu in zip(ev["_us"], ev["_mu"]):
+            if segs and t_us - segs[-1][1] <= gap_us:
+                s = segs[-1]
+                s[0] = min(s[0], t_us)
+                s[1] = max(s[1], t_us)
+                s[2] += 1
+                s[3] += mu
+            else:
+                segs.append([t_us, t_us, 1, mu])
+        # merge the stored open segment in by start order, then re-sweep:
+        # a late batch whose events precede the open session by more than
+        # the gap yields a SEPARATE earlier session (batch semantics)
+        # instead of silently stretching the open one
+        if start_us is not None:
+            segs.append([start_us, last_us, n_ev, val_mu])
+            segs.sort(key=lambda s: (s[0], s[1]))
+            merged: list[list[int]] = []
+            for s in segs:
+                if merged and s[0] - merged[-1][1] <= gap_us:
+                    m = merged[-1]
+                    m[1] = max(m[1], s[1])
+                    m[2] += s[2]
+                    m[3] += s[3]
                 else:
-                    # within-gap late arrival may precede the stored start
-                    start_us = min(start_us, t_us)
-                    last_us = max(last_us, t_us)
-                    n_ev += 1
-                    val_mu += mu
-            state.update((next_seq,
-                          start_us if start_us is not None else 0,
-                          last_us if last_us is not None else 0,
-                          n_ev, val_mu))
-            if last_us is not None:
-                # close the open session once the watermark clears the gap;
-                # timeouts must sit beyond the current watermark
-                t = max((last_us + gap_us) // 1000,
-                        state.getCurrentWatermarkMs() + 1)
-                state.setTimeoutTimestamp(t)
+                    merged.append(s)
+            segs = merged
+
+        closed = []
+        for s in segs[:-1]:
+            closed.append((user_id, next_seq,
+                           pd.Timestamp(s[0], unit="us"),
+                           pd.Timestamp(s[1], unit="us"), s[2], s[3]))
+            next_seq += 1
+        start_us, last_us, n_ev, val_mu = segs[-1]
+        state.update((next_seq, start_us, last_us, n_ev, val_mu))
+        # close the open session once the watermark clears the gap;
+        # timeouts must sit beyond the current watermark
+        t = max((last_us + gap_us) // 1000,
+                state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(t)
 
         if closed:
             yield pd.DataFrame(closed, columns=[f.name for f in
@@ -171,4 +197,7 @@ def stream_sessionize(spark: SparkSession, events_dir: str, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # a run that closed zero sessions leaves no data files — read with the
+    # declared schema so the caller gets an empty frame, not an inference
+    # error
+    return spark.read.schema(OUT_SCHEMA).parquet(out_dir)

@@ -117,3 +117,9 @@ def test_hits_partition_invariant(spark):
     b = sorted(map(tuple, pagerank.hits(
         docs.repartition(5), 2, 6, edges.repartition(3)).collect()))
     assert a == b
+
+
+def test_hits_rejects_zero_iters(spark):
+    docs, edges = _hits_fixture(spark)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank.hits(docs, iters=0, n_docs=6, edges=edges)

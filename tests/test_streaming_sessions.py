@@ -80,3 +80,37 @@ def test_stream_sessionize_resume_and_param_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="sessionize checkpoint"):
         stream_sessionize(spark, str(src), out, gap_minutes=10,
                           watermark="0 seconds")
+
+
+def test_stream_sessionize_empty_run_returns_empty_frame(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    # one open session, no gap successor, no watermark progress past it:
+    # zero sessions close and the read-back must be an empty frame, not a
+    # schema-inference error
+    _write_file(src / "f1.parquet", [(1, 1, _t(10, 0), 1.0)], 1000)
+    out = str(tmp_path / "out")
+    got = stream_sessionize(spark, str(src), out, gap_minutes=30,
+                            watermark="0 seconds")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields][:2] == ["user_id",
+                                                       "session_seq"]
+
+
+def test_stream_sessionize_late_event_forms_earlier_session(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    # watermark lag keeps the 08:00 straggler alive into batch 2; it is
+    # > gap BEFORE the open 10:00 session, so it must close as its OWN
+    # earlier session (batch semantics), not stretch the open one
+    _write_file(src / "f1.parquet", [(1, 1, _t(10, 0), 1.0)], 1000)
+    _write_file(src / "f2.parquet", [(1, 2, _t(8, 0), 2.0)], 2000)
+    # sentinel + flush batches drive the watermark past 10:30
+    _write_file(src / "f3.parquet", [(9, 3, _t(20, 0), 0.0)], 3000)
+    _write_file(src / "f4.parquet", [(9, 4, _t(20, 1), 0.0)], 4000)
+    out = str(tmp_path / "out")
+    got = stream_sessionize(spark, str(src), out, gap_minutes=30,
+                            watermark="6 hours")
+    rows = sorted((r["session_start"], r["session_end"], r["n_events"])
+                  for r in got.collect() if r["user_id"] == 1)
+    assert rows == [(_t(8, 0), _t(8, 0), 1), (_t(10, 0), _t(10, 0), 1)]

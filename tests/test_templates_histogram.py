@@ -66,3 +66,12 @@ def test_length_histogram_partition_invariant(spark):
     a = sorted(map(tuple, length_histogram(docs).collect()))
     b = sorted(map(tuple, length_histogram(docs.repartition(11)).collect()))
     assert a == b
+
+
+def test_url_templates_uppercase_hex_folds(spark):
+    urls = spark.createDataFrame(
+        [(f"https://h.com/x/DEADBEEF1234CAFE{i:04d}/y",) for i in range(5)],
+        "url string")
+    out = url_templates(urls, k=3, min_urls=2).collect()
+    assert len(out) == 1 and out[0]["template"] == "/x/{hex}/y"
+    assert out[0]["n_urls"] == 5

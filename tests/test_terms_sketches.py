@@ -121,3 +121,15 @@ def test_cms_partition_invariant(spark):
                    cms_estimate(cms_build(keys.repartition(13)),
                                 probes).collect()))
     assert a == b
+
+
+def test_hll_ignores_null_values(spark):
+    from supercrawler_spark.operators.sketches import hll_distinct
+    df = spark.createDataFrame(
+        [("k", i if i % 2 == 0 else None) for i in range(200)],
+        "key string, v long")   # 100 distinct non-null + 100 NULLs
+    base = spark.createDataFrame([("k", i) for i in range(0, 200, 2)],
+                                 "key string, v long")
+    with_nulls = hll_distinct(df, ["key"], "v").collect()[0]["hll_distinct"]
+    without = hll_distinct(base, ["key"], "v").collect()[0]["hll_distinct"]
+    assert with_nulls == without          # countDistinct semantics
