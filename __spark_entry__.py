@@ -25,6 +25,7 @@ from supercrawler_spark.operators import (
     pagerank, recrawl, similarity, textquality, trainmix, yt,
 )
 from supercrawler_spark.operators import cmsketch as _cms
+from supercrawler_spark.operators import layout as _layout
 from supercrawler_spark.operators import sketches as _sketches
 
 
@@ -608,6 +609,18 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms_build(toks), probes)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-order interleave key over (user_id, event_id) — the layout
+    column a write-side `repartitionByRange(zkey).sortWithinPartitions`
+    clusters by, so parquet min/max stats prune 2-D range scans
+    (operators/layout)."""
+    from supercrawler_spark.operators.layout import zorder_key
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (zorder_key(ev.select("event_id", "user_id"),
+                       "user_id", "event_id")
+            .select("event_id", "zkey"))
+
+
 def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed hashing-trick document embeddings (operators/embed), exploded
     to (doc_id, pos, val) rows so the value hash is representation-stable.
@@ -738,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_token_counts,
         "hits": q_hits,
         "hash_embed": q_hash_embed,
+        "zorder_key": q_zorder_key,
         "snapshot_diff": q_snapshot_diff,
         "sessionize": q_sessionize,
         "pagerank": q_pagerank,
@@ -1769,6 +1783,8 @@ FROM top""",
             + _sketches.hll_oracle_sql("events", "event_type", "event_id",
                                        key_alias="event_type") + ")"),
         "hits": _hits_oracle(2),
+        "zorder_key": _layout.zorder_oracle_sql(
+            "events", "user_id", "event_id", keep="event_id"),
         "hash_embed": f"""
 WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
 hb AS (

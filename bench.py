@@ -342,6 +342,12 @@ def main() -> None:
 
     bench("semdedup", semdedup_bench)
 
+    def zorder_bench():
+        import __spark_entry__ as entry_mod
+        extras["zorder_rows"] = entry_mod.q_zorder_key(spark, sf_dir).count()
+
+    bench("zorder_key", zorder_bench)
+
     def hash_embed_bench():
         from supercrawler_spark.operators.embed import hash_embed
         out = hash_embed(docs, dim=64)
