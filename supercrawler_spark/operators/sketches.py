@@ -67,19 +67,31 @@ def hll_distinct(df: DataFrame, key_cols: list[str],
                  F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
                                              / v_zero.cast("double"))) \
         .otherwise(raw)
-    return per_key.select(*keys, F.round(est, 4).alias("hll_distinct"))
+    scored = per_key.select(*keys, F.round(est, 4).alias("hll_distinct"))
+    # groupBy+countDistinct semantics: a key whose values are ALL NULL still
+    # appears, with estimate 0 (the NULL filter above would otherwise drop
+    # the whole group)
+    all_keys = df.select(*key_cols).distinct()
+    return (all_keys.join(scored, key_cols, "left")
+            .select(*keys, F.coalesce(F.col("hll_distinct"), F.lit(0.0))
+                    .alias("hll_distinct")))
 
 
 def hll_oracle_sql(table: str, key_expr: str, value_expr: str,
                    key_alias: str = "key", where: str = "") -> str:
     """The DuckDB twin of :func:`hll_distinct` — generated next to the
     operator so the constants and association order stay in lockstep."""
-    null_guard = (f"{'AND' if where else 'WHERE'} "
-                  f"({value_expr}) IS NOT NULL")
+    # parenthesize any caller predicate so a top-level OR cannot rebind
+    # against the appended null guard
+    cond = where.strip()
+    if cond.upper().startswith("WHERE"):
+        cond = cond[5:].strip()
+    guard = (f"WHERE ({cond}) AND (({value_expr}) IS NOT NULL)" if cond
+             else f"WHERE ({value_expr}) IS NOT NULL")
     return f"""
 WITH h AS (
   SELECT {key_expr} AS key, md5(CAST({value_expr} AS VARCHAR)) AS hx
-  FROM {table} {where} {null_guard}),
+  FROM {table} {guard}),
 b AS (
   SELECT key,
          try_cast('0x' || substr(hx, 1, 3) AS BIGINT) AS reg,
@@ -96,11 +108,13 @@ e AS (
   SELECT key,
          s_obs + ({HLL_M} - v_obs) * (1::BIGINT << 49) AS s,
          {HLL_M} - v_obs AS v_zero
-  FROM k)
-SELECT key AS {key_alias},
-       round(CASE WHEN v_zero > 0
+  FROM k),
+allk AS (SELECT DISTINCT {key_expr} AS key FROM {table} {where})
+SELECT allk.key AS {key_alias},
+       coalesce(round(CASE WHEN v_zero > 0
                    AND {HLL_C!r} / CAST(s AS DOUBLE) <= {2.5 * HLL_M!r}
              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
                                         / CAST(v_zero AS DOUBLE))
-             ELSE {HLL_C!r} / CAST(s AS DOUBLE) END, 4) AS hll_distinct
-FROM e"""
+             ELSE {HLL_C!r} / CAST(s AS DOUBLE) END, 4), 0.0)
+         AS hll_distinct
+FROM allk LEFT JOIN e ON e.key = allk.key"""

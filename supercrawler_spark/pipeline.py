@@ -71,7 +71,7 @@ def prepare_training_corpus(docs: DataFrame,
     ``clean_docs`` keeps the input schema (text possibly PII-scrubbed /
     line-deduped); ``report`` maps stage → rows dropped (or rewritten)."""
     cfg = config or CorpusPipelineConfig()
-    report: dict[str, int] = {}
+    report: dict = {}
     caches: list[DataFrame] = []
     try:
         return _run_pipeline(docs, benchmark, cfg, text_col, id_col,
@@ -146,14 +146,25 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
                     .withColumnRenamed("doc_id", "vec_id"))
         import os
         import tempfile
-        # no work_dir: a temp directory instead of localCheckpoint — the
-        # checkpoint blocks would pin executor storage for the application
-        # lifetime with no unpersist handle, while temp parquet sits on
-        # disk and dies with the process
-        wd = cfg.work_dir or tempfile.mkdtemp(prefix="semantic_dedup_")
+        spark = docs.sparkSession
+        if cfg.work_dir is None:
+            # a driver-local temp dir is only coherent in local mode — on a
+            # real cluster the executors would scatter the parquet across
+            # their own filesystems and the re-read would see partial data;
+            # there, work_dir must point at shared storage
+            if not spark.sparkContext.master.startswith("local"):
+                raise ValueError(
+                    "semantic_dedup on a non-local master requires "
+                    "CorpusPipelineConfig.work_dir on shared storage")
+            wd = tempfile.mkdtemp(prefix="semantic_dedup_")
+            # surfaced so callers can remove it once clean_docs is
+            # materialized — tempfile.mkdtemp dirs are NOT auto-removed
+            report["semantic_work_dir"] = wd
+        else:
+            wd = cfg.work_dir
         path = os.path.join(wd, "semantic_embeddings.parquet")
         emb_plan.write.mode("overwrite").parquet(path)
-        emb = docs.sparkSession.read.parquet(path)
+        emb = spark.read.parquet(path)
         assignment = _kmeans.kmeans_assign(
             emb, k=cfg.semantic_k, n_iters=2, dim=cfg.semantic_dim).persist()
         caches.append(assignment)

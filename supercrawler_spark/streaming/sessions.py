@@ -2,29 +2,25 @@
 ``applyInPandasWithState`` (the L8 surface the built-in streaming aggregates
 can't express: per-key ordered gap logic with incremental emission).
 
-The batch twin is ``operators/sessions.sessionize``; here each entity's open
-session lives in the state store across micro-batches. Arriving events
-extend or close it:
-
-- events inside the gap extend the open session (state update, no output),
-- an event past the gap CLOSES the open session (emitted immediately) and
-  opens a new one,
-- a LATE event more than the gap BEFORE the open session forms its own
-  earlier session (batch-equivalent segment merging: each batch's events
-  are gap-chained, merged with the stored open segment by interval
-  distance, and every segment but the newest closes),
-- event-time timeout (watermark passing ``last_ts + gap``) closes an idle
-  session without needing a successor event — the mechanism that bounds
-  state: one open session per ACTIVE entity, plus a seq-counter row for
-  entities gone quiet.
+The batch twin is ``operators/sessions.sessionize``; here each entity's
+OPEN session segments live in the state store across micro-batches
+(several can be open at once while late-but-valid events may still land
+between them). Each batch's events are gap-chained into segments and
+merged with the stored ones by interval distance — so a late event extends
+the right segment (forward OR backward) or opens its own earlier one. A
+segment is emitted only once the WATERMARK seals it (watermark >
+segment_end + gap): at that point no admissible event can merge into or
+bridge onto it, which is exactly the batch-equivalence condition — under
+any event ordering the watermark contract admits, closed sessions match
+the batch operator's (start, end, n, sum), and closure happens in start
+order so the per-entity ``session_seq`` counter in state reproduces the
+batch 1-based numbering. Event-time timeouts wake idle entities when
+their earliest open segment becomes sealable; entities gone quiet keep
+only a seq-counter row.
 
 Events older than the watermark are dropped by the watermark operator
 before the state function sees them (the standard streaming trade; the
-batch operator is the exact-but-rescan alternative). A per-entity
-``session_seq`` counter rides in state so closed sessions carry the same
-1-based numbering the batch operator produces; sessions close in
-start-time order, so the numbering matches batch whenever late data stays
-within one batch's horizon.
+batch operator is the exact-but-rescan alternative).
 
 Output rows are CLOSED sessions only; sessions still open when an
 ``availableNow`` run drains stay in state and are emitted by a later run
@@ -41,8 +37,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (LongType, StructField, StructType,
-                               TimestampType)
+from pyspark.sql.types import (ArrayType, LongType, StructField,
+                               StructType, TimestampType)
 
 OUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
@@ -52,13 +48,16 @@ OUT_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("total_value_micros", LongType()),
 ])
-# (next_seq, session_start_us, last_ts_us, n_events, value_micros)
+# (next_seq, starts[], lasts[], n_events[], value_micros[]) — parallel
+# arrays of the entity's OPEN segments (gap-separated, start-ordered);
+# several can be open at once while late-but-valid events may still merge
+# into them
 STATE_SCHEMA = StructType([
     StructField("next_seq", LongType()),
-    StructField("start_us", LongType()),
-    StructField("last_us", LongType()),
-    StructField("n_events", LongType()),
-    StructField("value_micros", LongType()),
+    StructField("starts", ArrayType(LongType())),
+    StructField("lasts", ArrayType(LongType())),
+    StructField("ns", ArrayType(LongType())),
+    StructField("mus", ArrayType(LongType())),
 ])
 
 _US = 1_000_000
@@ -70,83 +69,80 @@ def _session_fn(gap_us: int):
         user_id = key[0]
 
         if state.exists:
-            next_seq, start_us, last_us, n_ev, val_mu = state.get
-            if n_ev == 0:            # seq-counter-only state, no open session
-                start_us = last_us = None
+            next_seq, starts, lasts, ns, mus = state.get
+            segs = [list(t) for t in zip(starts or [], lasts or [],
+                                         ns or [], mus or [])]
         else:
-            next_seq, start_us, last_us, n_ev, val_mu = 1, None, None, 0, 0
+            next_seq, segs = 1, []
 
-        if state.hasTimedOut:
-            # watermark passed last_ts + gap with no successor event; keep a
-            # seq-counter-only state row (n_events=0, no timeout re-armed) so
-            # the entity's NEXT session numbers correctly — state per
-            # once-seen entity is one 5-long row, the same flat bound as the
-            # streaming dedup's per-hash state
-            closed = []
-            if start_us is not None:
-                closed.append((user_id, next_seq,
-                               pd.Timestamp(start_us, unit="us"),
-                               pd.Timestamp(last_us, unit="us"),
-                               n_ev, val_mu))
-                next_seq += 1
-            state.update((next_seq, 0, 0, 0, 0))
-            if closed:
-                yield pd.DataFrame(closed, columns=[f.name for f in
-                                                    OUT_SCHEMA.fields])
-            return
+        if not state.hasTimedOut:
+            frames = [p for p in pdfs if len(p)]
+            if not frames and not segs:
+                return
+            if frames:
+                ev = pd.concat(frames, ignore_index=True)
+                ev["_us"] = (ev["ts"].values.astype("datetime64[us]")
+                             .astype("int64"))
+                # micro-unit values: combine-order-independent like the
+                # batch operator's round(sum, 6)
+                ev["_mu"] = (ev["value"] * _US).round().astype("int64")
+                ev = ev.sort_values(["_us", "event_id"])
+                # gap-chain this batch into (start, last, n, sum) segments
+                batch_segs: list[list[int]] = []
+                for t_us, mu in zip(ev["_us"], ev["_mu"]):
+                    if batch_segs and t_us - batch_segs[-1][1] <= gap_us:
+                        s = batch_segs[-1]
+                        s[1] = t_us
+                        s[2] += 1
+                        s[3] += mu
+                    else:
+                        batch_segs.append([t_us, t_us, 1, mu])
+                # merge stored + batch segments by interval distance, so a
+                # late batch lands in (or before) the right stored segment
+                # instead of stretching the newest one; the start-ordered
+                # sweep also extends a stored segment BACKWARD when a
+                # within-gap earlier event arrives
+                segs = sorted(segs + batch_segs,
+                              key=lambda s: (s[0], s[1]))
+                merged: list[list[int]] = []
+                for s in segs:
+                    if merged and s[0] - merged[-1][1] <= gap_us:
+                        m = merged[-1]
+                        m[1] = max(m[1], s[1])
+                        m[2] += s[2]
+                        m[3] += s[3]
+                    else:
+                        merged.append(s)
+                segs = merged
 
-        frames = [p for p in pdfs if len(p)]
-        if not frames:
-            return
-        ev = pd.concat(frames, ignore_index=True)
-        ev["_us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
-        # micro-unit values: combine-order-independent like the batch
-        # operator's round(sum, 6)
-        ev["_mu"] = (ev["value"] * _US).round().astype("int64")
-        ev = ev.sort_values(["_us", "event_id"])
-
-        # gap-chain this batch's events into segments (start, last, n, sum)
-        segs: list[list[int]] = []
-        for t_us, mu in zip(ev["_us"], ev["_mu"]):
-            if segs and t_us - segs[-1][1] <= gap_us:
-                s = segs[-1]
-                s[0] = min(s[0], t_us)
-                s[1] = max(s[1], t_us)
-                s[2] += 1
-                s[3] += mu
-            else:
-                segs.append([t_us, t_us, 1, mu])
-        # merge the stored open segment in by start order, then re-sweep:
-        # a late batch whose events precede the open session by more than
-        # the gap yields a SEPARATE earlier session (batch semantics)
-        # instead of silently stretching the open one
-        if start_us is not None:
-            segs.append([start_us, last_us, n_ev, val_mu])
-            segs.sort(key=lambda s: (s[0], s[1]))
-            merged: list[list[int]] = []
-            for s in segs:
-                if merged and s[0] - merged[-1][1] <= gap_us:
-                    m = merged[-1]
-                    m[1] = max(m[1], s[1])
-                    m[2] += s[2]
-                    m[3] += s[3]
-                else:
-                    merged.append(s)
-            segs = merged
-
+        # a segment is SEALED — no event the watermark still admits can
+        # merge into or bridge onto it — exactly when watermark > end+gap;
+        # segments are gap-separated so ends are ordered and sealing closes
+        # a start-order prefix, keeping session_seq in start order (the
+        # batch numbering whenever late data stays within one horizon)
+        wm_us = state.getCurrentWatermarkMs() * 1000
         closed = []
-        for s in segs[:-1]:
-            closed.append((user_id, next_seq,
-                           pd.Timestamp(s[0], unit="us"),
-                           pd.Timestamp(s[1], unit="us"), s[2], s[3]))
-            next_seq += 1
-        start_us, last_us, n_ev, val_mu = segs[-1]
-        state.update((next_seq, start_us, last_us, n_ev, val_mu))
-        # close the open session once the watermark clears the gap;
-        # timeouts must sit beyond the current watermark
-        t = max((last_us + gap_us) // 1000,
-                state.getCurrentWatermarkMs() + 1)
-        state.setTimeoutTimestamp(t)
+        remaining: list[list[int]] = []
+        for s in segs:
+            if wm_us > s[1] + gap_us and not remaining:
+                closed.append((user_id, next_seq,
+                               pd.Timestamp(s[0], unit="us"),
+                               pd.Timestamp(s[1], unit="us"), s[2], s[3]))
+                next_seq += 1
+            else:
+                remaining.append(s)
+
+        state.update((next_seq,
+                      [s[0] for s in remaining], [s[1] for s in remaining],
+                      [s[2] for s in remaining], [s[3] for s in remaining]))
+        if remaining:
+            # wake when the earliest open segment becomes sealable;
+            # timeouts must sit beyond the current watermark
+            t = max((remaining[0][1] + gap_us) // 1000,
+                    state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(t)
+        # else: seq-counter-only state, no timeout re-armed — one tiny row
+        # per once-seen entity, the same flat bound as streaming dedup
 
         if closed:
             yield pd.DataFrame(closed, columns=[f.name for f in

@@ -67,15 +67,24 @@ def test_stream_sessionize_resume_and_param_guard(spark, tmp_path):
     out = str(tmp_path / "out")
     got = stream_sessionize(spark, str(src), out, gap_minutes=30,
                             watermark="0 seconds")
-    # first session closed by the 12:00 gap event within the same run
+    # availableNow runs a trailing timeout batch after the watermark
+    # update, so the 9:00 session (sealed by watermark 12:00 > 9:30)
+    # closes within this run; the 12:00 one stays open
     assert {(r["user_id"], r["session_seq"]) for r in got.collect()} \
         == {(1, 1)}
-    # resume with a later file: seq continues from state (no renumbering)
+    # resume: the 15:00 watermark seals the 12:00 session with the seq
+    # counter carried in state (no renumbering)
     _write_file(src / "f2.parquet", [(1, 3, _t(15, 0), 1.0)], 2000)
     got2 = stream_sessionize(spark, str(src), out, gap_minutes=30,
                              watermark="0 seconds")
     assert {(r["user_id"], r["session_seq"]) for r in got2.collect()} \
         == {(1, 1), (1, 2)}
+    # resume again: 23:00 watermark seals the 15:00 session
+    _write_file(src / "f3.parquet", [(1, 4, _t(23, 0), 1.0)], 3000)
+    got3 = stream_sessionize(spark, str(src), out, gap_minutes=30,
+                             watermark="0 seconds")
+    assert {(r["user_id"], r["session_seq"]) for r in got3.collect()} \
+        == {(1, 1), (1, 2), (1, 3)}
     # changed parameters against the same checkpoint fail loud
     with pytest.raises(ValueError, match="sessionize checkpoint"):
         stream_sessionize(spark, str(src), out, gap_minutes=10,
@@ -101,16 +110,23 @@ def test_stream_sessionize_late_event_forms_earlier_session(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
     # watermark lag keeps the 08:00 straggler alive into batch 2; it is
-    # > gap BEFORE the open 10:00 session, so it must close as its OWN
-    # earlier session (batch semantics), not stretch the open one
+    # > gap BEFORE the open 10:00 session, so it must become its OWN
+    # earlier session (batch semantics), not stretch the open one — and
+    # the 08:10 arrival in a LATER batch must merge into it (no premature
+    # close fragmenting a late session split across micro-batches)
     _write_file(src / "f1.parquet", [(1, 1, _t(10, 0), 1.0)], 1000)
     _write_file(src / "f2.parquet", [(1, 2, _t(8, 0), 2.0)], 2000)
-    # sentinel + flush batches drive the watermark past 10:30
-    _write_file(src / "f3.parquet", [(9, 3, _t(20, 0), 0.0)], 3000)
+    # the late session's second event rides with the sentinel batch
+    _write_file(src / "f3.parquet",
+                [(1, 5, _t(8, 10), 0.5), (9, 3, _t(20, 0), 0.0)], 3000)
+    # final batch runs with watermark 20:00-6h = 14:00 -> both sessions seal
     _write_file(src / "f4.parquet", [(9, 4, _t(20, 1), 0.0)], 4000)
     out = str(tmp_path / "out")
     got = stream_sessionize(spark, str(src), out, gap_minutes=30,
                             watermark="6 hours")
     rows = sorted((r["session_start"], r["session_end"], r["n_events"])
                   for r in got.collect() if r["user_id"] == 1)
-    assert rows == [(_t(8, 0), _t(8, 0), 1), (_t(10, 0), _t(10, 0), 1)]
+    assert rows == [(_t(8, 0), _t(8, 10), 2), (_t(10, 0), _t(10, 0), 1)]
+    seqs = {(r["session_start"], r["session_seq"]) for r in got.collect()
+            if r["user_id"] == 1}
+    assert seqs == {(_t(8, 0), 1), (_t(10, 0), 2)}   # start-order numbering
