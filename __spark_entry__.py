@@ -22,7 +22,7 @@ from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
     anchors, bloom, clusters, corpus, dedup, graph, linededup, multimodal,
-    pagerank, recrawl, similarity, textquality, trainmix, yt,
+    normalize, pagerank, recrawl, similarity, textquality, trainmix, yt,
 )
 from supercrawler_spark.operators import cmsketch as _cms
 from supercrawler_spark.operators import layout as _layout
@@ -237,6 +237,14 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.fingerprint(_docs(spark, sf_dir))
+
+
+def q_entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.entropy_signals(_docs(spark, sf_dir))
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize.normalize_text(_docs(spark, sf_dir))
 
 
 def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "entropy_signals": q_entropy_signals,
+        "normalize_text": q_normalize_text,
         "filter_corpus": q_filter_corpus,
         "chunk_documents": q_chunk_documents,
         "train_val_split": q_train_val_split,
@@ -1378,6 +1388,35 @@ SELECT doc_id,
                      t -> {_MD5LONG.format(x='t')} % 1000000007)),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
 FROM documents""",
+        "entropy_signals": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+  WHERE length(trim(text)) > 0
+),
+cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS d,
+         SUM(c * log2(c)) AS s
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(d AS BIGINT) AS n_distinct,
+       round(log2(n) - s / n, 6) AS token_entropy,
+       CASE WHEN d > 1 THEN round((log2(n) - s / n) / log2(d), 6)
+            ELSE 0.0 END AS entropy_norm
+FROM agg""",
+        "normalize_text": r"""
+WITH n AS (
+  SELECT doc_id, text,
+         nfc_normalize(trim(regexp_replace(regexp_replace(
+             text, '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'),
+             '[ \t\r\n\f]+', ' ', 'g'))) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+       norm_text != text AS changed
+FROM n""",
         "filter_corpus": f"""
 WITH f AS (
   SELECT doc_id, len({_TOKS}) AS n_tokens,

@@ -50,8 +50,8 @@ def main() -> None:
 
     from supercrawler_spark.crawler import CrawlConfig, crawl
     from supercrawler_spark.operators import (
-        clusters, corpus, dedup, graph, linededup, multimodal, pagerank,
-        recrawl, similarity, textquality, trainmix,
+        clusters, corpus, dedup, graph, linededup, multimodal, normalize,
+        pagerank, recrawl, similarity, textquality, trainmix,
     )
     from supercrawler_spark.session import get_spark
     from supercrawler_spark.sources import synth
@@ -194,6 +194,10 @@ def main() -> None:
     bench("chunk_documents", lambda: textquality.chunk_documents(
         docs, window=128, overlap=16).count())
     bench("fingerprint", lambda: textquality.fingerprint(docs).count())
+    bench("entropy_signals", lambda: textquality.entropy_signals(docs)
+          .agg(F.sum("n_tokens")).collect())
+    bench("normalize_text", lambda: normalize.normalize_text(docs)
+          .agg(F.sum("n_chars_norm")).collect())
     bench("repetition_signals", lambda: corpus.repetition_signals(docs)
           .agg(F.sum("n_tokens")).collect())
     bench("scrub_pii", lambda: corpus.scrub_pii(docs)

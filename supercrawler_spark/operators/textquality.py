@@ -166,6 +166,59 @@ def filter_corpus(docs: DataFrame, min_tokens: int = 20,
                     & F.col("pred_lang").isin(list(langs))))
 
 
+def entropy_signals(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram Shannon entropy — the lexical-diversity signal
+    behind gibberish/boilerplate filters (low entropy ⇒ repeated tokens,
+    high ⇒ diverse vocabulary):
+
+    - ``token_entropy``: H = log2(n) - (1/n)·Σ_t c_t·log2(c_t) in bits,
+    - ``entropy_norm``: H / log2(distinct tokens) ∈ [0, 1] (evenness;
+      1.0 when every token is distinct, 0.0 for a single repeated token).
+
+    Like ``repetition_signals``, the token counts c_t come from a
+    sort + run-length fold over the in-row token array (O(L log L) per
+    document), NOT an explode + per-(doc, token) shuffle — the operator is
+    shuffle-free and runs at scan speed at 100 TB. Documents with no tokens
+    are dropped (entropy undefined). The DuckDB oracle computes the same
+    quantity via unnest + GROUP BY (semantically identical; both round to
+    6 decimals).
+    """
+    toks = F.array_sort(_tokens(text_col))
+    n = F.size(toks)
+    # fold state: (prev token, current run length, Σ run·log2(run) of
+    # closed runs). Closing a run adds run·log2(run); log2(1) = 0 so
+    # singleton runs contribute nothing, and the finish lambda closes the
+    # last run.
+    zero = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0.0).alias("s"),
+                    F.lit(0).cast("long").alias("d"))
+    clog = lambda r: F.when(r > 0, r * F.log2(r)).otherwise(F.lit(0.0))  # noqa: E731
+    folded = F.aggregate(
+        toks, zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == acc.prev, acc.s)
+            .otherwise(acc.s + clog(acc.run)).alias("s"),
+            F.when(x == acc.prev, acc.d)
+            .otherwise(acc.d + 1).alias("d")),
+        lambda acc: F.struct((acc.s + clog(acc.run)).alias("s"),
+                             acc.d.alias("d")))
+    ent = F.log2(n) - folded.s / n
+    return (docs
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    n.cast("long").alias("n_tokens"),
+                    folded.d.cast("long").alias("n_distinct"),
+                    F.round(ent, 6).alias("token_entropy"),
+                    F.when(folded.d > 1,
+                           F.round(ent / F.log2(folded.d), 6))
+                    .otherwise(F.lit(0.0)).alias("entropy_norm")))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling fingerprint over tokens:
