@@ -65,6 +65,14 @@ def test_entropy_hand_computed(spark):
     assert rows[2]["entropy_norm"] == pytest.approx(round(h / math.log2(3), 6))
 
 
+def test_normalize_arrow_vectorized_plan(spark):
+    """The canonicalizer must run as ArrowEvalPython (vectorized batches),
+    never the per-row BatchEvalPython fallback."""
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
 def test_entropy_shuffle_free_plan(spark):
     """The fold-based entropy must not introduce an Exchange — it runs at
     scan speed over the documents table."""
