@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
-    anchors, bloom, clusters, corpus, dedup, graph, linededup, multimodal,
-    normalize, pagerank, recrawl, similarity, textquality, trainmix, yt,
+    anchors, bloom, clusters, corpus, cuckoo, dedup, graph, linededup,
+    multimodal, normalize, pagerank, recrawl, similarity, textquality,
+    trainmix, yt,
 )
 from supercrawler_spark.operators import cmsketch as _cms
 from supercrawler_spark.operators import layout as _layout
@@ -274,6 +275,25 @@ def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filt = bloom.build_bloom(hashed.filter(F.col("doc_id") < 50),
                              m_bits=4096, k=3)
     return (bloom.seen_prefilter(hashed, filt, m_bits=4096, k=3)
+            .select("doc_id", "maybe_seen"))
+
+
+def q_cuckoo_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule cuckoo URL-seen set (the deletable twin of
+    bloom_seen_filter): build the deterministic two-choice filter over the
+    same seed seen-set (doc_id < 50), probe every url through the PACKED
+    broadcast table. m_buckets=4 under-sizes the slot space on purpose so
+    the alternate-bucket routing (and possibly the stash) is exercised.
+    The oracle mirrors fp/i1/i2 and the two-stage ranked assignment
+    verbatim and probes the flat entries — same membership semantics."""
+    d = graph.with_url(_docs(spark, sf_dir))
+    h = F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
+    hashed = d.select("doc_id", h.alias("url_hash"),
+                      F.pmod(h, F.lit(4)).alias("bucket"))
+    ent = cuckoo.cuckoo_entries(hashed.filter(F.col("doc_id") < 50),
+                                m_buckets=4)
+    packed = cuckoo.pack_cuckoo(ent)
+    return (cuckoo.cuckoo_prefilter(hashed, packed, m_buckets=4)
             .select("doc_id", "maybe_seen"))
 
 
@@ -731,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "train_val_split": q_train_val_split,
         "bloom_seen_filter": q_bloom_seen_filter,
+        "cuckoo_seen_filter": q_cuckoo_seen_filter,
         "repetition_signals": q_repetition_signals,
         "scrub_pii": q_scrub_pii,
         "source_stats": q_source_stats,
@@ -1491,6 +1512,55 @@ SELECT p.doc_id,
        bool_and((coalesce(w.bits, 0) & p.mask) <> 0) AS maybe_seen
 FROM probes p LEFT JOIN words w ON w.bucket = p.bucket AND w.word = p.word
 GROUP BY p.doc_id""",
+        "cuckoo_seen_filter": f"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hb AS (
+  SELECT doc_id,
+         {_MD5LONG.format(x='url')} AS h,
+         {_MD5LONG.format(x='url')} % 4 AS bucket,
+         ({_MD5LONG.format(x='url')} % 32767) + 1 AS fp,
+         ({_MD5LONG.format(x='url')} % 1073741723) % 4 AS i1
+  FROM urls),
+hb2 AS (
+  SELECT *, xor(i1, (fp * 1540483477) & 3) AS i2 FROM hb),
+dk AS (
+  SELECT bucket, fp, i1, i2, COUNT(*) AS cnt, MIN(h) AS h_min
+  FROM hb2 WHERE doc_id < 50 GROUP BY 1, 2, 3, 4),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket, i1
+                               ORDER BY fp, h_min) AS r1
+  FROM dk),
+kept1 AS (SELECT bucket, i1 AS cbucket, fp, cnt FROM r1 WHERE r1 <= 4),
+used AS (SELECT bucket, cbucket, COUNT(*) AS used FROM kept1 GROUP BY 1, 2),
+r2 AS (
+  SELECT l.bucket, l.i2, l.fp, l.cnt, l.h_min,
+         row_number() OVER (PARTITION BY l.bucket, l.i2
+                            ORDER BY l.fp, l.h_min) AS r2,
+         coalesce(u.used, 0) AS used
+  FROM (SELECT * FROM r1 WHERE r1 > 4) l
+  LEFT JOIN used u ON u.bucket = l.bucket AND u.cbucket = l.i2),
+kept2 AS (SELECT bucket, i2 AS cbucket, fp, cnt FROM r2 WHERE r2 <= 4 - used),
+stash AS (SELECT bucket, CAST(-1 AS BIGINT) AS cbucket, h_min AS fp, cnt
+          FROM r2 WHERE r2 > 4 - used),
+entries AS (
+  SELECT bucket, cbucket, fp FROM
+    (SELECT * FROM kept1 UNION ALL SELECT * FROM kept2
+     UNION ALL SELECT * FROM stash)
+  GROUP BY 1, 2, 3)
+SELECT q.doc_id,
+       (e1.fp IS NOT NULL OR e2.fp IS NOT NULL OR es.fp IS NOT NULL)
+         AS maybe_seen
+FROM hb2 q
+LEFT JOIN entries e1 ON e1.bucket = q.bucket AND e1.cbucket = q.i1
+                    AND e1.fp = q.fp
+LEFT JOIN entries e2 ON e2.bucket = q.bucket AND e2.cbucket = q.i2
+                    AND e2.fp = q.fp
+LEFT JOIN entries es ON es.bucket = q.bucket AND es.cbucket = -1
+                    AND es.fp = q.h""",
         "repetition_signals": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents

@@ -182,6 +182,22 @@ def main() -> None:
     bench("crawl_bfs", crawl_bfs)
     bench("crawl_bfs_bloom", crawl_bfs_bloom)
     bench("crawl_bfs_polite", crawl_bfs_polite)
+    def cuckoo_seen():
+        """Build the deletable cuckoo seen-set over half the corpus urls,
+        probe the full corpus through the packed broadcast table."""
+        from supercrawler_spark.operators import cuckoo as _cuckoo
+        from supercrawler_spark.operators import graph as _graph
+        d = _graph.with_url(docs)
+        h = F.xxhash64("url")
+        hashed = d.select("doc_id", h.alias("url_hash"),
+                          F.pmod(h, F.lit(32)).alias("bucket"))
+        ent = _cuckoo.cuckoo_entries(
+            hashed.filter(F.col("doc_id") % 2 == 0), m_buckets=1 << 10)
+        flags = _cuckoo.cuckoo_prefilter(
+            hashed, _cuckoo.pack_cuckoo(ent), m_buckets=1 << 10)
+        flags.agg(F.sum(F.col("maybe_seen").cast("long"))).collect()
+
+    bench("cuckoo_seen", cuckoo_seen)
     bench("exact_dedup", lambda: dedup.exact_dedup(docs).count())
     bench("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(docs).count())
     bench("simhash", lambda: dedup.simhash(docs).count())
