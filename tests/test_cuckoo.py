@@ -116,6 +116,41 @@ def test_prefilter_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_recrawl_expiry_composition(spark):
+    """The cuckoo filter's reason to exist: recrawl_schedule picks stale
+    URLs, cuckoo_delete expires them from the seen filter, and the
+    prefilter then routes them as definitely-new — so they re-enter the
+    frontier and refetch — while every non-expired URL still probes seen."""
+    from supercrawler_spark.operators.recrawl import recrawl_schedule
+
+    rows = [(f"https://h{i % 4}.example.com/p/{i}", f"h{i % 4}",
+             # ids 0..19 stale (240 days old), 20..99 fresh
+             "2025-01-01 00:00:00" if i < 20 else "2025-08-01 00:00:00")
+            for i in range(100)]
+    pages = spark.createDataFrame(rows, "url string, host string, ts string") \
+        .select("url", "host", F.col("ts").cast("timestamp").alias("warc_ts"))
+    sched = recrawl_schedule(pages, "2025-08-28 00:00:00", min_age_days=60,
+                             per_host_cap=100)
+    stale_urls = {r["url"] for r in sched.collect()}
+    assert stale_urls == {r[0] for r in rows if int(r[0].rsplit("/", 1)[1]) < 20}
+
+    def hashed(df):
+        h = F.xxhash64("url")
+        return df.select("url", h.alias("url_hash"),
+                         F.pmod(h, F.lit(4)).alias("bucket"))
+
+    seen = hashed(pages.select("url").distinct())
+    ent = cuckoo.cuckoo_entries(seen, m_buckets=16)
+    ent2 = cuckoo.cuckoo_delete(ent, hashed(sched.select("url")), m_buckets=16)
+    flags = {r["url"]: r["maybe_seen"] for r in cuckoo.cuckoo_prefilter(
+        seen, cuckoo.pack_cuckoo(ent2), m_buckets=16).collect()}
+    fresh = {u for u in flags} - stale_urls
+    assert all(flags[u] for u in fresh), "expiry broke a fresh URL"
+    refetchable = {u for u in stale_urls if not flags[u]}
+    # fp-collisions aside, expired urls route as definitely-new
+    assert len(refetchable) >= 18
+
+
 def test_m_buckets_must_be_power_of_two(spark):
     with pytest.raises(AssertionError):
         cuckoo.cuckoo_entries(_hashed(spark, range(4)), m_buckets=3)
