@@ -5,6 +5,8 @@ chars, mixed whitespace) plus hand-computed entropy values."""
 import math
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from supercrawler_spark.operators.normalize import normalize_str, normalize_text
@@ -29,6 +31,22 @@ def test_control_chars_stripped_whitespace_collapsed():
 def test_already_normal_is_identity():
     assert normalize_str("plain ascii text") == "plain ascii text"
     assert normalize_str("") == ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_idempotent(s):
+    once = normalize_str(s)
+    assert normalize_str(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_total_and_clean(s):
+    out = normalize_str(s)
+    assert "\x00" not in out and "\n" not in out and "\t" not in out
+    assert "  " not in out  # no residual whitespace runs
+    assert out == out.strip(" ")
 
 
 # -- Spark surface ----------------------------------------------------------
