@@ -278,6 +278,17 @@ def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "maybe_seen"))
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy benchmark decontamination (the second pass after
+    the exact 8-gram test): benchmark = every 37th document, so benchmark
+    members score 1.0 against themselves and the corpus's planted
+    near-duplicates surface as partial-agreement pairs."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return trainmix.decontaminate_fuzzy(docs, bench, num_hashes=8,
+                                        band_size=2, min_jaccard_est=0.5)
+
+
 def q_cuckoo_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule cuckoo URL-seen set (the deletable twin of
     bloom_seen_filter): build the deterministic two-choice filter over the
@@ -766,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "shuffle_corpus": q_shuffle_corpus,
         "stratified_sample": q_stratified_sample,
         "weighted_epochs": q_weighted_epochs,
@@ -1159,6 +1171,30 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2""",
+        "decontaminate_fuzzy": shingle_cte + "," + minhash_core + """,
+bands AS (
+  SELECT doc_id, hash_id // 2 AS band,
+         array_to_string(list_sort(list(CAST(hash_id AS VARCHAR) || ':' ||
+                                        CAST(min_hash AS VARCHAR))), ',') AS band_key
+  FROM sig GROUP BY doc_id, hash_id // 2
+),
+cand AS (
+  SELECT DISTINCT d.doc_id, b.doc_id AS bench_id
+  FROM bands d JOIN bands b ON d.band = b.band AND d.band_key = b.band_key
+  WHERE b.doc_id % 37 = 0
+),
+agree AS (
+  SELECT c.doc_id, c.bench_id,
+         CAST(SUM(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.bench_id AND sb.hash_id = sa.hash_id
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_agree,
+       round(n_agree / 8.0, 6) AS jaccard_est
+FROM agree WHERE round(n_agree / 8.0, 6) >= 0.5""",
         "minhash_jaccard_estimate": shingle_cte + "," + minhash_core + """,
 bands AS (
   SELECT doc_id, hash_id // 2 AS band,

@@ -221,6 +221,8 @@ def main() -> None:
     bench("source_stats", lambda: corpus.source_stats(docs).count())
     bench("decontaminate", lambda: trainmix.decontaminate(
         docs, docs.filter(F.col("doc_id") % 37 == 0), n=8).count())
+    bench("decontaminate_fuzzy", lambda: trainmix.decontaminate_fuzzy(
+        docs, docs.filter(F.col("doc_id") % 37 == 0)).count())
     bench("shuffle_corpus", lambda: trainmix.shuffle_corpus(
         docs, n_shards=256).count())
     bench("stratified_sample", lambda: trainmix.stratified_sample(

@@ -73,6 +73,60 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
             .filter(F.col("bench_hits") >= min_hits))
 
 
+def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
+                        num_hashes: int = 8, band_size: int = 2,
+                        min_jaccard_est: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_id_col: str = "doc_id") -> DataFrame:
+    """Near-verbatim benchmark decontamination: MinHash-LSH candidate pairs
+    between the corpus and the benchmark, verified by the
+    signature-agreement Jaccard estimate. The exact n-gram collision test
+    (``decontaminate``) misses lightly edited benchmark copies — a
+    reworded stem or shifted formatting breaks every verbatim 8-gram while
+    the shingle SET stays mostly intact; this is the fuzzy second pass the
+    Dolma/FineWeb-style pipelines run. Output
+    (doc_id, bench_id, n_agree, jaccard_est) for pairs whose estimated
+    Jaccard is at least ``min_jaccard_est``.
+
+    Scale shape: benchmarks are tiny (thousands of rows), so the benchmark
+    band table AND its signature table broadcast; the corpus pays only the
+    minhash signature aggregation (shingle explode → map-side min per
+    hash) — there is NO corpus self-join and no corpus-keyed shuffle of
+    text. Candidate fan-out is bounded by benchmark size × band
+    collisions. The estimator floor/variance caveats of
+    ``minhash_jaccard_estimate`` apply (floor band_size/num_hashes)."""
+    from supercrawler_spark.operators.dedup import minhash_signatures
+
+    sig_d = minhash_signatures(docs, num_hashes, text_col, id_col)
+    sig_b = (minhash_signatures(benchmark, num_hashes, text_col,
+                                bench_id_col)
+             .withColumnRenamed("doc_id", "bench_id"))
+
+    def bands(sig, idc):
+        return (sig
+                .withColumn("band",
+                            (F.col("hash_id") / band_size).cast("long"))
+                .groupBy(idc, "band")
+                .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                    F.concat_ws(":", F.col("hash_id"), F.col("min_hash")))))
+                    .alias("band_key")))
+
+    cand = (bands(sig_d, "doc_id")
+            .join(F.broadcast(bands(sig_b, "bench_id")),
+                  ["band", "band_key"])
+            .select("doc_id", "bench_id").distinct())
+    sa = sig_d.select("doc_id", "hash_id", F.col("min_hash").alias("_hd"))
+    sb = sig_b.select("bench_id", "hash_id", F.col("min_hash").alias("_hb"))
+    return (cand.join(sa, "doc_id")
+            .join(F.broadcast(sb), ["bench_id", "hash_id"])
+            .groupBy("doc_id", "bench_id")
+            .agg(F.sum((F.col("_hd") == F.col("_hb")).cast("long"))
+                 .alias("n_agree"))
+            .withColumn("jaccard_est",
+                        F.round(F.col("n_agree") / num_hashes, 6))
+            .filter(F.col("jaccard_est") >= min_jaccard_est))
+
+
 def shuffle_corpus(docs: DataFrame, n_shards: int = 1024,
                    salt: str = "shuffle-1", id_col: str = "doc_id") -> DataFrame:
     """Deterministic global shuffle: (doc_id, shard, pos) with

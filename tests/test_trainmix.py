@@ -122,3 +122,47 @@ def test_stratified_sample_salts_independent(spark):
     # independent draws: overlap ~ 0.09 of corpus, far from either sample
     inter = len(s1 & s2)
     assert 0.03 < inter / 2000 < 0.18
+
+
+def test_decontaminate_fuzzy_catches_edited_copy(spark):
+    """The fuzzy pass's reason to exist: a benchmark document lightly
+    edited (every 8th word replaced) shares NO verbatim 8-gram with the
+    benchmark — the exact n-gram test misses it — but keeps most of its
+    shingle set, so MinHash agreement stays high and the fuzzy pass
+    flags it. An unrelated document is flagged by neither."""
+    bench_text = " ".join(f"q{i}" for i in range(64))
+    edited = " ".join(f"EDIT{i}" if i % 8 == 0 else f"q{i}"
+                      for i in range(64))
+    unrelated = " ".join(f"z{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(0, edited), (1, unrelated), (2, bench_text)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(900, bench_text)],
+                                  "doc_id long, text string")
+
+    exact = {r["doc_id"] for r in
+             trainmix.decontaminate(docs, bench, n=8).collect()}
+    assert exact == {2}, "exact pass should only catch the verbatim copy"
+
+    # every-8th-word edits corrupt ~3 shingles each: true Jaccard ~ 0.45,
+    # far above unrelated text but below a verbatim-duplicate threshold —
+    # band_size=1 makes candidate generation sensitive at that range
+    fuzzy = {(r["doc_id"], r["bench_id"]): r["jaccard_est"] for r in
+             trainmix.decontaminate_fuzzy(
+                 docs, bench, num_hashes=16, band_size=1,
+                 min_jaccard_est=0.3).collect()}
+    assert (0, 900) in fuzzy, "edited copy missed by the fuzzy pass"
+    assert 0.3 <= fuzzy[(0, 900)] < 1.0
+    assert (2, 900) in fuzzy and fuzzy[(2, 900)] == 1.0
+    assert not any(d == 1 for d, _ in fuzzy)
+
+
+def test_decontaminate_fuzzy_benchmark_broadcast_plan(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(40)],
+        "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") < 3).select(
+        "doc_id", "text")
+    plan = (trainmix.decontaminate_fuzzy(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
