@@ -825,7 +825,7 @@ scope AS (SELECT DISTINCT host FROM seeds)
 
 _MD5LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
-_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKS = "regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
 _STOP_EN = "('the','and','of','to','a','in','is','it','for','on')"
 
@@ -1218,7 +1218,7 @@ JOIN sig sb ON sb.doc_id = p.b_id AND sb.hash_id = sa.hash_id
 GROUP BY 1, 2""",
         "pack_sequences": """
 WITH d AS (
-  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+  SELECT doc_id, len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_tokens,
          CAST(('0x' || substr(md5('pack-1:' || CAST(doc_id AS VARCHAR)),
                               1, 15)) AS BIGINT) AS hv
   FROM documents WHERE length(trim(text)) > 0),
@@ -1231,7 +1231,7 @@ SELECT doc_id, shard, strt // 64 AS pack, strt % 64 AS "offset", n_tokens
 FROM c""",
         "unigram_logprob": """
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
   FROM documents WHERE length(trim(text)) > 0),
 counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
 tot AS (SELECT SUM(cnt) AS total FROM counts),
@@ -1243,7 +1243,7 @@ FROM tok t LEFT JOIN vocab v USING (token), tot
 GROUP BY t.doc_id""",
         "duplicate_spans": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
 ),
 wins AS (
   SELECT doc_id, s['pos'] AS pos, s['h'] AS span_hash FROM (
@@ -1312,7 +1312,7 @@ SELECT host, n_urls, query_ratio, repeat_ratio, avg_depth, max_depth,
 FROM agg""",
         "span_dup_stats": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
 ),
 wins AS (
   SELECT doc_id, s['pos'] AS pos, s['h'] AS span_hash FROM (
@@ -1448,7 +1448,7 @@ FROM documents""",
         "entropy_signals": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-  WHERE length(trim(text)) > 0
+  WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0
 ),
 cnt AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
@@ -1468,7 +1468,8 @@ WITH n AS (
   SELECT doc_id, text,
          nfc_normalize(trim(regexp_replace(regexp_replace(
              text, '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'),
-             '[ \t\r\n\f]+', ' ', 'g'))) AS norm_text
+             '[ \t\r\n\f\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
+             ' ', 'g'))) AS norm_text
   FROM documents)
 SELECT doc_id, norm_text,
        CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
@@ -1564,23 +1565,23 @@ hb AS (
 hb2 AS (
   SELECT *, xor(i1, (fp * 1540483477) & 3) AS i2 FROM hb),
 dk AS (
-  SELECT bucket, fp, i1, i2, COUNT(*) AS cnt, MIN(h) AS h_min
-  FROM hb2 WHERE doc_id < 50 GROUP BY 1, 2, 3, 4),
+  SELECT bucket, h, fp, i1, i2, COUNT(*) AS cnt
+  FROM hb2 WHERE doc_id < 50 GROUP BY 1, 2, 3, 4, 5),
 r1 AS (
   SELECT *, row_number() OVER (PARTITION BY bucket, i1
-                               ORDER BY fp, h_min) AS r1
+                               ORDER BY fp, h) AS r1
   FROM dk),
 kept1 AS (SELECT bucket, i1 AS cbucket, fp, cnt FROM r1 WHERE r1 <= 4),
 used AS (SELECT bucket, cbucket, COUNT(*) AS used FROM kept1 GROUP BY 1, 2),
 r2 AS (
-  SELECT l.bucket, l.i2, l.fp, l.cnt, l.h_min,
+  SELECT l.bucket, l.i2, l.fp, l.cnt, l.h,
          row_number() OVER (PARTITION BY l.bucket, l.i2
-                            ORDER BY l.fp, l.h_min) AS r2,
+                            ORDER BY l.fp, l.h) AS r2,
          coalesce(u.used, 0) AS used
   FROM (SELECT * FROM r1 WHERE r1 > 4) l
   LEFT JOIN used u ON u.bucket = l.bucket AND u.cbucket = l.i2),
 kept2 AS (SELECT bucket, i2 AS cbucket, fp, cnt FROM r2 WHERE r2 <= 4 - used),
-stash AS (SELECT bucket, CAST(-1 AS BIGINT) AS cbucket, h_min AS fp, cnt
+stash AS (SELECT bucket, CAST(-1 AS BIGINT) AS cbucket, h AS fp, cnt
           FROM r2 WHERE r2 > 4 - used),
 entries AS (
   SELECT bucket, cbucket, fp FROM
@@ -1749,7 +1750,7 @@ SELECT media_id, frame_idx, frame_idx * 10000 AS frame_offset_ms FROM f""",
         # these scales, so counting strings mirrors counting md5 hashes)
         "decontaminate": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
 ),
 dsh AS (
   SELECT DISTINCT doc_id, unnest(list_transform(

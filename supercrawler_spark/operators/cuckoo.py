@@ -80,33 +80,38 @@ def cuckoo_entries(seen: DataFrame, hash_col: str = "url_hash",
         _fp(h).alias("fp"), _i1(h, m_buckets).alias("i1"))
         .withColumn("i2", F.col("i1").bitwiseXOR(
             _g(F.col("fp"), m_buckets)).cast("long")))
-    # one slot entry per distinct (bucket, fp-home) key; cnt tracks copies
-    # (deletes decrement, so removing one URL never hides another)
-    dk = (keyed.groupBy("bucket", "fp", "i1", "i2")
-          .agg(F.count("*").alias("cnt"),
-               F.min("h").alias("h_min")))
-    w1 = Window.partitionBy("bucket", "i1").orderBy("fp", "h_min")
+    # one ranked unit per DISTINCT KEY (full 64-bit hash): two distinct
+    # keys sharing (fp, i1) must NOT collapse here — if their unit lost
+    # both buckets, a merged stash row could only store one hash and the
+    # other key would false-negative. cnt tracks copies of the same key
+    # (deletes decrement, so removing one URL never hides another).
+    dk = (keyed.groupBy("bucket", "h", "fp", "i1", "i2")
+          .agg(F.count("*").alias("cnt")))
+    w1 = Window.partitionBy("bucket", "i1").orderBy("fp", "h")
     ranked1 = dk.withColumn("r1", F.row_number().over(w1))
     kept1 = (ranked1.filter(F.col("r1") <= b_slots)
              .select("bucket", F.col("i1").alias("cbucket"), "fp", "cnt"))
     losers = ranked1.filter(F.col("r1") > b_slots)
     # capacity left at each alternate bucket = b_slots - home keepers there
     used = kept1.groupBy("bucket", "cbucket").agg(F.count("*").alias("used"))
-    w2 = Window.partitionBy("bucket", "i2").orderBy("fp", "h_min")
+    w2 = Window.partitionBy("bucket", "i2").orderBy("fp", "h")
     ranked2 = (losers.withColumn("r2", F.row_number().over(w2))
                .join(used,
                      (losers.bucket == used.bucket)
                      & (losers.i2 == used.cbucket), "left")
-               .select(losers.bucket, "i2", "fp", "cnt", "h_min", "r2",
+               .select(losers.bucket, "i2", "fp", "cnt", "h", "r2",
                        F.coalesce("used", F.lit(0)).alias("used")))
     kept2 = (ranked2.filter(F.col("r2") <= b_slots - F.col("used"))
              .select("bucket", F.col("i2").alias("cbucket"), "fp", "cnt"))
     stash = (ranked2.filter(F.col("r2") > b_slots - F.col("used"))
              .select("bucket", F.lit(-1).cast("long").alias("cbucket"),
-                     F.col("h_min").alias("fp"), "cnt"))
-    # a home keeper and an alternate arrival can carry the SAME (cbucket,
-    # fp) — indistinguishable for membership, so collapse them into one
-    # counted entry: keys stay unique and decrement-delete stays exact
+                     F.col("h").alias("fp"), "cnt"))
+    # distinct keys carrying the SAME (cbucket, fp) — fp collisions and
+    # home-keeper-vs-alternate-arrival overlaps — are indistinguishable for
+    # membership, so collapse them into one counted entry AFTER ranking:
+    # entry keys stay unique and decrement-delete stays exact (membership
+    # holds while the bucket-pair total for fp is positive). Stash rows key
+    # on the full hash, so distinct keys never merge there.
     return (kept1.unionByName(kept2).unionByName(stash)
             .groupBy("bucket", "cbucket", "fp")
             .agg(F.sum("cnt").alias("cnt")))
@@ -161,10 +166,12 @@ def cuckoo_delete(entries: DataFrame, deletions: DataFrame,
             .filter(F.col("cnt") > 0))
 
 
-def pack_cuckoo(entries: DataFrame) -> DataFrame:
+def pack_cuckoo(entries: DataFrame, b_slots: int = B_SLOTS) -> DataFrame:
     """Broadcastable probe table: one row per seen bucket with the slot
-    words packed 4 × 15-bit fingerprints per BIGINT (< 2^60 — exact in
-    DuckDB's checked arithmetic too) plus the exact stash hashes."""
+    words packed ``b_slots`` × 15-bit fingerprints per BIGINT (≤ 2^60 —
+    exact in DuckDB's checked arithmetic too) plus the exact stash hashes.
+    ``b_slots`` must match the build and fit the word (≤ 4 lanes)."""
+    assert 1 <= b_slots * FP_BITS <= 60, "b_slots*15 bits must fit a BIGINT"
     slots = entries.filter(F.col("cbucket") >= 0)
     w = Window.partitionBy("bucket", "cbucket").orderBy("fp")
     words = (slots
@@ -191,8 +198,10 @@ def pack_cuckoo(entries: DataFrame) -> DataFrame:
 
 
 def cuckoo_maybe_contains(cuckoo_col: Column, stash_col: Column,
-                          hash_col: Column, m_buckets: int) -> Column:
+                          hash_col: Column, m_buckets: int,
+                          b_slots: int = B_SLOTS) -> Column:
     """Pure-JVM probe: fp lane-matches at i1 or i2, or exact stash hit."""
+    assert 1 <= b_slots * FP_BITS <= 60, "b_slots*15 bits must fit a BIGINT"
     fp = _fp(hash_col)
     i1 = _i1(hash_col, m_buckets)
     i2 = i1.bitwiseXOR(_g(fp, m_buckets)).cast("long")
@@ -201,7 +210,7 @@ def cuckoo_maybe_contains(cuckoo_col: Column, stash_col: Column,
         word = F.coalesce(
             F.element_at(cuckoo_col, bucket_ix.cast("int")),
             F.lit(0).cast("long"))
-        for lane in range(B_SLOTS):
+        for lane in range(b_slots):
             lane_val = F.call_function(
                 "shiftright", word,
                 F.lit(lane * FP_BITS)).bitwiseAND(F.lit(FP_MASK))
@@ -216,7 +225,8 @@ def cuckoo_maybe_contains(cuckoo_col: Column, stash_col: Column,
 
 def cuckoo_prefilter(candidates: DataFrame, packed: DataFrame,
                      hash_col: str = "url_hash", bucket_col: str = "bucket",
-                     m_buckets: int = 1 << 14) -> DataFrame:
+                     m_buckets: int = 1 << 14,
+                     b_slots: int = B_SLOTS) -> DataFrame:
     """Tag candidates with ``maybe_seen`` via a broadcast join on the seen
     bucket — the same routing contract as bloom.seen_prefilter: false is
     guaranteed-new, true goes to the exact anti-join."""
@@ -226,6 +236,6 @@ def cuckoo_prefilter(candidates: DataFrame, packed: DataFrame,
     return (joined
             .withColumn("maybe_seen", F.coalesce(
                 cuckoo_maybe_contains(F.col("cuckoo"), F.col("stash"),
-                                      F.col(hash_col), m_buckets),
+                                      F.col(hash_col), m_buckets, b_slots),
                 F.lit(False)))
             .drop("_ck_bucket", "cuckoo", "stash"))

@@ -48,7 +48,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """Word n-gram shingles, distinct per doc: (id, shingle)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")
     # shingle i = tokens[i..i+n-1] joined by ' ' — built-in transform/slice,
     # no Python
     sh = F.transform(
@@ -82,6 +82,26 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
     return mins.selectExpr(
         "doc_id",
         f"stack({num_hashes}, {stack}) as (hash_id, min_hash)")
+
+
+def minhash_sig_array(docs: DataFrame, num_hashes: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig: array<long>) — the same minhash values as
+    ``minhash_signatures`` packed into ONE array row per document, for
+    consumers that need the whole signature downstream of a single
+    aggregation (e.g. decontaminate_fuzzy carries it through the band
+    explode so the corpus-wide shingle aggregation runs exactly once)."""
+    p = 1_000_000_007
+    sh = shingles(docs, text_col, id_col) \
+        .withColumn("h", _md5_long(F.col("shingle")) % p)
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.pmod((2 * i + 1) * F.col("h") + (7 * i + 13), F.lit(p)))
+        .alias(f"_h{i}")
+        for i in range(num_hashes)
+    ])
+    return mins.select("doc_id", F.array(
+        *[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
@@ -136,7 +156,7 @@ def simhash(docs: DataFrame, bits: int = 16,
     assert 1 <= bits <= 60, "simhash bits must be in [1, 60] (60-bit hash)"
     spark = docs.sparkSession
     toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+                        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).alias("tok"))
             .withColumn("h", _md5_long(F.col("tok"))))
     bit_ids = spark.range(bits).withColumnRenamed("id", "bit")
     votes = (toks.crossJoin(F.broadcast(bit_ids))

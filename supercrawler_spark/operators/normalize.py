@@ -33,13 +33,20 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 CONTROL_RE = re.compile("[\x00-\x08\x0b\x0e-\x1f\x7f]")
-WS_RE = re.compile("[ \t\r\n\f]+")
+# ASCII whitespace plus the Unicode space separators web text actually
+# carries (NBSP, NEL, LINE/PARA SEPARATOR, thin/ideographic spaces) — the
+# SAME class the DuckDB oracle folds, so both engines canonicalize
+# identically. Edge whitespace collapses to one ' ' which .strip(' ')
+# (spaces only — Python's bare .strip() eats Unicode whitespace that
+# DuckDB's trim() would keep) then removes.
+WS_RE = re.compile("[ \t\r\n\f\x85\xa0\u1680\u2000-\u200a"
+                   "\u2028\u2029\u202f\u205f\u3000]+")
 
 
 def normalize_str(s: str) -> str:
     """Pure-Python kernel (unit-testable without Spark)."""
     s = CONTROL_RE.sub("", s)
-    s = WS_RE.sub(" ", s).strip()
+    s = WS_RE.sub(" ", s).strip(" ")
     return unicodedata.normalize("NFC", s)
 
 

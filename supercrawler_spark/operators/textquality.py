@@ -17,7 +17,15 @@ STOPWORDS = {
 
 
 def _tokens(text_col: str):
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    # strip ALL leading/trailing whitespace (tabs/newlines too — F.trim
+    # removes only spaces) before splitting, so edge whitespace never
+    # yields phantom empty tokens; mirrored verbatim by the oracle's
+    # regexp_replace(text, '^\s+|\s+$', '', 'g') tokenizer. Java's split
+    # and DuckDB's regexp_split_to_array then agree on every input
+    # (Java drops trailing empties, DuckDB keeps them — with trimmed
+    # edges neither produces any).
+    return F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")
 
 
 def token_count(docs: DataFrame, text_col: str = "text",
@@ -209,7 +217,11 @@ def entropy_signals(docs: DataFrame, text_col: str = "text",
                              acc.d.alias("d")))
     ent = F.log2(n) - folded.s / n
     return (docs
-            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            # a non-whitespace char must exist (trim() strips only spaces;
+            # a '\n'-only doc would otherwise slip through as one phantom
+            # token that collides with the fold's '' sentinel)
+            .filter(F.length(F.regexp_replace(F.col(text_col),
+                                              r"\s", "")) > 0)
             .select(F.col(id_col).alias("doc_id"),
                     n.cast("long").alias("n_tokens"),
                     folded.d.cast("long").alias("n_distinct"),

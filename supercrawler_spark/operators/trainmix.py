@@ -89,39 +89,44 @@ def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
     Jaccard is at least ``min_jaccard_est``.
 
     Scale shape: benchmarks are tiny (thousands of rows), so the benchmark
-    band table AND its signature table broadcast; the corpus pays only the
-    minhash signature aggregation (shingle explode → map-side min per
-    hash) — there is NO corpus self-join and no corpus-keyed shuffle of
-    text. Candidate fan-out is bounded by benchmark size × band
-    collisions. The estimator floor/variance caveats of
-    ``minhash_jaccard_estimate`` apply (floor band_size/num_hashes)."""
-    from supercrawler_spark.operators.dedup import minhash_signatures
+    band rows (carrying their full signature) BROADCAST; the corpus pays
+    the minhash signature aggregation (shingle explode → map-side min per
+    hash) EXACTLY ONCE — the full signature array rides on every band row,
+    so candidate generation and the agreement count come out of the same
+    single pass (no re-derivation of the corpus lineage, no corpus
+    self-join, no text-keyed corpus shuffle). Candidate fan-out is bounded
+    by benchmark size × band collisions. The estimator floor/variance
+    caveats of ``minhash_jaccard_estimate`` apply (floor
+    band_size/num_hashes)."""
+    from supercrawler_spark.operators.dedup import minhash_sig_array
 
-    sig_d = minhash_signatures(docs, num_hashes, text_col, id_col)
-    sig_b = (minhash_signatures(benchmark, num_hashes, text_col,
-                                bench_id_col)
-             .withColumnRenamed("doc_id", "bench_id"))
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sig_d = minhash_sig_array(docs, num_hashes, text_col, id_col)
+    sig_b = (minhash_sig_array(benchmark, num_hashes, text_col,
+                               bench_id_col)
+             .withColumnRenamed("doc_id", "bench_id")
+             .withColumnRenamed("sig", "sigb"))
 
-    def bands(sig, idc):
-        return (sig
-                .withColumn("band",
-                            (F.col("hash_id") / band_size).cast("long"))
-                .groupBy(idc, "band")
-                .agg(F.concat_ws(",", F.sort_array(F.collect_list(
-                    F.concat_ws(":", F.col("hash_id"), F.col("min_hash")))))
-                    .alias("band_key")))
+    def with_bands(df, sig_col):
+        bkeys = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.concat_ws(":", F.transform(
+                F.slice(F.col(sig_col), b * band_size + 1, band_size),
+                lambda v: v.cast("string"))))
+        return df.select("*", F.posexplode(bkeys).alias("band", "bkey"))
 
-    cand = (bands(sig_d, "doc_id")
-            .join(F.broadcast(bands(sig_b, "bench_id")),
-                  ["band", "band_key"])
-            .select("doc_id", "bench_id").distinct())
-    sa = sig_d.select("doc_id", "hash_id", F.col("min_hash").alias("_hd"))
-    sb = sig_b.select("bench_id", "hash_id", F.col("min_hash").alias("_hb"))
-    return (cand.join(sa, "doc_id")
-            .join(F.broadcast(sb), ["bench_id", "hash_id"])
+    matched = (with_bands(sig_d, "sig")
+               .join(F.broadcast(with_bands(sig_b, "sigb")),
+                     ["band", "bkey"])
+               .select("doc_id", "bench_id",
+                       F.size(F.filter(
+                           F.zip_with("sig", "sigb",
+                                      lambda a, b: a == b),
+                           lambda eq: eq)).cast("long").alias("n_agree")))
+    return (matched
             .groupBy("doc_id", "bench_id")
-            .agg(F.sum((F.col("_hd") == F.col("_hb")).cast("long"))
-                 .alias("n_agree"))
+            .agg(F.max("n_agree").alias("n_agree"))
             .withColumn("jaccard_est",
                         F.round(F.col("n_agree") / num_hashes, 6))
             .filter(F.col("jaccard_est") >= min_jaccard_est))

@@ -151,6 +151,42 @@ def test_recrawl_expiry_composition(spark):
     assert len(refetchable) >= 18
 
 
+def test_stash_fp_collision_distinct_hashes(spark):
+    """Regression: two DISTINCT hashes sharing (fp, i1) (32772 and 98306
+    both have fp=6, i1=0 at m_buckets=2) that both lose their buckets must
+    each get their OWN stash row — a merged min-hash stash row would
+    false-negative the other key. With b_slots=1 and small-fp fillers the
+    pair is forced to the stash."""
+    hashes = [32772, 98306, 2, 3, 4, 5, 6, 7]
+    df = spark.createDataFrame([(h, 0) for h in hashes],
+                               "url_hash long, bucket long")
+    ent = cuckoo.cuckoo_entries(df, m_buckets=2, b_slots=1)
+    stash = {r["fp"] for r in ent.filter(F.col("cbucket") == -1).collect()}
+    assert {32772, 98306} <= stash, "colliding keys merged in the stash"
+    packed = cuckoo.pack_cuckoo(ent, b_slots=1)
+    flags = {r["url_hash"]: r["maybe_seen"]
+             for r in cuckoo.cuckoo_prefilter(df, packed, m_buckets=2,
+                                              b_slots=1).collect()}
+    assert all(flags.values()), "false negative on an inserted key"
+    # deleting one of the colliding pair must not hide the other
+    dels = spark.createDataFrame([(98306, 0)], "url_hash long, bucket long")
+    ent2 = cuckoo.cuckoo_delete(ent, dels, m_buckets=2)
+    flags2 = {r["url_hash"]: r["maybe_seen"]
+              for r in cuckoo.cuckoo_prefilter(
+                  df, cuckoo.pack_cuckoo(ent2, b_slots=1), m_buckets=2,
+                  b_slots=1).collect()}
+    assert flags2[32772] is True, "delete of the twin hid a live key"
+    assert flags2[98306] is False
+    assert all(flags2[h] for h in hashes if h != 98306)
+
+
+def test_b_slots_must_fit_word(spark):
+    df = spark.createDataFrame([(1, 0)], "url_hash long, bucket long")
+    ent = cuckoo.cuckoo_entries(df, m_buckets=2)
+    with pytest.raises(AssertionError):
+        cuckoo.pack_cuckoo(ent, b_slots=5)
+
+
 def test_m_buckets_must_be_power_of_two(spark):
     with pytest.raises(AssertionError):
         cuckoo.cuckoo_entries(_hashed(spark, range(4)), m_buckets=3)

@@ -26,6 +26,33 @@ def test_control_chars_stripped_whitespace_collapsed():
     assert normalize_str("  a\t\tb\r\nc\f d  ") == "a b c d"
     # \x0b is stripped as a control char (not folded to a space)
     assert normalize_str("a\x0bb") == "ab"
+    # Unicode space separators fold like ASCII whitespace
+    assert normalize_str("\x85abc ") == "abc"
+    assert normalize_str("a\u00a0\u3000b") == "a b"
+
+
+def test_normalize_kernel_matches_real_duckdb_oracle():
+    """The sweep corpus is ASCII — drive the ACTUAL oracle_sql string over
+    Unicode-bearing rows and diff against the Python kernel, so the
+    NFC/whitespace/control classes provably agree across engines."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    cases = ["\x85abc", "abc\u2028", "a\u00a0b", " x\ty ",
+             "cafe\u0301", "\u3000\u65e5\u672c\u3000\u8a9e", "a\x00\x07b",
+             "", "   ", "plain text", "a  b", "\u2029\u202f"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(cases)))
+                + ") t(doc_id, text)", cases)
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(em.oracle_sql()["normalize_text"]).fetchall()}
+    for i, s in enumerate(cases):
+        expect = normalize_str(s)
+        assert got[i][0] == expect, (s, got[i][0], expect)
+        assert got[i][1] == len(expect)
+        assert got[i][2] == (expect != s)
 
 
 def test_already_normal_is_identity():
@@ -81,6 +108,46 @@ def test_entropy_hand_computed(spark):
     assert rows[2]["token_entropy"] == pytest.approx(round(h, 6))
     assert rows[2]["n_tokens"] == 6 and rows[2]["n_distinct"] == 3
     assert rows[2]["entropy_norm"] == pytest.approx(round(h / math.log2(3), 6))
+
+
+def test_entropy_edge_whitespace_regression(spark):
+    """Regression (review finding): leading/trailing tabs/newlines must not
+    produce phantom empty tokens — '\\nfoo bar\\n' has exactly 2 tokens,
+    2 distinct, entropy_norm 1.0; '\\tword' is a single token with
+    n_distinct=1 and norm 0.0; a whitespace-only doc is dropped."""
+    df = spark.createDataFrame(
+        [(0, "\nfoo bar\n"), (1, "\tword"), (2, "\n\t "), (3, "\n")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in entropy_signals(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_tokens"] == 2 and rows[0]["n_distinct"] == 2
+    assert rows[0]["entropy_norm"] == pytest.approx(1.0)
+    assert rows[1]["n_tokens"] == 1 and rows[1]["n_distinct"] == 1
+    assert rows[1]["entropy_norm"] == 0.0
+
+
+def test_token_count_edge_whitespace_matches_oracle(spark):
+    """The hardened tokenizer must agree with the hardened _TOKS oracle on
+    tab/newline-edged text (the pre-fix pair diverged: Java split drops
+    trailing empties, DuckDB keeps them)."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from supercrawler_spark.operators.textquality import token_count
+
+    cases = ["\nfoo bar\n", "\tword", "a  b", " x ", "plain text"]
+    df = spark.createDataFrame(list(enumerate(cases)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(cases)))
+                + ") t(doc_id, text)", cases)
+    oracle = dict(con.execute(
+        "SELECT doc_id, n_tokens FROM (" + em.oracle_sql()["token_count"]
+        + ")").fetchall())
+    assert got == oracle
+    assert got[0] == 2 and got[1] == 1
 
 
 def test_normalize_arrow_vectorized_plan(spark):
