@@ -187,6 +187,38 @@ def test_b_slots_must_fit_word(spark):
         cuckoo.pack_cuckoo(ent, b_slots=5)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cuckoo_fuzz_invariants(spark, seed):
+    """Seeded fuzz over random signed 64-bit hashes (xxhash64 is signed):
+    every inserted key probes true at an overloaded b_slots=2 build, and
+    after deleting half, every survivor still probes true."""
+    import random
+
+    rnd = random.Random(seed)
+    hashes = list({rnd.randint(-(2 ** 62), 2 ** 62) for _ in range(150)})
+    inserted = hashes[:100]
+
+    def hdf(hs):
+        return spark.createDataFrame([(h, h % 4) for h in hs],
+                                     "url_hash long, bucket long")
+
+    ent = cuckoo.cuckoo_entries(hdf(inserted), m_buckets=8, b_slots=2)
+    packed = cuckoo.pack_cuckoo(ent, b_slots=2)
+    flags = {r["url_hash"]: r["maybe_seen"]
+             for r in cuckoo.cuckoo_prefilter(hdf(hashes), packed,
+                                              m_buckets=8,
+                                              b_slots=2).collect()}
+    assert all(flags[h] for h in inserted), "fuzz: false negative"
+    dels = inserted[::2]
+    ent2 = cuckoo.cuckoo_delete(ent, hdf(dels), m_buckets=8)
+    flags2 = {r["url_hash"]: r["maybe_seen"]
+              for r in cuckoo.cuckoo_prefilter(
+                  hdf(inserted), cuckoo.pack_cuckoo(ent2, b_slots=2),
+                  m_buckets=8, b_slots=2).collect()}
+    survivors = [h for h in inserted if h not in set(dels)]
+    assert all(flags2[h] for h in survivors), "fuzz: delete broke survivor"
+
+
 def test_m_buckets_must_be_power_of_two(spark):
     with pytest.raises(AssertionError):
         cuckoo.cuckoo_entries(_hashed(spark, range(4)), m_buckets=3)
