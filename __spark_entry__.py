@@ -350,6 +350,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
+def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k — the metric-matched baseline pq_ann_topk's
+    recall is measured against."""
+    emb = _emb(spark, sf_dir)
+    return similarity.l2_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (4 subspaces x 16 codes over 64
+    dims): corpus scanned from its 4-code compressed rows only. The oracle
+    reproduces the codebook recurrence, the per-subspace argmin encoding
+    and the ADC table lookups with identical fixed-order double
+    arithmetic."""
+    emb = _emb(spark, sf_dir)
+    return similarity.pq_ann_topk(emb, emb.filter(F.col("vec_id") < 5),
+                                  k=3)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL table — candidates are LSH-banded (16 planes x 4 bands), never an
     # all-pairs cartesian; threshold 0.4 is meaningful for this corpus (max
@@ -772,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
+        "l2_topk": q_l2_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "robots_parse": q_robots_parse,
         "multimodal_features": q_multimodal_features,
@@ -976,6 +996,47 @@ scored AS (
     # IVF mirror: centroid component (c, d) = ((c*257 + d*37 + 11) % 101)-50
     # is parametric in the cell index, so the SQL stays compact: one
     # (vector, cell) cross join computes every centroid dot.
+    # PQ oracle: codebook recurrence ((c*193 + j0*29 + 7) % 89) - 44 over
+    # global dim j0, per-subspace argmin encode (first-wins via 1-based
+    # list_indexof of the min), ADC table lookups — fixed-order double
+    # arithmetic matching similarity._pq_sub_dists term-for-term.
+    def _pq_dlist(vec: str, m: int) -> str:
+        lo, hi = m * 16 + 1, m * 16 + 16
+        term = (f"(CAST({vec}[j] AS DOUBLE) - (((c*193 + (j-1)*29 + 7) % 89 - 44) / 176.0))"
+                f" * (CAST({vec}[j] AS DOUBLE) - (((c*193 + (j-1)*29 + 7) % 89 - 44) / 176.0))")
+        return (f"list_transform(generate_series(0, 15), c -> "
+                f"list_sum(list_transform(generate_series({lo}, {hi}), "
+                f"j -> {term})))")
+
+    _pq_codes = ",\n         ".join(
+        f"list_indexof({_pq_dlist('nv', m)}, "
+        f"list_min({_pq_dlist('nv', m)})) - 1 AS c{m}"
+        for m in range(4))
+    _pq_tables = ",\n         ".join(
+        f"{_pq_dlist('qv', m)} AS t{m}" for m in range(4))
+    pq_sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+codes AS (
+  SELECT neighbor_id,
+         {_pq_codes}
+  FROM n),
+qt AS (
+  SELECT query_id,
+         {_pq_tables}
+  FROM q),
+scored AS (
+  SELECT query_id, neighbor_id,
+         t0[c0 + 1] + t1[c1 + 1] + t2[c2 + 1] + t3[c3 + 1] AS adist
+  FROM qt, codes WHERE query_id != neighbor_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(adist, 6) AS adist
+FROM r WHERE rank <= 3"""
+
     ivf_sql = """
 WITH celldots AS (
   SELECT e.vec_id, c.x AS cell,
@@ -1699,6 +1760,24 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= 3""",
         "ivf_ann_topk": ivf_sql,
+        "pq_ann_topk": pq_sql,
+        "l2_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT q.query_id, n.neighbor_id,
+         list_sum(list_transform(generate_series(1, len(qv)),
+                  i -> (CAST(qv[i] AS DOUBLE) - CAST(nv[i] AS DOUBLE))
+                       * (CAST(qv[i] AS DOUBLE) - CAST(nv[i] AS DOUBLE))))
+           AS d2
+  FROM q JOIN n ON q.query_id <> n.neighbor_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(d2, 6) AS d2
+FROM r WHERE rank <= 3""",
         "lsh_ann_multiprobe": lsh_mp_cte + """
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id

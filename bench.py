@@ -494,6 +494,39 @@ def main() -> None:
         exact = exact_baseline()
         extras["ivf_ann_recall_at3"] = round(
             len(ann_sets["ivf"] & exact) / max(1, len(exact)), 4)
+
+    def pq_ann():
+        q = emb.filter(F.col("vec_id") < 20)
+        ann_sets["pq"] = {(r["query_id"], r["neighbor_id"])
+                          for r in similarity.pq_ann_topk(emb, q, k=3)
+                          .collect()}
+
+    bench("pq_ann_topk", pq_ann)
+    if "pq" in ann_sets:
+        # metric-matched baseline: PQ quantizes L2, so recall is measured
+        # against exact squared-L2 top-k (not the cosine baseline). On this
+        # RANDOM near-orthogonal table the distance gaps are smaller than
+        # 4x16 quantization noise, so top-3 recall reads ~0 (the same
+        # worst-case regime that caps banded LSH at 0.5) — the twin metric
+        # below shows true near-duplicates ARE recovered.
+        q = emb.filter(F.col("vec_id") < 20)
+        exact_l2 = {(r["query_id"], r["neighbor_id"])
+                    for r in similarity.l2_topk(emb, q, k=3).collect()}
+        extras["pq_ann_recall_at3_l2"] = round(
+            len(ann_sets["pq"] & exact_l2) / max(1, len(exact_l2)), 4)
+        # planted-twin recovery on the same table: perturb 20 corpus
+        # vectors by +0.005 per dim, union them in, ask PQ for rank-1
+        twins = (emb.filter(F.col("vec_id") < 20)
+                 .select((F.col("vec_id") + 100000).alias("vec_id"),
+                         F.transform("embedding",
+                                     lambda x: x + F.lit(0.005))
+                         .alias("embedding"), F.lit(0).alias("label")))
+        got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in similarity.pq_ann_topk(
+                   emb.unionByName(twins),
+                   emb.filter(F.col("vec_id") < 20), k=1).collect()}
+        hits = sum(got.get((qid, 1)) == qid + 100000 for qid in range(20))
+        extras["pq_twin_recall_at1"] = round(hits / 20, 4)
     bench("embedding_near_dups", lambda: similarity.embedding_near_dups(
         emb, threshold=0.4).count())
 

@@ -266,3 +266,136 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
             .withColumn("sim", F.round(cosine(F.col("av"), F.col("bv")), 6))
             .filter(F.col("sim") >= threshold)
             .select("a_id", "b_id", "sim"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN scale path
+# ---------------------------------------------------------------------------
+
+def _pq_centroid(c: int, j: int) -> float:
+    """Deterministic pseudo-random PQ codebook entry: code ``c``'s component
+    at GLOBAL dim index ``j`` is ((c*193 + j*29 + 7) % 89) - 44 — a fixed
+    recurrence (distinct from the hyperplane and IVF ones) the DuckDB
+    oracle reproduces exactly, scaled by /176 so the codebook spans the
+    embedding table's ~[-0.5, 0.5] value range (a codebook out of data
+    scale degenerates: every vector takes the min-norm code). Real
+    deployments train the codebooks with per-subspace k-means; the search
+    topology (encode → ADC tables → compressed-scan top-k) is
+    identical."""
+    return float((c * 193 + j * 29 + 7) % 89 - 44) / 176.0
+
+
+def _pq_sub_dists(vec_col, m: int, ds: int, k_codes: int):
+    """array of squared-L2 distances from the vector's m-th subvector to
+    each of the ``k_codes`` codebook entries. The codebook is a LITERAL
+    array-of-arrays looped over with transform/zip_with/aggregate — a
+    compact expression tree (a fully unrolled k_codes×ds literal sum blows
+    past janino's 64KB method limit and drops the whole stage to
+    interpreted eval). Ascending-j left-fold sums, bit-identical to the
+    oracle's list_sum(list_transform(...))."""
+    codebook = F.array(*[
+        F.array(*[F.lit(_pq_centroid(c, j))
+                  for j in range(m * ds, (m + 1) * ds)])
+        for c in range(k_codes)
+    ])
+    sub = F.slice(vec_col, m * ds + 1, ds)
+    return F.transform(
+        codebook,
+        lambda cent: F.aggregate(
+            F.zip_with(sub, cent,
+                       lambda x, cc: (x.cast("double") - cc)
+                       * (x.cast("double") - cc)),
+            F.lit(0.0), lambda acc, v: acc + v))
+
+
+def pq_codes(embeddings: DataFrame, m_sub: int = 4, k_codes: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64) -> DataFrame:
+    """PQ encoding: (vec_id, codes array<long> of length m_sub) with
+    codes[m] = argmin over the m-th subspace codebook (first index wins
+    ties in both engines via 1-based array_position of the min). The codes
+    table is the COMPRESSED representation — m_sub small ints per vector
+    instead of dim floats (64x smaller at 4x16 over 64 float dims) — which
+    is what lets a 10^10-vector corpus be scanned from memory. Encoding is
+    a pure projection at scan speed."""
+    assert dim % m_sub == 0
+    ds = dim // m_sub
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    codes = F.array(*[
+        (F.array_position(
+            _pq_sub_dists(F.col("v"), m, ds, k_codes),
+            F.array_min(_pq_sub_dists(F.col("v"), m, ds, k_codes)))
+         - 1).cast("long")
+        for m in range(m_sub)
+    ])
+    return e.select("vec_id", codes.alias("codes"))
+
+
+def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                m_sub: int = 4, k_codes: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k: each query computes
+    one distance table per subspace (k_codes squared-L2 values against the
+    codebook), then every corpus vector is scored from its CODES alone —
+    approx_dist = sum over subspaces of table[m][codes[m]] — without ever
+    touching the original floats. Output (query_id, neighbor_id, rank,
+    adist); rank orders by ascending approximate distance, neighbor id as
+    tie-break.
+
+    Scale shape: the query-side tables are per-query literals (queries
+    broadcast), the corpus side scans the m_sub-byte codes table — the
+    memory-bandwidth-bound design point of PQ search — and the only
+    exchange is the per-query top-k rank window (WindowGroupLimit prunes
+    map-side). No corpus shuffle, no vector-width data movement."""
+    assert dim % m_sub == 0
+    ds = dim // m_sub
+    codes = pq_codes(embeddings, m_sub, k_codes, id_col, vec_col, dim)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    tables = [_pq_sub_dists(F.col("qv"), m, ds, k_codes)
+              for m in range(m_sub)]
+    qt = q.select("query_id",
+                  *[t.alias(f"_t{m}") for m, t in enumerate(tables)])
+    n = codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+    adist = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.col(f"_t{m}"),
+            (F.element_at(F.col("codes"), m + 1) + 1).cast("int"))
+        adist = term if adist is None else adist + term
+    scored = (F.broadcast(qt).crossJoin(n)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("adist", adist))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("adist", 6).alias("adist")))
+
+
+def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query by ascending squared-L2 distance —
+    the metric-matched exact baseline for ``pq_ann_topk`` (PQ quantizes
+    L2, not cosine; comparing its recall against a cosine baseline would
+    conflate metric disagreement with quantization loss). Output
+    (query_id, neighbor_id, rank, d2)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (q.join(n, F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("d2", d2))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("d2", 6).alias("d2")))

@@ -334,3 +334,56 @@ def test_tfidf_topk_uses_window_group_limit(spark):
     with redirect_stdout(buf):
         out.explain(mode="formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_pq_ann_recovers_twins_and_codes_valid(spark):
+    """PQ/ADC: a planted near-identical twin encodes to the same (or
+    ADC-nearest) codes, so it ranks first for its query; codes are in
+    [0, k_codes) for every subspace and one row per vector."""
+    import random
+    rng = random.Random(29)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x + 0.005) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in similarity.pq_ann_topk(emb, queries, k=1).collect()}
+    for q in range(5):
+        assert got[(q, 1)] == 1000 + q, "twin not recovered by PQ ADC"
+    codes = similarity.pq_codes(emb)
+    assert codes.count() == emb.count()
+    bad = codes.select(F.explode("codes").alias("c")) \
+        .filter((F.col("c") < 0) | (F.col("c") >= 16)).count()
+    assert bad == 0
+
+
+def test_pq_adist_matches_table_reconstruction(spark):
+    """The ADC distance must equal the sum of per-subspace table entries at
+    the neighbor's codes — reconstructed independently in Python."""
+    import random
+    rng = random.Random(31)
+    rows = [(i, [float(rng.uniform(-0.5, 0.5)) for _ in range(64)])
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter(F.col("vec_id") < 2)
+    out = {(r["query_id"], r["neighbor_id"]): r["adist"]
+           for r in similarity.pq_ann_topk(emb, q, k=11).collect()}
+    codes = {r["vec_id"]: r["codes"]
+             for r in similarity.pq_codes(emb).collect()}
+    vecs = dict(rows)
+
+    def cent(c, j):
+        return float((c * 193 + j * 29 + 7) % 89 - 44) / 176.0
+
+    import numpy as np
+    for (qid, nid), adist in out.items():
+        qv = np.array(vecs[qid], dtype=np.float32).astype(float)
+        expect = 0.0
+        for m in range(4):
+            c = codes[nid][m]
+            expect += sum((qv[j] - cent(c, j)) ** 2
+                          for j in range(m * 16, (m + 1) * 16))
+        assert abs(adist - expect) < 1e-6, (qid, nid, adist, expect)
