@@ -1002,8 +1002,8 @@ scored AS (
     # arithmetic matching similarity._pq_sub_dists term-for-term.
     def _pq_dlist(vec: str, m: int) -> str:
         lo, hi = m * 16 + 1, m * 16 + 16
-        term = (f"(CAST({vec}[j] AS DOUBLE) - (((c*193 + (j-1)*29 + 7) % 89 - 44) / 176.0))"
-                f" * (CAST({vec}[j] AS DOUBLE) - (((c*193 + (j-1)*29 + 7) % 89 - 44) / 176.0))")
+        term = (f"(CAST({vec}[j] AS DOUBLE) - (((c*193 + (j-1)*29 + 7) % 89 - 44) / 88.0))"
+                f" * (CAST({vec}[j] AS DOUBLE) - (((c*193 + (j-1)*29 + 7) % 89 - 44) / 88.0))")
         return (f"list_transform(generate_series(0, 15), c -> "
                 f"list_sum(list_transform(generate_series({lo}, {hi}), "
                 f"j -> {term})))")

@@ -516,8 +516,12 @@ def main() -> None:
             len(ann_sets["pq"] & exact_l2) / max(1, len(exact_l2)), 4)
         # planted-twin recovery on the same table: perturb 20 corpus
         # vectors by +0.005 per dim, union them in, ask PQ for rank-1
+        # twins take NEGATIVE ids: pq ties break by ascending
+        # neighbor_id, so a high-id twin would lose every exact ADC tie to
+        # a corpus vector sharing the query's codes — the metric would
+        # partly measure code-collision rate instead of retrieval
         twins = (emb.filter(F.col("vec_id") < 20)
-                 .select((F.col("vec_id") + 100000).alias("vec_id"),
+                 .select((-F.col("vec_id") - 1).alias("vec_id"),
                          F.transform("embedding",
                                      lambda x: x + F.lit(0.005))
                          .alias("embedding"), F.lit(0).alias("label")))
@@ -525,7 +529,7 @@ def main() -> None:
                for r in similarity.pq_ann_topk(
                    emb.unionByName(twins),
                    emb.filter(F.col("vec_id") < 20), k=1).collect()}
-        hits = sum(got.get((qid, 1)) == qid + 100000 for qid in range(20))
+        hits = sum(got.get((qid, 1)) == -qid - 1 for qid in range(20))
         extras["pq_twin_recall_at1"] = round(hits / 20, 4)
     bench("embedding_near_dups", lambda: similarity.embedding_near_dups(
         emb, threshold=0.4).count())

@@ -276,13 +276,13 @@ def _pq_centroid(c: int, j: int) -> float:
     """Deterministic pseudo-random PQ codebook entry: code ``c``'s component
     at GLOBAL dim index ``j`` is ((c*193 + j*29 + 7) % 89) - 44 — a fixed
     recurrence (distinct from the hyperplane and IVF ones) the DuckDB
-    oracle reproduces exactly, scaled by /176 so the codebook spans the
+    oracle reproduces exactly, scaled by /88 so the codebook spans the
     embedding table's ~[-0.5, 0.5] value range (a codebook out of data
     scale degenerates: every vector takes the min-norm code). Real
     deployments train the codebooks with per-subspace k-means; the search
     topology (encode → ADC tables → compressed-scan top-k) is
     identical."""
-    return float((c * 193 + j * 29 + 7) % 89 - 44) / 176.0
+    return float((c * 193 + j * 29 + 7) % 89 - 44) / 88.0
 
 
 def _pq_sub_dists(vec_col, m: int, ds: int, k_codes: int):
@@ -322,14 +322,20 @@ def pq_codes(embeddings: DataFrame, m_sub: int = 4, k_codes: int = 16,
     ds = dim // m_sub
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("v"))
+    # project each subspace's distance array ONCE as a named column, then
+    # argmin over the column — building the 16x16-term tree inside both
+    # array_position and array_min would double the codegen input this
+    # function is already keeping under janino's method-size limit
+    d = e.select("vec_id", *[
+        _pq_sub_dists(F.col("v"), m, ds, k_codes).alias(f"_d{m}")
+        for m in range(m_sub)
+    ])
     codes = F.array(*[
-        (F.array_position(
-            _pq_sub_dists(F.col("v"), m, ds, k_codes),
-            F.array_min(_pq_sub_dists(F.col("v"), m, ds, k_codes)))
+        (F.array_position(F.col(f"_d{m}"), F.array_min(F.col(f"_d{m}")))
          - 1).cast("long")
         for m in range(m_sub)
     ])
-    return e.select("vec_id", codes.alias("codes"))
+    return d.select("vec_id", codes.alias("codes"))
 
 
 def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,

@@ -195,7 +195,7 @@ def test_cuckoo_fuzz_invariants(spark, seed):
     import random
 
     rnd = random.Random(seed)
-    hashes = list({rnd.randint(-(2 ** 62), 2 ** 62) for _ in range(150)})
+    hashes = list({rnd.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(150)})
     inserted = hashes[:100]
 
     def hdf(hs):

@@ -376,7 +376,7 @@ def test_pq_adist_matches_table_reconstruction(spark):
     vecs = dict(rows)
 
     def cent(c, j):
-        return float((c * 193 + j * 29 + 7) % 89 - 44) / 176.0
+        return float((c * 193 + j * 29 + 7) % 89 - 44) / 88.0
 
     import numpy as np
     for (qid, nid), adist in out.items():
