@@ -240,6 +240,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.fingerprint(_docs(spark, sf_dir))
 
 
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.script_detect(_docs(spark, sf_dir))
+
+
 def q_entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.entropy_signals(_docs(spark, sf_dir))
 
@@ -775,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "entropy_signals": q_entropy_signals,
+        "script_detect": q_script_detect,
         "normalize_text": q_normalize_text,
         "filter_corpus": q_filter_corpus,
         "chunk_documents": q_chunk_documents,
@@ -1506,6 +1511,40 @@ SELECT doc_id,
                      t -> {_MD5LONG.format(x='t')} % 1000000007)),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
 FROM documents""",
+        "script_detect": r"""
+WITH c AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^\x{0600}-\x{06ff}]', '', 'g')) AS n_arabic,
+    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+    length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) AS n_cyrillic,
+    length(regexp_replace(text, '[^\x{0370}-\x{03ff}]', '', 'g')) AS n_greek,
+    length(regexp_replace(text, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS n_hangul,
+    length(regexp_replace(text, '[^\x{0590}-\x{05ff}]', '', 'g')) AS n_hebrew,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin
+  FROM documents)
+SELECT doc_id, CAST(n_arabic AS BIGINT) AS n_arabic,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_greek AS BIGINT) AS n_greek,
+       CAST(n_hangul AS BIGINT) AS n_hangul,
+       CAST(n_hebrew AS BIGINT) AS n_hebrew,
+       CAST(n_latin AS BIGINT) AS n_latin,
+       CASE WHEN greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_hangul,
+                          n_hebrew, n_latin) = 0 THEN 'und'
+            WHEN n_arabic = greatest(n_arabic, n_cjk, n_cyrillic, n_greek,
+                                     n_hangul, n_hebrew, n_latin) THEN 'arabic'
+            WHEN n_cjk = greatest(n_arabic, n_cjk, n_cyrillic, n_greek,
+                                  n_hangul, n_hebrew, n_latin) THEN 'cjk'
+            WHEN n_cyrillic = greatest(n_arabic, n_cjk, n_cyrillic, n_greek,
+                                       n_hangul, n_hebrew, n_latin) THEN 'cyrillic'
+            WHEN n_greek = greatest(n_arabic, n_cjk, n_cyrillic, n_greek,
+                                    n_hangul, n_hebrew, n_latin) THEN 'greek'
+            WHEN n_hangul = greatest(n_arabic, n_cjk, n_cyrillic, n_greek,
+                                     n_hangul, n_hebrew, n_latin) THEN 'hangul'
+            WHEN n_hebrew = greatest(n_arabic, n_cjk, n_cyrillic, n_greek,
+                                     n_hangul, n_hebrew, n_latin) THEN 'hebrew'
+            ELSE 'latin' END AS script
+FROM c""",
         "entropy_signals": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents

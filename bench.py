@@ -212,6 +212,8 @@ def main() -> None:
     bench("fingerprint", lambda: textquality.fingerprint(docs).count())
     bench("entropy_signals", lambda: textquality.entropy_signals(docs)
           .agg(F.sum("n_tokens")).collect())
+    bench("script_detect", lambda: textquality.script_detect(docs)
+          .groupBy("script").count().collect())
     bench("normalize_text", lambda: normalize.normalize_text(docs)
           .agg(F.sum("n_chars_norm")).collect())
     bench("repetition_signals", lambda: corpus.repetition_signals(docs)

@@ -245,3 +245,43 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     fp = F.aggregate(h, F.lit(0).cast("long"),
                      lambda acc, x: (acc * 31 + x) % p)
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+# Unicode script ranges for script_detect — the same class texts the
+# DuckDB oracle compiles in RE2 \x{...} syntax. Kept to contiguous BMP
+# blocks so Java and RE2 agree exactly.
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "cyrillic": "\u0400-\u04ff",
+    "greek": "\u0370-\u03ff",
+    "arabic": "\u0600-\u06ff",
+    "hebrew": "\u0590-\u05ff",
+    "cjk": "\u4e00-\u9fff",
+    "hangul": "\uac00-\ud7af",
+}
+
+
+def script_detect(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode-script histogram + dominant script — the
+    script-mix signal language filters gate on before (or instead of)
+    model-based language ID: a 'lang=en' page that is 80% CJK codepoints
+    is mislabeled or boilerplate. Counts characters in seven contiguous
+    BMP script blocks via regexp class strips (pure JVM, scan speed, no
+    shuffle); ``script`` is the argmax with alphabetic tie-break, 'und'
+    when no block matches (digits/punctuation-only documents)."""
+    counts = {
+        name: F.length(F.regexp_replace(F.col(text_col),
+                                        f"[^{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    names = sorted(counts)
+    best = F.greatest(*[counts[nm] for nm in names])
+    pred = F.lit("und")
+    for nm in reversed(names):
+        pred = F.when(counts[nm] == best, F.lit(nm)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[counts[nm].cast("long").alias(f"n_{nm}") for nm in names],
+        pred.alias("script"))

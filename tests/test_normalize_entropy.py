@@ -166,3 +166,46 @@ def test_entropy_shuffle_free_plan(spark):
         F.concat_ws(" ", F.lit("x"), F.col("id").cast("string")).alias("text"))
     plan = entropy_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_script_detect_unicode_parity_and_semantics(spark):
+    """ASCII corpus can't exercise the script classes — drive the REAL
+    oracle over mixed-script rows and diff against Spark, plus semantic
+    spot checks (dominance, tie-break, 'und')."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from supercrawler_spark.operators.textquality import script_detect
+
+    cases = ["hello world",
+             "привет мир",
+             "你好世界",
+             "abc бвгд",      # latin 3 vs cyrillic 4
+             "ab вг",                    # 2-2 tie -> cyrillic (alpha)
+             "12345 !?",                           # no script -> und
+             "שלום αβ"]
+    df = spark.createDataFrame(list(enumerate(cases)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_detect(df).collect()}
+    assert got[0]["script"] == "latin"
+    assert got[1]["script"] == "cyrillic"
+    assert got[2]["script"] == "cjk" and got[2]["n_cjk"] == 4
+    assert got[3]["script"] == "cyrillic"
+    assert got[4]["script"] == "cyrillic"  # alphabetic tie-break
+    assert got[5]["script"] == "und"
+    assert got[6]["script"] == "hebrew" and got[6]["n_greek"] == 2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(cases)))
+                + ") t(doc_id, text)", cases)
+    oracle = {r[0]: r for r in
+              con.execute(em.oracle_sql()["script_detect"]
+                          + " ORDER BY doc_id").fetchall()}
+    for i in range(len(cases)):
+        g = got[i]
+        o = oracle[i]
+        assert [g[f"n_{nm}"] for nm in
+                ["arabic", "cjk", "cyrillic", "greek",
+                 "hangul", "hebrew", "latin"]] == list(o[1:8]), (i, g, o)
+        assert g["script"] == o[8]
