@@ -22,8 +22,8 @@ from supercrawler_spark.crawler import CrawlConfig, crawl
 from supercrawler_spark.functions import udfs
 from supercrawler_spark.operators import (
     anchors, bloom, clusters, corpus, cuckoo, dedup, graph, linededup,
-    multimodal, normalize, pagerank, recrawl, similarity, textquality,
-    trainmix, yt,
+    multimodal, normalize, pagerank, recrawl, redirects, similarity,
+    sitemaps, textquality, trainmix, yt,
 )
 from supercrawler_spark.operators import cmsketch as _cms
 from supercrawler_spark.operators import layout as _layout
@@ -537,6 +537,54 @@ def q_anchor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchors.anchor_corpus(anchors.anchor_pairs(pages), top_k=3)
 
 
+def q_host_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantile profile (host-level corpus gate):
+    exact percentile array unpivoted to (source, q, chars_q) rows."""
+    return corpus.host_quantiles(_docs(spark, sf_dir))
+
+
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion round-trip: build one sitemap.xml per host from
+    documents, parse it back JVM-side (split+regexp, linear per sitemap);
+    the oracle declares the expected parse output directly, so equality
+    proves the parser."""
+    return sitemaps.sitemap_seeds(_docs(spark, sf_dir))
+
+
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemapindex expansion: parse per-host index, fetch child
+    sitemap bodies (broadcast join against the bodies store), parse children
+    with lineage (from_sitemap) carried through."""
+    return sitemaps.sitemap_index_seeds(_docs(spark, sf_dir), shards=3)
+
+
+def q_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt → Sitemap: directive discovery (group-independent per
+    RFC 9309 §2.3, pure JVM line scan) over a deterministic per-host
+    robots fixture; the oracle declares the expected directives."""
+    return sitemaps.sitemap_directives(
+        sitemaps.build_robots_fixture(_docs(spark, sf_dir)))
+
+
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-redirect chain resolution by pointer doubling (log2(chain)
+    self-joins, not per-hop chasing) over the deterministic redirect
+    relation is_redirect(d)=d%7==0∧d>0, target(d)=((d//7)*31+5)%d."""
+    return redirects.resolve_redirects(_docs(spark, sf_dir)) \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("final_id").cast("long").alias("final_id"),
+                F.col("hops").cast("long").alias("hops"), "resolved")
+
+
+def q_canonical_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-redirect frontier: distinct final targets with collapse
+    in-degree (crawl-priority prior) and worst chain length."""
+    return redirects.canonical_frontier(_docs(spark, sf_dir)) \
+        .select(F.col("final_id").cast("long").alias("final_id"),
+                F.col("n_sources").cast("long").alias("n_sources"),
+                F.col("max_hops").cast("long").alias("max_hops"))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-priority centrality: 2-iteration fixed-point PageRank over
     the deterministic 3-out-edge doc graph; BIGINT micro-unit ranks so the
@@ -822,6 +870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "snapshot_diff": q_snapshot_diff,
         "sessionize": q_sessionize,
+        "sitemap_seeds": q_sitemap_seeds,
+        "sitemap_directives": q_sitemap_directives,
+        "sitemap_index": q_sitemap_index,
+        "host_quantiles": q_host_quantiles,
+        "resolve_redirects": q_resolve_redirects,
+        "canonical_frontier": q_canonical_frontier,
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
@@ -2144,6 +2198,101 @@ ar AS (
   FROM acounts)
 SELECT target_url, anchor, n_with_anchor, rank, n_inlinks
 FROM ar WHERE rank <= 3""",
+        # host gate: exact linear-interpolation quantiles, multiple unnest
+        # zips positionally in DuckDB; round-6 float-parity convention
+        "host_quantiles": """
+WITH l AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS chars FROM documents),
+p AS (
+  SELECT source,
+         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+         unnest(quantile_cont(chars, [0.25, 0.5, 0.75, 0.9])) AS chars_q
+  FROM l GROUP BY source)
+SELECT source, printf('%.2f', q) AS q, round(chars_q, 6) AS chars_q
+FROM p""",
+        # expected sitemap-parse output declared directly from documents
+        # (the Spark side builds per-host XML and parses it back)
+        "sitemap_seeds": """
+WITH d AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS loc,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE strftime(DATE '2026-01-01'
+                            - CAST(doc_id % 365 AS INTEGER), '%Y-%m-%d')
+         END AS lastmod,
+         list_extract(['daily', 'weekly', 'monthly'],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS changefreq
+  FROM documents)
+SELECT host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+            AS BIGINT) AS pos,
+       loc, lastmod, changefreq
+FROM d""",
+        # two-level expansion: shard = doc_id % 3 picks the child sitemap;
+        # pos is the rank within (host, child) in doc_id order
+        "sitemap_index": """
+WITH d AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS loc,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE strftime(DATE '2026-01-01'
+                            - CAST(doc_id % 365 AS INTEGER), '%Y-%m-%d')
+         END AS lastmod,
+         list_extract(['daily', 'weekly', 'monthly'],
+                      CAST(doc_id % 3 AS INTEGER) + 1) AS changefreq,
+         'https://' || source || '.example.com/sitemap-'
+           || CAST(doc_id % 3 AS VARCHAR) || '.xml' AS from_sitemap
+  FROM documents)
+SELECT host, from_sitemap,
+       CAST(row_number() OVER (PARTITION BY host, from_sitemap
+                               ORDER BY doc_id) - 1 AS BIGINT) AS pos,
+       loc, lastmod, changefreq
+FROM d""",
+        # robots fixture layout: line 0 User-agent, 1 Disallow, 2 commented
+        # decoy, 3 primary sitemap directive, 4 news sitemap iff n_docs>=100
+        "sitemap_directives": """
+WITH h AS (
+  SELECT source || '.example.com' AS host, COUNT(*) AS n_docs
+  FROM documents GROUP BY source)
+SELECT host, CAST(3 AS BIGINT) AS line_no,
+       'https://' || host || '/sitemap.xml' AS sitemap_url
+FROM h
+UNION ALL
+SELECT host, CAST(4 AS BIGINT),
+       'https://' || host || '/sitemap-news.xml'
+FROM h WHERE n_docs >= 100""",
+        # redirect chains: is_redirect(d)=d%7==0∧d>0, target=((d//7)*31+5)%d
+        # (strictly decreasing ⇒ the recursive walk terminates)
+        "resolve_redirects": """
+WITH RECURSIVE chain AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id AS BIGINT) AS cur,
+         CAST(0 AS BIGINT) AS hops
+  FROM documents
+  UNION ALL
+  SELECT doc_id, ((cur // 7) * 31 + 5) % cur, hops + 1
+  FROM chain WHERE cur % 7 = 0 AND cur > 0
+)
+SELECT doc_id, cur AS final_id, hops, TRUE AS resolved
+FROM chain WHERE NOT (cur % 7 = 0 AND cur > 0)""",
+        "canonical_frontier": """
+WITH RECURSIVE chain AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id AS BIGINT) AS cur,
+         CAST(0 AS BIGINT) AS hops
+  FROM documents
+  UNION ALL
+  SELECT doc_id, ((cur // 7) * 31 + 5) % cur, hops + 1
+  FROM chain WHERE cur % 7 = 0 AND cur > 0
+),
+fin AS (
+  SELECT doc_id, cur AS final_id, hops
+  FROM chain WHERE NOT (cur % 7 = 0 AND cur > 0)
+)
+SELECT final_id, COUNT(*) AS n_sources, MAX(hops) AS max_hops
+FROM fin GROUP BY final_id""",
         "pagerank": """
 WITH p AS (SELECT count(*) AS n FROM documents),
 e AS (

@@ -408,6 +408,33 @@ def main() -> None:
 
     bench("length_histogram", length_histogram_bench)
 
+    def sitemap_seeds_bench():
+        from supercrawler_spark.operators import sitemaps
+        extras["sitemap_entries"] = sitemaps.sitemap_seeds(docs).count()
+
+    bench("sitemap_seeds", sitemap_seeds_bench)
+
+    def sitemap_index_bench():
+        from supercrawler_spark.operators import sitemaps
+        extras["sitemap_index_entries"] = \
+            sitemaps.sitemap_index_seeds(docs).count()
+
+    bench("sitemap_index", sitemap_index_bench)
+
+    def host_quantiles_bench():
+        extras["host_quantile_rows"] = corpus.host_quantiles(docs).count()
+
+    bench("host_quantiles", host_quantiles_bench)
+
+    def resolve_redirects_bench():
+        from supercrawler_spark.operators import redirects
+        r = redirects.resolve_redirects(docs)
+        hops_max, rows = r.agg(F.max("hops"), F.count("*")).first()
+        extras["redirect_hops_max"] = hops_max or 0
+        extras["redirect_rows"] = rows
+
+    bench("resolve_redirects", resolve_redirects_bench)
+
     def jaccard_estimate_bench():
         # 32 hashes: the LSH-candidate conditioning floor drops to 2/32 and
         # the estimator resolves the full similarity spectrum (see operator

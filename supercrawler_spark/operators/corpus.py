@@ -195,3 +195,37 @@ def top_tokens(docs: DataFrame, k: int = 50, text_col: str = "text",
     top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def host_quantiles(docs: DataFrame, text_col: str = "text",
+                   source_col: str = "source",
+                   qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)
+                   ) -> DataFrame:
+    """Per-source document-length quantile profile → (source, q, chars_q):
+    the host-level gate a corpus pipeline filters whole domains with (e.g.
+    drop hosts whose median doc is < 200 chars — boilerplate farms — or
+    whose p90 explodes — listing/spam hosts).
+
+    Exact `percentile` (classic h = (n-1)p linear interpolation, matching
+    DuckDB's quantile_cont) computed once per group for all cut points via
+    the array form, then unpivoted. Exactness costs a per-group sort of the
+    length values — at 10^9 docs / 10^7 hosts that's ~100 values per group,
+    trivially fine and far cheaper than it sounds because the shuffle moves
+    only (source, length:long) pairs, never text. For truly degenerate
+    single-host skew, swap in percentile_approx (t-digest, mergeable
+    map-side) at the cost of oracle exactness; the profile's downstream use
+    (threshold gates) tolerates that approximation.
+    Values round to 6 decimals (repo float-parity convention).
+    """
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    pct = F.expr(
+        f"percentile(chars, array({', '.join(str(float(q)) + 'D' for q in qs)}))")
+    prof = (docs.select(F.col(source_col).alias("source"),
+                        F.length(F.col(text_col)).alias("chars"))
+            .groupBy("source")
+            .agg(pct.alias("p")))
+    pairs = F.arrays_zip(q_arr.alias("q"), F.col("p").alias("chars_q"))
+    return (prof.select("source", F.explode(pairs).alias("e"))
+            .select("source",
+                    F.format_number(F.col("e.q"), 2).alias("q"),
+                    F.round(F.col("e.chars_q"), 6).alias("chars_q")))
