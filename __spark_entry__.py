@@ -558,6 +558,21 @@ def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemaps.sitemap_index_seeds(_docs(spark, sf_dir), shards=3)
 
 
+def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-lastmod-hinted refresh: parsed sitemap entries joined against
+    a stored snapshot (docs with doc_id%5==0 were never captured → 'new';
+    lastmod newer than the capture date → 'stale'; rest dropped)."""
+    docs = _docs(spark, sf_dir)
+    entries = sitemaps.sitemap_seeds(docs)
+    d = graph.with_url(docs)
+    pages = (d.filter(F.col("doc_id") % 5 != 0)
+             .select("url", F.to_timestamp(F.date_sub(
+                 F.lit("2026-01-01").cast("date"),
+                 ((F.col("doc_id") % 200) + 100).cast("int")))
+                 .alias("warc_ts")))
+    return recrawl.sitemap_refresh(entries, pages)
+
+
 def q_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt → Sitemap: directive discovery (group-independent per
     RFC 9309 §2.3, pure JVM line scan) over a deterministic per-host
@@ -873,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "sitemap_directives": q_sitemap_directives,
         "sitemap_index": q_sitemap_index,
+        "sitemap_refresh": q_sitemap_refresh,
         "host_quantiles": q_host_quantiles,
         "resolve_redirects": q_resolve_redirects,
         "canonical_frontier": q_canonical_frontier,
@@ -2252,6 +2268,27 @@ SELECT host, from_sitemap,
                                ORDER BY doc_id) - 1 AS BIGINT) AS pos,
        loc, lastmod, changefreq
 FROM d""",
+        # refresh reasons: doc_id%5==0 never captured → new; lastmod
+        # (2026-01-01 - id%365, NULL at id%11==0) newer than capture date
+        # (2026-01-01 - (id%200+100)) → stale; else dropped
+        "sitemap_refresh": """
+WITH d AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE DATE '2026-01-01' - CAST(doc_id % 365 AS INTEGER)
+         END AS lastmod_d,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE DATE '2026-01-01' - CAST(doc_id % 200 + 100 AS INTEGER)
+         END AS latest_d
+  FROM documents)
+SELECT host, url,
+       CASE WHEN latest_d IS NULL THEN 'new' ELSE 'stale' END AS reason,
+       strftime(lastmod_d, '%Y-%m-%d') AS lastmod
+FROM d
+WHERE latest_d IS NULL OR lastmod_d > latest_d""",
         # robots fixture layout: line 0 User-agent, 1 Disallow, 2 commented
         # decoy, 3 primary sitemap directive, 4 news sitemap iff n_docs>=100
         "sitemap_directives": """

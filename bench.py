@@ -421,6 +421,13 @@ def main() -> None:
 
     bench("sitemap_index", sitemap_index_bench)
 
+    def sitemap_refresh_bench():
+        import __spark_entry__ as entry_mod
+        extras["sitemap_refresh_due"] = \
+            entry_mod.q_sitemap_refresh(spark, sf_dir).count()
+
+    bench("sitemap_refresh", sitemap_refresh_bench)
+
     def host_quantiles_bench():
         extras["host_quantile_rows"] = corpus.host_quantiles(docs).count()
 

@@ -94,3 +94,44 @@ def snapshot_diff(old_pages: DataFrame, new_pages: DataFrame,
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def sitemap_refresh(entries: DataFrame, pages: DataFrame,
+                    loc_col: str = "loc", lastmod_col: str = "lastmod",
+                    host_col: str = "host",
+                    url_col: str = "url", ts_col: str = "warc_ts"
+                    ) -> DataFrame:
+    """Sitemap-hinted refresh selection → (host, url, reason, lastmod).
+
+    ``recrawl_schedule`` refreshes blind on age; sitemap ``<lastmod>`` hints
+    let the crawler refetch only what the host *says* changed (and fetch
+    what it never stored at all):
+
+    - ``reason = 'new'``   — the sitemap advertises a URL with no stored
+      capture (a frontier gap sitemap discovery closes);
+    - ``reason = 'stale'`` — the advertised lastmod is strictly newer than
+      the latest stored capture's date.
+
+    URLs with no lastmod hint are left to the age-based scheduler
+    (conservative: an absent hint is not a change signal), and up-to-date
+    URLs are dropped — at web scale unchanged is the overwhelming majority.
+
+    Scale shape: latest-capture reduction is a map-side-combinable max per
+    url, then one url-keyed equi-join of two narrow projections (url + one
+    date each — page bodies never shuffle). Both sides are frontier-sized,
+    so this is the standard sort-merge shape; no window, no skew key (urls
+    are unique on both sides).
+    """
+    latest = (pages.groupBy(F.col(url_col).alias("url"))
+              .agg(F.max(ts_col).alias("latest_ts")))
+    e = entries.select(F.col(host_col).alias("host"),
+                       F.col(loc_col).alias("url"),
+                       F.col(lastmod_col).alias("lastmod"),
+                       F.to_date(lastmod_col).alias("lastmod_d"))
+    j = e.join(latest, "url", "left")
+    reason = (F.when(F.col("latest_ts").isNull(), F.lit("new"))
+              .when(F.col("lastmod_d") > F.to_date("latest_ts"),
+                    F.lit("stale")))
+    return (j.withColumn("reason", reason)
+            .filter(F.col("reason").isNotNull())
+            .select("host", "url", "reason", "lastmod"))

@@ -114,3 +114,48 @@ def test_snapshot_diff_without_ts_column(spark):
                                 "url string, html binary")
     got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {"u1": "changed", "u2": "added"}
+
+
+def test_sitemap_refresh_reasons(spark):
+    from supercrawler_spark.operators import recrawl
+
+    entries = spark.createDataFrame(
+        [("h", "u/new", "2026-01-05", "daily"),
+         ("h", "u/stale", "2026-01-05", "daily"),
+         ("h", "u/fresh", "2026-01-01", "daily"),
+         ("h", "u/nohint", None, "daily"),
+         ("h", "u/nohint-new", None, "daily")],
+        "host string, loc string, lastmod string, changefreq string")
+    pages = spark.createDataFrame(
+        [("u/stale", "2026-01-02 00:00:00"),
+         ("u/stale", "2026-01-01 00:00:00"),   # older capture: latest wins
+         ("u/fresh", "2026-01-03 00:00:00"),
+         ("u/nohint", "2025-12-01 00:00:00")],
+        "url string, warc_ts string").selectExpr(
+        "url", "cast(warc_ts as timestamp) warc_ts")
+    got = {(r.url, r.reason) for r in
+           recrawl.sitemap_refresh(entries, pages).collect()}
+    # u/fresh: lastmod <= latest capture date → dropped
+    # u/nohint: stored, no hint → left to the age-based scheduler
+    assert got == {("u/new", "new"), ("u/stale", "stale"),
+                   ("u/nohint-new", "new")}
+
+
+def test_sitemap_refresh_narrow_join(spark):
+    from pyspark.sql import functions as F
+    from supercrawler_spark.operators import recrawl
+
+    entries = spark.createDataFrame(
+        [("h", "u1", "2026-01-05", "daily")],
+        "host string, loc string, lastmod string, changefreq string")
+    pages = spark.createDataFrame(
+        [("u1", "2026-01-01 00:00:00", "BODYBYTES" * 100)],
+        "url string, warc_ts string, html string").selectExpr(
+        "url", "cast(warc_ts as timestamp) warc_ts", "html")
+    opt = recrawl.sitemap_refresh(entries, pages) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # page bodies must be pruned before the join: html may appear only in
+    # the source relation's own schema line, never in any Project/Aggregate
+    # above it
+    above_scan = [ln for ln in opt.splitlines() if "LogicalRDD" not in ln]
+    assert all("html" not in ln for ln in above_scan), opt
