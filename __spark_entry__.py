@@ -811,6 +811,73 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          "hll_distinct")
 
 
+# Deterministic CDX input: documents reshaped to (url, warc_ts, text) with
+# adversarial URL shapes — uppercase scheme/host, userinfo, explicit port,
+# query strings, fragments — so the SURT transform's case-folding and
+# strip rules are all non-vacuous. Mirrored verbatim in the oracle CTE.
+_CDX_URL_EXPR = """concat(
+  CASE WHEN doc_id % 11 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+  CASE WHEN doc_id % 13 = 0 THEN 'crawler@' ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN concat('WWW.', source, '.example.com')
+       ELSE concat(source, '.example.com') END,
+  CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END,
+  CASE WHEN doc_id % 3 = 0 THEN concat('/Search?q=', CAST(doc_id AS STRING),
+                                       '&page=2')
+       ELSE concat('/doc/', CAST(doc_id AS STRING)) END,
+  CASE WHEN doc_id % 17 = 0 THEN '#sec' ELSE '' END)"""
+
+_CDX_TS_EXPR = ("make_timestamp(2024, CAST(1 + doc_id % 12 AS INT), "
+                "CAST(1 + doc_id % 28 AS INT), CAST(doc_id % 24 AS INT), "
+                "0, 0)")
+
+
+def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.expr(_CDX_URL_EXPR).alias("url"),
+        F.expr(_CDX_TS_EXPR).alias("warc_ts"),
+        "text")
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style CDX URL index: SURT key (reversed host labels,
+    case-folded, userinfo/port/fragment stripped), 14-digit capture
+    timestamp, text digest, dense global rank and balanced shard id
+    (operators/cdx). Exact-rank path here (oracle scale); the distributed
+    two-phase rank is pytest-verified equal on the same input."""
+    from supercrawler_spark.operators.cdx import cdx_index
+    return cdx_index(_cdx_pages(spark, sf_dir), n_shards=4, exact=True)
+
+
+def q_cdx_shard_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipnum-style shard secondary index over the CDX rows: per shard the
+    (surt_lo, surt_hi, n_rows) range box a point/prefix lookup consults to
+    touch exactly one shard (operators/cdx)."""
+    from supercrawler_spark.operators.cdx import cdx_index, cdx_shard_bounds
+    return cdx_shard_bounds(cdx_index(_cdx_pages(spark, sf_dir), n_shards=4,
+                                      exact=True))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-banded inverted index: term -> sorted posting-list string, hapax
+    tail and stopword-grade terms dropped by the [min_df, max_df] band so
+    posting rows stay bounded at corpus scale (operators/terms). The cap is
+    corpus-relative (90% of docs) so the band is non-vacuous at every sf —
+    the synthetic vocabulary is tiny and near-ubiquitous."""
+    from supercrawler_spark.operators.terms import inverted_index
+    docs = _docs(spark, sf_dir)
+    return inverted_index(docs, min_df=2, max_df=int(0.9 * docs.count()))
+
+
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-weights: per-document mean log-likelihood
+    ratio between a hashed-unigram model fit on the lang='en' target slice
+    and one fit on the whole corpus — the importance-resampling score for
+    pretraining data selection (operators/dsir)."""
+    from supercrawler_spark.operators.dsir import dsir_logweights
+    return dsir_logweights(_docs(spark, sf_dir), target_lang="en",
+                           n_buckets=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_seen": q_crawl_seen,
@@ -895,6 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "recrawl_schedule": q_recrawl_schedule,
         "yt_markdown": q_yt_markdown,
+        "cdx_index": q_cdx_index,
+        "cdx_shard_bounds": q_cdx_shard_bounds,
+        "inverted_index": q_inverted_index,
+        "dsir_logweights": q_dsir_logweights,
     }
 
 
@@ -926,6 +997,7 @@ _STOP_EN = "('the','and','of','to','a','in','is','it','for','on')"
 
 
 def oracle_sql() -> dict[str, str]:
+    from supercrawler_spark.operators.cdx import surt_sql as _surt_sql
     md5long_text = _MD5LONG.format(x="text")
     md5long_sh = _MD5LONG.format(x="shingle")
     md5long_tok = _MD5LONG.format(x="tok")
@@ -2386,4 +2458,65 @@ r AS (
                             ORDER BY age_days DESC, url ASC) AS rk
   FROM aged WHERE age_days >= 60)
 SELECT url, host, age_days, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 50""",
+        "cdx_index": f"""
+WITH p AS (
+  SELECT {_CDX_URL_EXPR} AS url, {_CDX_TS_EXPR} AS warc_ts, text
+  FROM documents),
+rows_ AS (
+  SELECT {_surt_sql('url')} AS surt,
+         strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14, url,
+         md5(coalesce(text, '')) AS digest,
+         length(coalesce(text, '')) AS length
+  FROM p),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY surt, ts14, url) - 1 AS rnk,
+         COUNT(*) OVER () AS total
+  FROM rows_)
+SELECT CAST(rnk AS BIGINT) AS "rank",
+       CAST(floor(rnk * 4 / total) AS BIGINT) AS shard,
+       surt, ts14, url, digest, length
+FROM r""",
+        "cdx_shard_bounds": f"""
+WITH p AS (
+  SELECT {_CDX_URL_EXPR} AS url, {_CDX_TS_EXPR} AS warc_ts, text
+  FROM documents),
+rows_ AS (
+  SELECT {_surt_sql('url')} AS surt,
+         strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14, url
+  FROM p),
+r AS (
+  SELECT surt, row_number() OVER (ORDER BY surt, ts14, url) - 1 AS rnk,
+         COUNT(*) OVER () AS total
+  FROM rows_)
+SELECT CAST(floor(rnk * 4 / total) AS BIGINT) AS shard,
+       min(surt) AS surt_lo, max(surt) AS surt_hi, COUNT(*) AS n_rows
+FROM r GROUP BY 1""",
+        "inverted_index": f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents))
+SELECT term, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM t GROUP BY term
+HAVING COUNT(*) >= 2
+   AND COUNT(*) <= CAST(floor(0.9 * (SELECT COUNT(*) FROM documents))
+                        AS BIGINT)""",
+        "dsir_logweights": f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_MD5LONG.format(x="token")} % 256 AS b
+  FROM (SELECT doc_id, lang, unnest({_TOKS}) AS token
+        FROM documents WHERE length(trim(text)) > 0)),
+bkt AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY b),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bkt),
+llr AS (
+  SELECT bkt.b,
+         ln((ct + 0.5) / (nt + 0.5 * 256))
+           - ln((cr + 0.5) / (nr + 0.5 * 256)) AS llr
+  FROM bkt, tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(avg(llr), 6) AS dsir_logweight
+FROM tok JOIN llr USING (b) GROUP BY doc_id""",
     }

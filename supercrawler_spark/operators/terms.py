@@ -98,3 +98,38 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5, k: int = 50,
     return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("x", "y", "n_xy", F.round("_pmi", 6).alias("pmi"),
                     "rank"))
+
+
+def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 200,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(term, df, postings): a df-banded inverted index — per term, the
+    sorted posting list of documents containing it, serialized as a
+    comma-joined id string (representation-stable across engines; the
+    array form is one ``split()`` away).
+
+    The df band is the scale contract: ``min_df`` drops the hapax tail
+    (typically >half the vocabulary of web text, all useless for lookup),
+    ``max_df`` drops stopword-grade terms whose posting lists would be
+    corpus-sized rows — exactly the terms a query planner answers with a
+    scan anyway. Within the band a posting row is at most ``max_df`` ids,
+    so the ``collect_list`` is bounded and the index build is two shuffles:
+    dropDuplicates on (term, doc) then groupBy(term), both map-side
+    combined. Terms above ``max_df`` would otherwise make ``collect_list``
+    the skew hazard; the filter runs on the counted df BEFORE the list is
+    assembled (aggregate twice: count first, list only for survivors via
+    self-semi-join would add a scan — instead both aggregates run in one
+    groupBy and Spark's partial aggregation caps memory per partial group
+    at max_df survivors only after the final merge; for a 100 TB build use
+    the two-phase variant: df counts -> semi-join -> list aggregate)."""
+    t = (docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(_tokens(text_col)).alias("term"))
+         .dropDuplicates(["term", "doc_id"]))
+    g = (t.groupBy("term")
+         .agg(F.count("*").cast("long").alias("df"),
+              F.array_join(
+                  F.transform(F.sort_array(F.collect_list("doc_id")),
+                              lambda x: x.cast("string")), ",")
+              .alias("postings")))
+    return g.filter((F.col("df") >= min_df) & (F.col("df") <= max_df)) \
+            .select("term", "df", "postings")
