@@ -878,6 +878,37 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_buckets=256)
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration in the undirected host link graph via
+    degree-ordered orientation (Cohen's algorithm — wedge fan-out bounded
+    by oriented out-degree, survivable on celebrity hosts). The triangle
+    set is orientation-invariant, so the oracle verifies with the simple
+    lexicographic join (operators/graph)."""
+    from supercrawler_spark.operators.graph import host_triangles
+    docs = _docs(spark, sf_dir)
+    return host_triangles(docs, docs.count())
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM score per document — the
+    local-fluency upgrade over unigram_logprob (scrambled-token docs share
+    the unigram mix but crater here); CCNet-style corpus-self-fit
+    (operators/lm)."""
+    from supercrawler_spark.operators.lm import bigram_logprob
+    return bigram_logprob(_docs(spark, sf_dir), lam=0.7)
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The R in DSIR: deterministic Poisson importance resampling over the
+    dsir_logweights output — integer-exact inclusion test (fixed-point
+    weights x md5 draw), expected sample size ~n (operators/trainmix)."""
+    from supercrawler_spark.operators.dsir import dsir_logweights
+    from supercrawler_spark.operators.trainmix import importance_sample
+    w = dsir_logweights(_docs(spark, sf_dir), target_lang="en",
+                        n_buckets=256)
+    return importance_sample(w, n=50, salt="isample-1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_seen": q_crawl_seen,
@@ -966,6 +997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_shard_bounds": q_cdx_shard_bounds,
         "inverted_index": q_inverted_index,
         "dsir_logweights": q_dsir_logweights,
+        "host_triangles": q_host_triangles,
+        "bigram_logprob": q_bigram_logprob,
+        "importance_sample": q_importance_sample,
     }
 
 
@@ -998,6 +1032,25 @@ _STOP_EN = "('the','and','of','to','a','in','is','it','for','on')"
 
 def oracle_sql() -> dict[str, str]:
     from supercrawler_spark.operators.cdx import surt_sql as _surt_sql
+    # shared DSIR body: hashed-unigram target/raw models -> per-doc weight
+    # (used by both dsir_logweights and its resampling consumer)
+    dsir_cte = f"""tok AS (
+  SELECT doc_id, lang, {_MD5LONG.format(x="token")} % 256 AS b
+  FROM (SELECT doc_id, lang, unnest({_TOKS}) AS token
+        FROM documents WHERE length(trim(text)) > 0)),
+bkt AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY b),
+dtot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bkt),
+llr AS (
+  SELECT bkt.b,
+         ln((ct + 0.5) / (nt + 0.5 * 256))
+           - ln((cr + 0.5) / (nr + 0.5 * 256)) AS llr
+  FROM bkt, dtot),
+dsirw AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, round(avg(llr), 6) AS dsir_logweight
+  FROM tok JOIN llr USING (b) GROUP BY doc_id)"""
     md5long_text = _MD5LONG.format(x="text")
     md5long_sh = _MD5LONG.format(x="shingle")
     md5long_tok = _MD5LONG.format(x="tok")
@@ -2502,21 +2555,52 @@ HAVING COUNT(*) >= 2
    AND COUNT(*) <= CAST(floor(0.9 * (SELECT COUNT(*) FROM documents))
                         AS BIGINT)""",
         "dsir_logweights": f"""
-WITH tok AS (
-  SELECT doc_id, lang, {_MD5LONG.format(x="token")} % 256 AS b
-  FROM (SELECT doc_id, lang, unnest({_TOKS}) AS token
-        FROM documents WHERE length(trim(text)) > 0)),
-bkt AS (
-  SELECT b, COUNT(*) AS cr,
-         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-  FROM tok GROUP BY b),
-tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bkt),
-llr AS (
-  SELECT bkt.b,
-         ln((ct + 0.5) / (nt + 0.5 * 256))
-           - ln((cr + 0.5) / (nr + 0.5 * 256)) AS llr
-  FROM bkt, tot)
-SELECT doc_id, COUNT(*) AS n_tokens,
-       round(avg(llr), 6) AS dsir_logweight
-FROM tok JOIN llr USING (b) GROUP BY doc_id""",
+WITH {dsir_cte}
+SELECT doc_id, n_tokens, dsir_logweight FROM dsirw""",
+        "importance_sample": f"""
+WITH {dsir_cte},
+w AS (
+  SELECT doc_id,
+         CAST(round(exp(dsir_logweight) * 1000000, 0) AS BIGINT) AS w6
+  FROM dsirw),
+wtot AS (SELECT SUM(w6) AS w6t FROM w),
+draws AS (
+  SELECT doc_id, w6,
+         {_MD5LONG.format(x="'isample-1:' || CAST(doc_id AS VARCHAR)")}
+           % 1000000 AS u
+  FROM w)
+SELECT doc_id, round(w6 / 1000000.0, 6) AS weight, u
+FROM draws, wtot
+WHERE u * w6t < 50 * w6 * 1000000""",
+        "host_triangles": _GRAPH_CTE + """,
+hedges AS (
+  SELECT DISTINCT least(s.host, t.host) AS a, greatest(s.host, t.host) AS b
+  FROM edges e
+  JOIN urls s ON s.doc_id = e.src_id
+  JOIN urls t ON t.doc_id = e.dst_id
+  WHERE s.host <> t.host)
+SELECT e1.a AS h1, e1.b AS h2, e2.b AS h3
+FROM hedges e1
+JOIN hedges e2 ON e2.a = e1.b
+JOIN hedges e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "bigram_logprob": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> struct_pack(x := t[i], y := t[i + 1]))) AS g
+  FROM toks WHERE len(t) >= 2),
+p AS (SELECT doc_id, g.x AS x, g.y AS y FROM pos),
+bi AS (SELECT x, y, COUNT(*) AS n_xy FROM p GROUP BY x, y),
+ucnt AS (SELECT tk, COUNT(*) AS n_t
+         FROM (SELECT unnest(t) AS tk FROM toks) GROUP BY tk),
+tot AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS n1 FROM ucnt)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(avg(-log2(0.7 * n_xy / n_x
+                       + (1.0 - 0.7) * n_y / n1)), 6) AS avg_nll2
+FROM p
+JOIN bi USING (x, y)
+JOIN (SELECT tk AS x, n_t AS n_x FROM ucnt) USING (x)
+JOIN (SELECT tk AS y, n_t AS n_y FROM ucnt) USING (y), tot
+GROUP BY doc_id""",
     }

@@ -129,3 +129,54 @@ def host_graph(docs: DataFrame, n_docs: int) -> DataFrame:
                  F.countDistinct("src_id").alias("n_src_pages"))
             .withColumn("is_internal",
                         F.col("src_host") == F.col("dst_host")))
+
+
+def host_triangles(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(h1, h2, h3): every triangle in the undirected host link graph,
+    vertices sorted lexicographically — the clustering-structure signal
+    behind link-farm / PBN detection (mutually-linked host cliques are the
+    classic spam topology; organic inter-host linkage is locally sparse).
+
+    Scale shape: the standard degree-ordered orientation (Cohen's
+    MapReduce triangle algorithm). Each undirected edge is oriented from
+    its lower-(degree, host) endpoint to the higher one, so every vertex's
+    out-degree is bounded by O(sqrt(E)) on any graph — the wedge self-join
+    (the quadratic step) fans out per ORIENTED out-neighborhood, never per
+    raw degree, which is what makes a celebrity host (in-degree 10^7)
+    survivable. Wedges then semi-join the undirected edge set to find the
+    closing edge. Host-graph input rows are #hosts^2 at most — tiny next
+    to the page-level edge list they aggregate — so every join here is
+    broadcast-eligible; the algorithm is written for the general case
+    anyway (equi-joins only, no cartesian). The triangle SET is invariant
+    to orientation, so the DuckDB oracle can verify with the simple
+    lexicographic-orientation join."""
+    hg = host_graph(docs, n_docs).filter(~F.col("is_internal"))
+    und = (hg.select(F.least("src_host", "dst_host").alias("a"),
+                     F.greatest("src_host", "dst_host").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("h"))
+           .unionAll(und.select(F.col("b").alias("h")))
+           .groupBy("h").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("h").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("h").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (und.join(da, "a").join(db, "b")
+                .select(
+                    F.when((F.col("deg_a") < F.col("deg_b"))
+                           | ((F.col("deg_a") == F.col("deg_b"))
+                              & (F.col("a") < F.col("b"))),
+                           F.col("a")).otherwise(F.col("b")).alias("u"),
+                    F.when((F.col("deg_a") < F.col("deg_b"))
+                           | ((F.col("deg_a") == F.col("deg_b"))
+                              & (F.col("a") < F.col("b"))),
+                           F.col("b")).otherwise(F.col("a")).alias("v")))
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = (e1.join(e2, "u").filter(F.col("v1") < F.col("v2")))
+    closed = wedges.join(
+        und,
+        (F.least("v1", "v2") == F.col("a"))
+        & (F.greatest("v1", "v2") == F.col("b")),
+        "left_semi")
+    tri = closed.select(F.array_sort(F.array("u", "v1", "v2")).alias("t"))
+    return tri.select(F.col("t")[0].alias("h1"), F.col("t")[1].alias("h2"),
+                      F.col("t")[2].alias("h3"))

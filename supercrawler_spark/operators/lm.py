@@ -54,3 +54,48 @@ def unigram_logprob(docs: DataFrame, vocab_size: int = 1000,
             .agg(F.count("*").alias("n_tokens"),
                  F.sum("oov").alias("oov_tokens"),
                  F.round(F.avg("nll"), 6).alias("avg_nll")))
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.7,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll2): mean negative log2 probability of
+    each document's adjacent-token bigrams under a Jelinek-Mercer
+    interpolated model fit on the corpus itself:
+    ``p(y|x) = lam * n_xy/n_x + (1-lam) * n_y/N``. The bigram term captures
+    local fluency that the unigram score cannot (scrambled-word documents
+    share the unigram distribution but crater here); interpolation keeps
+    unseen-context mass from zeroing the product, CCNet-style.
+
+    Scale shape: bigram and unigram count fits are the two canonical
+    word-count jobs (explode -> groupBy, map-side combined). Scoring joins
+    the per-position bigram stream to the count tables — the bigram table
+    of a web corpus is NOT broadcastable, so these are plain equi-joins on
+    (x, y) and x (sort-merge at scale, the join key is the shuffle the
+    count fit already paid); the one-row total broadcasts. Documents with
+    fewer than 2 tokens have no bigrams and are dropped."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("x"),
+                           F.element_at(toks, i + 1).alias("y")))) \
+        .otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    pos = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(grams).alias("g"))
+           .select("doc_id", F.col("g.x").alias("x"), F.col("g.y").alias("y")))
+    bi = pos.groupBy("x", "y").agg(F.count("*").cast("long").alias("n_xy"))
+    uni = (docs.select(F.explode(toks).alias("t"))
+           .groupBy("t").agg(F.count("*").cast("long").alias("n_t")))
+    total = uni.agg(F.sum("n_t").cast("double").alias("n1"))
+    ux = uni.select(F.col("t").alias("x"), F.col("n_t").alias("n_x"))
+    uy = uni.select(F.col("t").alias("y"), F.col("n_t").alias("n_y"))
+    scored = (pos.join(bi, ["x", "y"]).join(ux, "x").join(uy, "y")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id",
+                      (-F.log2(F.lit(lam) * F.col("n_xy") / F.col("n_x")
+                               + F.lit(1.0 - lam) * F.col("n_y")
+                               / F.col("n1"))).alias("nll2")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("nll2"), 6).alias("avg_nll2")))

@@ -194,3 +194,40 @@ def stratified_sample(docs: DataFrame, fractions: Mapping[str, float],
             .filter(draw < (frac * 1_000_000).cast("long"))
             .select(F.col(id_col).alias("doc_id"),
                     F.col(stratum_col).alias("stratum")))
+
+
+def importance_sample(weights: DataFrame, n: int, salt: str = "isample-1",
+                      id_col: str = "doc_id",
+                      logw_col: str = "dsir_logweight") -> DataFrame:
+    """Deterministic Poisson importance resampling — the R in DSIR: keep
+    document i with probability min(1, n * w_i / W), w_i = exp(logw_i),
+    so the expected sample size is ~n and inclusion probability is
+    proportional to the importance weight.
+
+    The inclusion test is INTEGER-exact in both engines: weights are
+    fixed-pointed to 6 decimals (w6 = round(exp(logw), 6) * 1e6), the
+    pseudo-random draw u is the md5 hash of (salt, id) reduced mod 1e6,
+    and the comparison ``u * W6 < n * w6 * 1e6`` multiplies BIGINTs only —
+    no float threshold to disagree on at the boundary. One scan plus a
+    broadcast one-row total; no shuffle of the corpus. Overflow headroom:
+    u*W6 < 1e6 * W6, so this exact form holds to W6 ~ 9e12 (≈ 9e6 docs of
+    mean weight 1); beyond that, rescale w6 to coarser fixed point or
+    compare in DOUBLE with a documented boundary tolerance.
+
+    Returns (doc_id, weight, u) for the kept rows — u exposed so an audit
+    can recheck the draw."""
+    scale = 1_000_000
+    # round to the integer BEFORE the cast: Spark's double->long cast
+    # truncates while DuckDB's rounds, so `round(x*1e6, 0)` is the portable
+    # fixed-point step (a bare `round(x, 6) * 1e6` can land at
+    # n-epsilon and truncate to n-1 on one engine only)
+    w6 = F.round(F.exp(F.col(logw_col)) * scale, 0).cast("long")
+    d = weights.select(F.col(id_col).alias("doc_id"), w6.alias("w6"))
+    tot = d.agg(F.sum("w6").alias("w6_total"))
+    u = F.pmod(_salted_id_hash(salt, "doc_id"), F.lit(scale))
+    return (d.crossJoin(F.broadcast(tot))
+            .withColumn("u", u)
+            .filter(F.col("u") * F.col("w6_total")
+                    < F.lit(n) * F.col("w6") * F.lit(scale))
+            .select("doc_id",
+                    F.round(F.col("w6") / scale, 6).alias("weight"), "u"))
