@@ -878,6 +878,25 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_buckets=256)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit BPE merge learning, k=3 (operators/bpe): iterative
+    most-frequent-pair merges over the word-frequency table (never the
+    corpus), re-segmenting between steps; the oracle unrolls the same
+    three iterations as generated CTEs and replays the greedy replace."""
+    from supercrawler_spark.operators.bpe import bpe_merges
+    return bpe_merges(_docs(spark, sf_dir), k=3)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the learned k=3 merges and count BPE
+    pieces — the real token-budget number (operators/bpe). Merges are
+    applied as stacked literal replaces over segmentation strings: pure
+    codegen, one corpus scan."""
+    from supercrawler_spark.operators.bpe import bpe_encode, learn_bpe
+    docs = _docs(spark, sf_dir)
+    return bpe_encode(docs, learn_bpe(docs, k=3))
+
+
 def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration in the undirected host link graph via
     degree-ordered orientation (Cohen's algorithm — wedge fan-out bounded
@@ -1000,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "bigram_logprob": q_bigram_logprob,
         "importance_sample": q_importance_sample,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -1051,6 +1072,45 @@ llr AS (
 dsirw AS (
   SELECT doc_id, COUNT(*) AS n_tokens, round(avg(llr), 6) AS dsir_logweight
   FROM tok JOIN llr USING (b) GROUP BY doc_id)"""
+    # BPE oracle: k unrolled merge iterations as generated CTEs — the
+    # segmentation-as-string representation makes each merge a literal
+    # replace() with identical greedy non-overlapping semantics in both
+    # engines (operators/bpe.py module docstring)
+    def _bpe_cte(k: int) -> str:
+        parts = [f"""v0 AS (
+  SELECT word, COUNT(*) AS freq,
+         '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seg
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents) GROUP BY word)"""]
+        for s in range(1, k + 1):
+            parts.append(f"""p{s} AS (
+  SELECT g.l AS l, g.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, unnest(list_transform(
+          generate_series(1, len(t) - 1),
+          i -> struct_pack(l := t[i], r := t[i + 1]))) AS g
+        FROM (SELECT freq, string_split(trim(seg), '  ') AS t FROM v{s - 1}))
+  GROUP BY g.l, g.r)""")
+            parts.append(f"m{s} AS (SELECT l, r, cnt FROM p{s} "
+                         f"ORDER BY cnt DESC, l, r LIMIT 1)")
+            parts.append(f"""v{s} AS (
+  SELECT word, freq, replace(seg,
+    ' ' || (SELECT l FROM m{s}) || '  ' || (SELECT r FROM m{s}) || ' ',
+    ' ' || (SELECT l FROM m{s}) || (SELECT r FROM m{s}) || ' ') AS seg
+  FROM v{s - 1})""")
+        return "WITH " + ",\n".join(parts)
+
+    _bpe_k = 3
+    _bpe_merge_rows = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, l AS lhs, r AS rhs, "
+        f"cnt AS pair_count FROM m{s}" for s in range(1, _bpe_k + 1))
+    _bpe_enc_seg = ("'  ' || array_to_string(string_split(word, ''), '  ')"
+                    " || '  '")
+    for s in range(1, _bpe_k + 1):
+        _bpe_enc_seg = (
+            f"replace({_bpe_enc_seg},\n"
+            f"  ' ' || (SELECT l FROM m{s}) || '  ' || (SELECT r FROM m{s})"
+            f" || ' ',\n"
+            f"  ' ' || (SELECT l FROM m{s}) || (SELECT r FROM m{s}) || ' ')")
+
     md5long_text = _MD5LONG.format(x="text")
     md5long_sh = _MD5LONG.format(x="shingle")
     md5long_tok = _MD5LONG.format(x="tok")
@@ -2603,4 +2663,15 @@ JOIN bi USING (x, y)
 JOIN (SELECT tk AS x, n_t AS n_x FROM ucnt) USING (x)
 JOIN (SELECT tk AS y, n_t AS n_y FROM ucnt) USING (y), tot
 GROUP BY doc_id""",
+        "bpe_merges": f"""
+{_bpe_cte(_bpe_k)}
+SELECT * FROM ({_bpe_merge_rows})""",
+        "bpe_encode": f"""
+{_bpe_cte(_bpe_k)},
+tok AS (SELECT doc_id, unnest({_TOKS}) AS word
+        FROM documents WHERE length(trim(text)) > 0),
+enc AS (SELECT doc_id, {_bpe_enc_seg} AS seg FROM tok)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
+FROM enc GROUP BY doc_id""",
     }
