@@ -2,8 +2,8 @@
 real pre-training data run chains them.
 
     raw docs ─ quality gate ─ exact dedup ─ near-dup resolve ─
-      [semantic dedup] ─ benchmark decontamination ─ [PII scrub] ─
-        [line dedup] ─ deterministic shuffle/export
+      [semantic dedup] ─ benchmark decontamination ─ [DSIR selection] ─
+        [PII scrub] ─ [line dedup] ─ deterministic shuffle/export
 
 Each stage is one of the library's verified operators; this module only
 wires them and keeps the scale discipline intact:
@@ -56,6 +56,13 @@ class CorpusPipelineConfig:
     work_dir: str | None = None
     decontaminate_n: int = 8
     decontaminate_min_hits: int = 1
+    # DSIR selection stage: hashed-unigram importance weights toward the
+    # dsir_target_lang slice, then deterministic Poisson resampling to an
+    # expected dsir_target_n docs. None = keep everything (no selection).
+    dsir_target_n: int | None = None
+    dsir_target_lang: str = "en"
+    dsir_buckets: int = 256
+    dsir_salt: str = "isample-1"
     scrub_pii: bool = False
     line_dedup_min_df: int | None = None   # None = skip line-level dedup
     extra: dict = field(default_factory=dict)
@@ -185,6 +192,34 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
         caches.append(drop)
         report["decontaminated_dropped"] = drop.count()
         cur = cur.join(drop, id_col, "left_anti")
+
+    # 4b. optional DSIR selection — importance weights toward the target
+    # slice, then deterministic Poisson resampling; the kept-id list is the
+    # usual narrow semi-join list. Runs AFTER dedup/decontamination so the
+    # weight model is fit on the cleaned distribution.
+    if cfg.dsir_target_n is not None:
+        from supercrawler_spark.operators import dsir as _dsir
+        if "lang" in cur.columns:
+            base, lang_col = cur, "lang"
+        else:
+            # no declared language — fall back to the engine's own
+            # n-gram language ID (one extra scan for the narrow
+            # (id, pred_lang) join column)
+            pred = _tq.langid(cur, text_col, id_col).select(
+                F.col("doc_id").alias(id_col),
+                F.col("pred_lang").alias("_dsir_lang"))
+            base, lang_col = cur.join(pred, id_col), "_dsir_lang"
+        w = _dsir.dsir_logweights(base, cfg.dsir_target_lang,
+                                  cfg.dsir_buckets, text_col, id_col,
+                                  lang_col)
+        kept = (_trainmix.importance_sample(w, cfg.dsir_target_n,
+                                            cfg.dsir_salt)
+                .select(F.col("doc_id").alias(id_col)).persist())
+        caches.append(kept)
+        n_before = cur.count()
+        cur = cur.join(kept, id_col, "left_semi")
+        report["dsir_selected"] = kept.count()
+        report["dsir_dropped"] = n_before - report["dsir_selected"]
 
     # 5. optional text rewrites — the only stages that touch text bytes
     if cfg.line_dedup_min_df is not None:

@@ -132,3 +132,29 @@ def test_pipeline_semantic_dedup_work_dir_path(spark, tmp_path):
     assert {r["doc_id"] for r in clean.collect()} == {0}
     emb = spark.read.parquet(str(tmp_path / "semantic_embeddings.parquet"))
     assert emb.count() == 2 and set(emb.columns) == {"vec_id", "embedding"}
+
+
+def test_pipeline_dsir_selection_stage(spark):
+    """DSIR stage: weights fit on the cleaned corpus, deterministic
+    resampling to ~n docs, report arithmetic consistent. Works both with a
+    declared lang column and via the langid fallback."""
+    rows = [(i, GOOD + f" extra token{i}", "en") for i in range(20)] \
+        + [(100 + i, B2 + f" mar y sol {i} el la los un una es no por y",
+            "es") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CorpusPipelineConfig(langs=("en", "es"), near_dedup=False,
+                               dsir_target_n=10)
+    out, report = prepare_training_corpus(docs, config=cfg)
+    assert report["dsir_selected"] == out.count()
+    assert report["dsir_dropped"] + report["dsir_selected"] \
+        == report["input_docs"] - report["quality_gate_dropped"] \
+        - report["exact_dup_dropped"]
+    assert 1 <= report["dsir_selected"] <= 30
+    # deterministic: same config -> same survivors
+    out2, _ = prepare_training_corpus(docs, config=cfg)
+    assert {r["doc_id"] for r in out.collect()} \
+        == {r["doc_id"] for r in out2.collect()}
+    # langid fallback path (no lang column)
+    cfg2 = CorpusPipelineConfig(near_dedup=False, dsir_target_n=10)
+    out3, rep3 = prepare_training_corpus(docs.drop("lang"), config=cfg2)
+    assert rep3["dsir_selected"] == out3.count() >= 1
