@@ -897,6 +897,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, learn_bpe(docs, k=3))
 
 
+def q_feed_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion round-trip (operators/feeds): per-host feed
+    fixtures (even-gid hosts RSS 2.0 with RFC-822 pubDates, odd-gid hosts
+    Atom with ISO updated stamps) parsed back to seed rows — both format
+    branches non-vacuous; oracle declares the expected rows directly."""
+    from supercrawler_spark.operators.feeds import feed_seeds
+    out = feed_seeds(_docs(spark, sf_dir))
+    # driver-compare convention: dates travel as yyyy-MM-dd strings
+    return out.withColumn("published",
+                          F.date_format("published", "yyyy-MM-dd"))
+
+
 def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration in the undirected host link graph via
     degree-ordered orientation (Cohen's algorithm — wedge fan-out bounded
@@ -1021,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "feed_seeds": q_feed_seeds,
     }
 
 
@@ -2674,4 +2687,20 @@ enc AS (SELECT doc_id, {_bpe_enc_seg} AS seg FROM tok)
 SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
 FROM enc GROUP BY doc_id""",
+        "feed_seeds": r"""
+WITH d AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         strftime(DATE '2026-01-01' - CAST(doc_id % 365 AS INTEGER),
+                  '%Y-%m-%d') AS published,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS gid
+  FROM documents)
+SELECT host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+            AS BIGINT) AS pos,
+       url, published, title,
+       CASE WHEN gid % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt
+FROM d""",
     }

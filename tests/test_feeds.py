@@ -1,0 +1,69 @@
+"""RSS/Atom feed parser edge cases (the round-trip parity runs in
+tests/test_oracle_parity.py as `feed_seeds`)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from supercrawler_spark.operators.feeds import build_feeds, parse_feeds
+
+RSS = ('<?xml version="1.0"?><rss version="2.0"><channel>'
+       "<title>chan title</title>"
+       "<item><title> First </title><link> https://h.example/a </link>"
+       "<pubDate>Mon, 05 Jan 2026 13:45:00 GMT</pubDate></item>"
+       "<item><link>https://h.example/no-date</link></item>"
+       "<item><title>no link, dropped</title></item>"
+       "<item><title></title><link>https://h.example/empty-title</link>"
+       "</item>"
+       "</channel></rss>")
+
+ATOM = ('<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+        "<title>feed title</title>"
+        '<entry><title>E1</title><link rel="alternate" '
+        'href="https://a.example/x"/>'
+        "<updated>2026-02-03T09:30:00Z</updated></entry>"
+        '<entry><link href="https://a.example/y"/></entry>'
+        "<entry><title>dropped: no link</title></entry>"
+        "</feed>")
+
+
+def _parse(spark, xml):
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    return {r["pos"]: r for r in parse_feeds(df).collect()}
+
+
+def test_rss_entries(spark):
+    rows = _parse(spark, RSS)
+    # channel preamble is not an entry; the no-link item is dropped
+    assert set(rows) == {0, 1, 3}
+    assert rows[0]["url"] == "https://h.example/a"
+    assert rows[0]["title"] == "First"  # whitespace trimmed
+    assert rows[0]["published"] == datetime.date(2026, 1, 5)
+    assert rows[0]["fmt"] == "rss"
+    assert rows[1]["published"] is None and rows[1]["title"] is None
+    assert rows[3]["title"] is None  # empty tag -> NULL
+
+
+def test_atom_entries(spark):
+    rows = _parse(spark, ATOM)
+    assert set(rows) == {0, 1}
+    assert rows[0]["url"] == "https://a.example/x"
+    assert rows[0]["published"] == datetime.date(2026, 2, 3)
+    assert rows[0]["fmt"] == "atom"
+    assert rows[1]["published"] is None
+
+
+def test_unknown_format_yields_nothing(spark):
+    df = spark.createDataFrame([("h", "<html><body>not a feed</body></html>")],
+                               "host string, xml string")
+    assert parse_feeds(df).count() == 0
+
+
+def test_roundtrip_both_formats_present(spark):
+    import __spark_entry__ as entry_mod
+    docs = entry_mod._docs(spark, "/root/testdata/sf0.001")
+    out = parse_feeds(build_feeds(docs))
+    fmts = {r["fmt"] for r in out.select("fmt").distinct().collect()}
+    assert fmts == {"rss", "atom"}
+    assert out.count() == docs.count()
+    assert out.filter(F.col("published").isNull()).count() == 0
