@@ -897,6 +897,23 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, learn_bpe(docs, k=3))
 
 
+def q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL content drift between two snapshots as 1 - minhash-Jaccard
+    of 3-token shingles (operators/recrawl.content_drift): docs with
+    doc_id%4==0 get appended drift text in the 'new' snapshot, so both the
+    changed and unchanged branches are non-vacuous."""
+    from supercrawler_spark.operators.recrawl import content_drift
+    old = graph.with_url(_docs(spark, sf_dir)).select("url", "text")
+    new = old.withColumn(
+        "text",
+        F.when(F.expr("CAST(regexp_extract(url, '/doc/(\\\\d+)', 1) "
+                      "AS BIGINT) % 4 = 0"),
+               F.concat("text", F.lit(
+                   " drifted content marker tokens appended here")))
+        .otherwise(F.col("text")))
+    return content_drift(old, new, num_hashes=8)
+
+
 def q_feed_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed ingestion round-trip (operators/feeds): per-host feed
     fixtures (even-gid hosts RSS 2.0 with RFC-822 pubDates, odd-gid hosts
@@ -1034,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "feed_seeds": q_feed_seeds,
+        "content_drift": q_content_drift,
     }
 
 
@@ -2687,6 +2705,52 @@ enc AS (SELECT doc_id, {_bpe_enc_seg} AS seg FROM tok)
 SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
 FROM enc GROUP BY doc_id""",
+        "content_drift": f"""
+WITH old_t AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, text
+  FROM documents),
+new_t AS (
+  SELECT url, doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' drifted content marker tokens appended here'
+              ELSE text END AS text
+  FROM old_t),
+tok_o AS (SELECT url, {_TOKS} AS t FROM old_t),
+tok_n AS (SELECT url, {_TOKS} AS t FROM new_t),
+sh_o AS (
+  SELECT DISTINCT url, unnest(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM tok_o WHERE len(t) >= 3),
+sh_n AS (
+  SELECT DISTINCT url, unnest(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM tok_n WHERE len(t) >= 3),
+sig_o AS (
+  SELECT url, p.hash_id,
+         MIN(((p.hash_id*2+1) * (({_MD5LONG.format(x="shingle")}) % 1000000007)
+              + (p.hash_id*7+13)) % 1000000007) AS mh
+  FROM sh_o, (SELECT x AS hash_id FROM range(8) r(x)) p
+  GROUP BY url, p.hash_id),
+sig_n AS (
+  SELECT url, p.hash_id,
+         MIN(((p.hash_id*2+1) * (({_MD5LONG.format(x="shingle")}) % 1000000007)
+              + (p.hash_id*7+13)) % 1000000007) AS mh
+  FROM sh_n, (SELECT x AS hash_id FROM range(8) r(x)) p
+  GROUP BY url, p.hash_id),
+agree AS (
+  SELECT so.url,
+         CAST(SUM(CASE WHEN so.mh = sn.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM sig_o so JOIN sig_n sn ON sn.url = so.url
+                             AND sn.hash_id = so.hash_id
+  GROUP BY so.url)
+SELECT a.url, (o.text <> n.text) AS changed, a.n_agree,
+       round(1 - a.n_agree / 8.0, 6) AS drift_est
+FROM agree a JOIN old_t o USING (url) JOIN new_t n USING (url)""",
         "feed_seeds": r"""
 WITH d AS (
   SELECT doc_id, source || '.example.com' AS host,

@@ -570,6 +570,59 @@ def main() -> None:
     bench("embedding_near_dups", lambda: similarity.embedding_near_dups(
         emb, threshold=0.4).count())
 
+    # --- round-2 continuation additions -----------------------------------
+    def cdx_bench():
+        from supercrawler_spark.operators.cdx import cdx_index
+        import __spark_entry__ as entry_mod
+        out, cache = cdx_index(entry_mod._cdx_pages(spark, sf_dir),
+                               n_shards=8, exact=False)
+        n = out.count()
+        cache.unpersist()
+        return n
+
+    bench("cdx_index", cdx_bench)
+
+    n_docs_total = docs.count()
+
+    def inverted_index_bench():
+        from supercrawler_spark.operators.terms import inverted_index
+        return inverted_index(docs, min_df=2,
+                              max_df=int(0.9 * n_docs_total)).count()
+
+    bench("inverted_index", inverted_index_bench)
+
+    def dsir_bench():
+        from supercrawler_spark.operators.dsir import dsir_logweights
+        return trainmix.importance_sample(
+            dsir_logweights(docs), n=max(50, n_docs_total // 10)).count()
+
+    bench("dsir_select", dsir_bench)
+
+    def bpe_bench():
+        from supercrawler_spark.operators.bpe import bpe_encode, learn_bpe
+        merges = learn_bpe(docs, k=3)
+        return bpe_encode(docs, merges).count()
+
+    bench("bpe_learn_encode", bpe_bench)
+
+    def triangles_bench():
+        from supercrawler_spark.operators.graph import host_triangles
+        return host_triangles(docs, n_docs_total).count()
+
+    bench("host_triangles", triangles_bench)
+
+    def bigram_lm_bench():
+        from supercrawler_spark.operators.lm import bigram_logprob
+        return bigram_logprob(docs).count()
+
+    bench("bigram_logprob", bigram_lm_bench)
+
+    def feeds_bench():
+        from supercrawler_spark.operators.feeds import feed_seeds
+        return feed_seeds(docs).count()
+
+    bench("feed_seeds", feeds_bench)
+
     if "crawl_scan" in timings:
         extras["crawl_scan_urls_per_sec"] = round(
             n_pages / timings["crawl_scan"], 1)

@@ -135,3 +135,44 @@ def sitemap_refresh(entries: DataFrame, pages: DataFrame,
     return (j.withColumn("reason", reason)
             .filter(F.col("reason").isNotNull())
             .select("host", "url", "reason", "lastmod"))
+
+
+def content_drift(old_pages: DataFrame, new_pages: DataFrame,
+                  num_hashes: int = 8, url_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """(url, changed, n_agree, drift_est): per-URL content drift between two
+    crawl snapshots, estimated as 1 - minhash-Jaccard of the 3-token
+    shingle sets. snapshot_diff (above) answers WHICH urls changed;
+    this answers HOW MUCH — the signal an adaptive recrawl scheduler feeds
+    back into per-URL refresh intervals (big drift -> crawl more often,
+    cosmetic drift -> back off), and the reason a scheduler doesn't
+    re-extract near-identical refetches.
+
+    Scale shape: one minhash signature pass per snapshot (the same
+    word-count-shaped shingle aggregation as dedup), then a url+hash_id
+    equi-join of the two narrow signature tables — text bytes never join.
+    URLs missing from either snapshot, or too short to shingle (<3
+    tokens), drop out of the inner join; `changed` is the exact text
+    inequality, so a drift_est of 0.0 with changed=true flags edits below
+    minhash resolution."""
+    from supercrawler_spark.operators.dedup import minhash_sig_array
+    sig = lambda df: (minhash_sig_array(
+        df.select(F.col(url_col).alias("doc_id"), text_col),
+        num_hashes=num_hashes)
+        .select(F.col("doc_id").alias(url_col), "sig"))
+    so = sig(old_pages).withColumnRenamed("sig", "sig_old")
+    sn = sig(new_pages).withColumnRenamed("sig", "sig_new")
+    texts = (old_pages.select(url_col, F.col(text_col).alias("_t_old"))
+             .join(new_pages.select(url_col,
+                                    F.col(text_col).alias("_t_new")),
+                   url_col))
+    agree = F.aggregate(
+        F.zip_with("sig_old", "sig_new",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v).cast("long")
+    return (so.join(sn, url_col).join(texts, url_col)
+            .select(F.col(url_col).alias("url"),
+                    (F.col("_t_old") != F.col("_t_new")).alias("changed"),
+                    agree.alias("n_agree"),
+                    F.round(1 - agree / F.lit(float(num_hashes)), 6)
+                    .alias("drift_est")))

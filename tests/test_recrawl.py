@@ -159,3 +159,30 @@ def test_sitemap_refresh_narrow_join(spark):
     # above it
     above_scan = [ln for ln in opt.splitlines() if "LogicalRDD" not in ln]
     assert all("html" not in ln for ln in above_scan), opt
+
+
+def test_content_drift_semantics(spark):
+    """Unchanged urls: changed=false, drift 0. Appended-text urls:
+    changed=true with drift below 1 (most shingles survive). Fully
+    rewritten urls: drift 1.0. Sub-resolution edits keep changed=true."""
+    from pyspark.sql import functions as F
+
+    from supercrawler_spark.operators.recrawl import content_drift
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [("u0", base), ("u1", base), ("u2", base), ("u3", "a b")]
+    old = spark.createDataFrame(rows, "url string, text string")
+    new = spark.createDataFrame(
+        [("u0", base),                                   # unchanged
+         ("u1", base + " freshly appended tail tokens"), # drifted a bit
+         ("u2", "totally different words in every single position now "
+                "nothing shared with the original text at all here"),
+         ("u3", "a b"),                                  # too short: no sig
+         ("u9", base)],                                  # new url: no match
+        "url string, text string")
+    out = {r["url"]: r for r in content_drift(old, new).collect()}
+    assert set(out) == {"u0", "u1", "u2"}  # u3 unshingleable, u9 unmatched
+    assert out["u0"]["changed"] is False and out["u0"]["drift_est"] == 0.0
+    assert out["u1"]["changed"] is True
+    assert 0.0 <= out["u1"]["drift_est"] < 1.0
+    assert out["u2"]["changed"] is True and out["u2"]["drift_est"] == 1.0
