@@ -897,6 +897,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, learn_bpe(docs, k=3))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained hashed-feature logistic-regression quality classifier
+    (operators/classifier): 2 batch-GD rounds from zero weights on the
+    lang='en' label, weights rounded per round so the unrolled-CTE oracle
+    reproduces scores exactly."""
+    from supercrawler_spark.operators.classifier import hashed_logreg_scores
+    return hashed_logreg_scores(_docs(spark, sf_dir), target_lang="en",
+                                n_buckets=64, iters=2, lr=2.0)
+
+
 def q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-URL content drift between two snapshots as 1 - minhash-Jaccard
     of 3-token shingles (operators/recrawl.content_drift): docs with
@@ -1052,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "feed_seeds": q_feed_seeds,
         "content_drift": q_content_drift,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1141,6 +1152,40 @@ dsirw AS (
             f"  ' ' || (SELECT l FROM m{s}) || '  ' || (SELECT r FROM m{s})"
             f" || ' ',\n"
             f"  ' ' || (SELECT l FROM m{s}) || (SELECT r FROM m{s}) || ' ')")
+
+    # hashed-logreg oracle: GD iterations unrolled as generated CTEs
+    # (weights rounded per round pin the model across engines —
+    # operators/classifier.py)
+    def _logreg_sql(n_buckets: int, iters: int, lr: float) -> str:
+        parts = [f"""tokc AS (
+  SELECT doc_id,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         {_MD5LONG.format(x="token")} % {n_buckets} AS b
+  FROM (SELECT doc_id, lang, unnest({_TOKS}) AS token
+        FROM documents WHERE length(trim(text)) > 0)),
+cnt AS (SELECT doc_id, y, b, COUNT(*) AS c FROM tokc GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM tokc GROUP BY 1),
+f AS (SELECT doc_id, y, b, c / CAST(n AS DOUBLE) AS tf
+      FROM cnt JOIN tot USING (doc_id)),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM f),
+w0 AS (SELECT x AS b, 0.0 AS w FROM range({n_buckets}) r(x))"""]
+        for s in range(1, iters + 1):
+            parts.append(f"""z{s} AS (
+  SELECT doc_id, y, SUM(tf * w) AS z
+  FROM f JOIN w{s - 1} USING (b) GROUP BY doc_id, y),
+g{s} AS (
+  SELECT b, SUM(tf * r) AS sg
+  FROM f JOIN (SELECT doc_id, y - 1 / (1 + exp(-z)) AS r FROM z{s})
+         USING (doc_id)
+  GROUP BY b),
+w{s} AS (
+  SELECT w{s - 1}.b,
+         round(w + {lr} * coalesce(sg / n_docs, 0.0), 6) AS w
+  FROM w{s - 1} LEFT JOIN g{s} USING (b), nd)""")
+        return ("WITH " + ",\n".join(parts) + f""",
+zf AS (SELECT doc_id, y, SUM(tf * w) AS z
+       FROM f JOIN w{iters} USING (b) GROUP BY doc_id, y)
+SELECT doc_id, y, round(1 / (1 + exp(-round(z, 9))), 6) AS score FROM zf""")
 
     md5long_text = _MD5LONG.format(x="text")
     md5long_sh = _MD5LONG.format(x="shingle")
@@ -2705,6 +2750,7 @@ enc AS (SELECT doc_id, {_bpe_enc_seg} AS seg FROM tok)
 SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
 FROM enc GROUP BY doc_id""",
+        "quality_classifier": _logreg_sql(64, 2, 2.0),
         "content_drift": f"""
 WITH old_t AS (
   SELECT 'https://' || source || '.example.com/doc/'
