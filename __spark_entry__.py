@@ -897,6 +897,43 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, learn_bpe(docs, k=3))
 
 
+def _drift_snapshots(spark: SparkSession, sf_dir: str):
+    old = graph.with_url(_docs(spark, sf_dir)).select("url", "text")
+    new = old.withColumn(
+        "text",
+        F.when(F.expr("CAST(regexp_extract(url, '/doc/(\\\\d+)', 1) "
+                      "AS BIGINT) % 4 = 0"),
+               F.concat("text", F.lit(
+                   " drifted content marker tokens appended here")))
+        .otherwise(F.col("text")))
+    return old, new
+
+
+def q_adaptive_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD refresh-interval update from the content-drift signal
+    (operators/recrawl.adaptive_intervals): high drift halves the
+    interval, negligible drift doubles it, clamped to [7, 365] days."""
+    from supercrawler_spark.operators.recrawl import (adaptive_intervals,
+                                                      content_drift)
+    old, new = _drift_snapshots(spark, sf_dir)
+    return adaptive_intervals(content_drift(old, new, num_hashes=8))
+
+
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (operators/dedup.host_mirrors) over hosts'
+    content-fingerprint sets, with an injected full mirror of src0 so the
+    positive branch is non-vacuous; digest-keyed posting-list join with a
+    hot-digest cap, never an all-pairs host join."""
+    from supercrawler_spark.operators.dedup import host_mirrors
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        "text")
+    mirror = docs.filter(F.col("source") == "src0").select(
+        F.lit("mirror-of-src0.example.com").alias("host"), "text")
+    return host_mirrors(base.unionAll(mirror), threshold=0.5)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained hashed-feature logistic-regression quality classifier
     (operators/classifier): 2 batch-GD rounds from zero weights on the
@@ -913,14 +950,7 @@ def q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%4==0 get appended drift text in the 'new' snapshot, so both the
     changed and unchanged branches are non-vacuous."""
     from supercrawler_spark.operators.recrawl import content_drift
-    old = graph.with_url(_docs(spark, sf_dir)).select("url", "text")
-    new = old.withColumn(
-        "text",
-        F.when(F.expr("CAST(regexp_extract(url, '/doc/(\\\\d+)', 1) "
-                      "AS BIGINT) % 4 = 0"),
-               F.concat("text", F.lit(
-                   " drifted content marker tokens appended here")))
-        .otherwise(F.col("text")))
+    old, new = _drift_snapshots(spark, sf_dir)
     return content_drift(old, new, num_hashes=8)
 
 
@@ -1063,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_seeds": q_feed_seeds,
         "content_drift": q_content_drift,
         "quality_classifier": q_quality_classifier,
+        "adaptive_intervals": q_adaptive_intervals,
+        "host_mirrors": q_host_mirrors,
     }
 
 
@@ -1186,6 +1218,55 @@ w{s} AS (
 zf AS (SELECT doc_id, y, SUM(tf * w) AS z
        FROM f JOIN w{iters} USING (b) GROUP BY doc_id, y)
 SELECT doc_id, y, round(1 / (1 + exp(-round(z, 9))), 6) AS score FROM zf""")
+
+    # shared two-snapshot minhash drift body (content_drift +
+    # adaptive_intervals)
+    drift_cte = f"""old_t AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, text
+  FROM documents),
+new_t AS (
+  SELECT url, doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' drifted content marker tokens appended here'
+              ELSE text END AS text
+  FROM old_t),
+tok_o AS (SELECT url, {_TOKS} AS t FROM old_t),
+tok_n AS (SELECT url, {_TOKS} AS t FROM new_t),
+sh_o AS (
+  SELECT DISTINCT url, unnest(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM tok_o WHERE len(t) >= 3),
+sh_n AS (
+  SELECT DISTINCT url, unnest(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM tok_n WHERE len(t) >= 3),
+sig_o AS (
+  SELECT url, p.hash_id,
+         MIN(((p.hash_id*2+1) * (({_MD5LONG.format(x="shingle")}) % 1000000007)
+              + (p.hash_id*7+13)) % 1000000007) AS mh
+  FROM sh_o, (SELECT x AS hash_id FROM range(8) r(x)) p
+  GROUP BY url, p.hash_id),
+sig_n AS (
+  SELECT url, p.hash_id,
+         MIN(((p.hash_id*2+1) * (({_MD5LONG.format(x="shingle")}) % 1000000007)
+              + (p.hash_id*7+13)) % 1000000007) AS mh
+  FROM sh_n, (SELECT x AS hash_id FROM range(8) r(x)) p
+  GROUP BY url, p.hash_id),
+agree AS (
+  SELECT so.url,
+         CAST(SUM(CASE WHEN so.mh = sn.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM sig_o so JOIN sig_n sn ON sn.url = so.url
+                             AND sn.hash_id = so.hash_id
+  GROUP BY so.url),
+drift AS (
+  SELECT a.url, (o.text <> n.text) AS changed, a.n_agree,
+         round(1 - a.n_agree / 8.0, 6) AS drift_est
+  FROM agree a JOIN old_t o USING (url) JOIN new_t n USING (url))"""
 
     md5long_text = _MD5LONG.format(x="text")
     md5long_sh = _MD5LONG.format(x="shingle")
@@ -2751,52 +2832,37 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
 FROM enc GROUP BY doc_id""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
-        "content_drift": f"""
-WITH old_t AS (
-  SELECT 'https://' || source || '.example.com/doc/'
-           || CAST(doc_id AS VARCHAR) AS url,
-         doc_id, text
-  FROM documents),
-new_t AS (
-  SELECT url, doc_id,
-         CASE WHEN doc_id % 4 = 0
-              THEN text || ' drifted content marker tokens appended here'
-              ELSE text END AS text
-  FROM old_t),
-tok_o AS (SELECT url, {_TOKS} AS t FROM old_t),
-tok_n AS (SELECT url, {_TOKS} AS t FROM new_t),
-sh_o AS (
-  SELECT DISTINCT url, unnest(list_transform(
-           generate_series(1, len(t) - 2),
-           i -> array_to_string(t[i:i+2], ' '))) AS shingle
-  FROM tok_o WHERE len(t) >= 3),
-sh_n AS (
-  SELECT DISTINCT url, unnest(list_transform(
-           generate_series(1, len(t) - 2),
-           i -> array_to_string(t[i:i+2], ' '))) AS shingle
-  FROM tok_n WHERE len(t) >= 3),
-sig_o AS (
-  SELECT url, p.hash_id,
-         MIN(((p.hash_id*2+1) * (({_MD5LONG.format(x="shingle")}) % 1000000007)
-              + (p.hash_id*7+13)) % 1000000007) AS mh
-  FROM sh_o, (SELECT x AS hash_id FROM range(8) r(x)) p
-  GROUP BY url, p.hash_id),
-sig_n AS (
-  SELECT url, p.hash_id,
-         MIN(((p.hash_id*2+1) * (({_MD5LONG.format(x="shingle")}) % 1000000007)
-              + (p.hash_id*7+13)) % 1000000007) AS mh
-  FROM sh_n, (SELECT x AS hash_id FROM range(8) r(x)) p
-  GROUP BY url, p.hash_id),
-agree AS (
-  SELECT so.url,
-         CAST(SUM(CASE WHEN so.mh = sn.mh THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_agree
-  FROM sig_o so JOIN sig_n sn ON sn.url = so.url
-                             AND sn.hash_id = so.hash_id
-  GROUP BY so.url)
-SELECT a.url, (o.text <> n.text) AS changed, a.n_agree,
-       round(1 - a.n_agree / 8.0, 6) AS drift_est
-FROM agree a JOIN old_t o USING (url) JOIN new_t n USING (url)""",
+        "content_drift": f"WITH {drift_cte}\n"
+                         "SELECT url, changed, n_agree, drift_est FROM drift",
+        "adaptive_intervals": f"""
+WITH {drift_cte}
+SELECT url,
+       CAST(CASE WHEN drift_est >= 0.5 THEN greatest(7, floor(30 / 2))
+                 WHEN drift_est <= 0.125 THEN least(365, 30 * 2)
+                 ELSE 30 END AS BIGINT) AS interval_days
+FROM drift""",
+        "host_mirrors": f"""
+WITH pages_m AS (
+  SELECT source || '.example.com' AS host, text FROM documents
+  UNION ALL
+  SELECT 'mirror-of-src0.example.com' AS host, text FROM documents
+  WHERE source = 'src0'),
+d AS (SELECT DISTINCT host, {_MD5LONG.format(x="text")} AS digest
+      FROM pages_m),
+dd AS (SELECT * FROM d WHERE digest IN
+       (SELECT digest FROM d GROUP BY digest HAVING COUNT(*) <= 20)),
+sizes AS (SELECT host, COUNT(*) AS sz FROM dd GROUP BY host),
+inter AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM dd a JOIN dd b ON a.digest = b.digest AND a.host < b.host
+  GROUP BY 1, 2)
+SELECT host_a, host_b, inter,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.host = host_a
+JOIN sizes sb ON sb.host = host_b
+WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5""",
         "feed_seeds": r"""
 WITH d AS (
   SELECT doc_id, source || '.example.com' AS host,

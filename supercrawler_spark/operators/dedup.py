@@ -327,3 +327,45 @@ def minhash_jaccard_estimate(docs: DataFrame, num_hashes: int = 8,
                  .alias("n_agree"))
             .withColumn("jaccard_est",
                         F.round(F.col("n_agree") / num_hashes, 6)))
+
+
+def host_mirrors(pages: DataFrame, threshold: float = 0.5,
+                 max_hosts_per_digest: int = 20, host_col: str = "host",
+                 text_col: str = "text") -> DataFrame:
+    """(host_a, host_b, inter, jaccard): host pairs whose CONTENT SETS
+    overlap — mirror/alias detection (Broder's mirror problem). A crawl
+    that doesn't collapse mirrors fetches and stores every mirrored site
+    twice; at web scale mirrors and regional aliases are a double-digit
+    percentage of hosts.
+
+    Content set = distinct md5 fingerprints of page text per host; overlap
+    scored by exact Jaccard via a digest-keyed equi-self-join (the
+    posting-list pattern, NOT an all-pairs host join). The
+    ``max_hosts_per_digest`` cap drops boilerplate fingerprints shared by
+    more than N hosts (empty pages, parked-domain templates) — exactly the
+    df-cap discipline of ngram_jaccard_pairs, bounding the join fan-out to
+    N² per degenerate digest. Fingerprints are 60-bit md5 truncations:
+    collisions (~2^-30 per pair at 10^9 docs) only nudge a Jaccard
+    estimate, they don't join text."""
+    d = (pages.select(F.col(host_col).alias("host"),
+                      _md5_long(F.col(text_col)).alias("digest"))
+         .distinct())
+    hot = (d.groupBy("digest").agg(F.count("*").alias("nh"))
+           .filter(F.col("nh") <= max_hosts_per_digest))
+    d = d.join(hot.select("digest"), "digest", "left_semi")
+    sizes = d.groupBy("host").agg(F.count("*").alias("sz"))
+    a = d.select(F.col("host").alias("host_a"), "digest")
+    b = d.select(F.col("host").alias("host_b"), "digest")
+    inter = (a.join(b, "digest")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count("*").cast("long").alias("inter")))
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "host_a").join(sb, "host_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("sza") + F.col("szb")
+                                   - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("host_a", "host_b", "inter", "jaccard"))

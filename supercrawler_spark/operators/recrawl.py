@@ -176,3 +176,34 @@ def content_drift(old_pages: DataFrame, new_pages: DataFrame,
                     agree.alias("n_agree"),
                     F.round(1 - agree / F.lit(float(num_hashes)), 6)
                     .alias("drift_est")))
+
+
+def adaptive_intervals(drift: DataFrame, prev: DataFrame | None = None,
+                       base_days: int = 30, min_days: int = 7,
+                       max_days: int = 365, low: float = 0.125,
+                       high: float = 0.5) -> DataFrame:
+    """(url, interval_days): the drift-feedback loop that closes adaptive
+    recrawl — AIMD-style per-URL refresh intervals. High drift (>= high)
+    halves the interval (crawl more often, floor min_days); negligible
+    drift (<= low — including exactly-unchanged refetches) doubles it
+    (back off, cap max_days); mid drift keeps it. ``prev`` is the previous
+    (url, interval_days) table; URLs without history start at base_days.
+
+    Pure integer column arithmetic over the content_drift output joined to
+    a narrow interval table — one url-keyed left join, exact in both
+    engines. recrawl_schedule then consumes these intervals in place of
+    its fixed min_age_days."""
+    d = drift.select("url", "drift_est")
+    if prev is not None:
+        d = d.join(prev.select("url", F.col("interval_days").alias("_pi")),
+                   "url", "left")
+    else:
+        d = d.withColumn("_pi", F.lit(None).cast("long"))
+    pi = F.coalesce(F.col("_pi"), F.lit(base_days)).cast("long")
+    new = (F.when(F.col("drift_est") >= high,
+                  F.greatest(F.lit(min_days).cast("long"),
+                             F.floor(pi / 2)))
+           .when(F.col("drift_est") <= low,
+                 F.least(F.lit(max_days).cast("long"), pi * 2))
+           .otherwise(pi))
+    return d.select("url", new.cast("long").alias("interval_days"))

@@ -387,3 +387,26 @@ def test_pq_adist_matches_table_reconstruction(spark):
             expect += sum((qv[j] - cent(c, j)) ** 2
                           for j in range(m * 16, (m + 1) * 16))
         assert abs(adist - expect) < 1e-6, (qid, nid, adist, expect)
+
+
+def test_host_mirrors_semantics(spark):
+    from supercrawler_spark.operators.dedup import host_mirrors
+    rows = ([("a.com", f"text {i}") for i in range(10)]
+            + [("b.com", f"text {i}") for i in range(10)]       # full mirror
+            + [("c.com", f"text {i}") for i in range(5)]
+            + [("c.com", f"other {i}") for i in range(5)]       # half mirror
+            + [("d.com", f"unique {i}") for i in range(10)])    # disjoint
+    pages = spark.createDataFrame(rows, "host string, text string")
+    out = {(r["host_a"], r["host_b"]): r["jaccard"]
+           for r in host_mirrors(pages, threshold=0.3).collect()}
+    assert out[("a.com", "b.com")] == 1.0
+    assert abs(out[("a.com", "c.com")] - 5 / 15) < 1e-6  # round-6 output
+    assert ("a.com", "d.com") not in out
+    # hot-digest cap: a fingerprint on >cap hosts is excluded from overlap
+    boiler = [(h, "boilerplate parked page") for h in
+              ("a.com", "b.com", "c.com", "d.com")]
+    capped = host_mirrors(spark.createDataFrame(rows + boiler,
+                                                "host string, text string"),
+                          threshold=0.3, max_hosts_per_digest=3)
+    got = {(r["host_a"], r["host_b"]): r["jaccard"] for r in capped.collect()}
+    assert got[("a.com", "b.com")] == 1.0  # boiler digest dropped by cap

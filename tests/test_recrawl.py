@@ -186,3 +186,27 @@ def test_content_drift_semantics(spark):
     assert out["u1"]["changed"] is True
     assert 0.0 <= out["u1"]["drift_est"] < 1.0
     assert out["u2"]["changed"] is True and out["u2"]["drift_est"] == 1.0
+
+
+def test_adaptive_intervals_aimd(spark):
+    from supercrawler_spark.operators.recrawl import adaptive_intervals
+    drift = spark.createDataFrame(
+        [("hot", True, 2, 0.75), ("mid", True, 6, 0.25),
+         ("calm", False, 8, 0.0), ("edge-hi", True, 4, 0.5),
+         ("edge-lo", True, 7, 0.125)],
+        "url string, changed boolean, n_agree long, drift_est double")
+    prev = spark.createDataFrame(
+        [("hot", 10), ("mid", 40), ("calm", 200), ("edge-hi", 7),
+         ("edge-lo", 364)],
+        "url string, interval_days long")
+    out = {r["url"]: r["interval_days"]
+           for r in adaptive_intervals(drift, prev).collect()}
+    assert out["hot"] == 7          # floor(10/2)=5 -> clamped to min 7
+    assert out["mid"] == 40         # mid drift: unchanged
+    assert out["calm"] == 365       # 200*2 -> clamped to max
+    assert out["edge-hi"] == 7      # >= high halves; floor(7/2)=3 -> min 7
+    assert out["edge-lo"] == 365    # <= low doubles; 728 -> max 365
+    # no history -> base_days path
+    out2 = {r["url"]: r["interval_days"]
+            for r in adaptive_intervals(drift).collect()}
+    assert out2["hot"] == 15 and out2["calm"] == 60 and out2["mid"] == 30
