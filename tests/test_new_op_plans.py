@@ -1,0 +1,79 @@
+"""Plan audits for the round-2-continuation operators: the physical plans
+must keep their scale invariants — equi-joins only (no cartesian /
+nested-loop fallbacks except deliberate one-row broadcasts), no Python in
+JVM-only paths."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_host_mirrors_no_allpairs_join(spark):
+    """The mirror overlap must come from the digest-keyed equi-join —
+    a BroadcastNestedLoopJoin would mean the host<host theta condition
+    became the join itself (all-pairs)."""
+    plan = _plan(entry_mod.q_host_mirrors(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_content_drift_joins_signatures_not_text(spark):
+    """Only url/hash-keyed equi-joins; pure JVM (no extraction UDFs in the
+    drift path)."""
+    plan = _plan(entry_mod.q_content_drift(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_classifier_broadcasts_weights(spark):
+    """The weight table must reach the feature rows via broadcast; the
+    only allowed nested-loop is a one-row totals cross join (there are
+    none here)."""
+    plan = _plan(entry_mod.q_quality_classifier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangles_equijoins_only(spark):
+    """The triangle algebra (wedge join + closing-edge semi-join) must be
+    equi-joins. The only nested loops allowed are the FIXTURE's deliberate
+    3-row broadcast cross joins (graph.edges' k-range) — every such line
+    must be a Cross build, and the wedge/closing joins themselves hash or
+    sort-merge on keys."""
+    plan = _plan(entry_mod.q_host_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line  # edges() fixture k-range only
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan  # the closing-edge check stays a semi-join
+
+
+def test_cdx_pure_codegen_projection(spark):
+    """The SURT/digest projection is plain string expressions — scan +
+    project with no Python and no join at all in the rows stage."""
+    from supercrawler_spark.operators.cdx import cdx_rows
+    plan = _plan(cdx_rows(entry_mod._cdx_pages(spark, SF_DIR)))
+    assert "EvalPython" not in plan
+    for op in ("SortMergeJoin", "HashJoin", "NestedLoopJoin",
+               "CartesianProduct", "Exchange"):
+        assert op not in plan
+    assert "*(1)" in plan  # whole-stage codegen stage marker
+
+
+def test_dsir_single_bucket_broadcast(spark):
+    """DSIR scoring joins the 256-row model table via broadcast; the
+    one-row totals cross join is the only nested-loop allowed."""
+    plan = _plan(entry_mod.q_dsir_logweights(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row totals only
+    assert "EvalPython" not in plan
