@@ -94,16 +94,20 @@ def build_feeds(docs: DataFrame) -> DataFrame:
 
 
 def parse_feeds(feeds: DataFrame, xml_col: str = "xml",
-                host_col: str = "host") -> DataFrame:
-    """(host, pos, url, published, title, fmt): one row per feed entry,
-    RSS and Atom in the same pass. Pure codegen string expressions —
-    format sniff on the root element, fragment split on the item boundary,
-    per-fragment regexps; RFC-822 pubDates and ISO-8601 updated stamps
-    both normalize to a DATE."""
+                host_col: str = "host",
+                carry: tuple[str, ...] = ()) -> DataFrame:
+    """(host, [carry...,] pos, url, published, title, fmt): one row per
+    feed entry, RSS and Atom in the same pass. Pure codegen string
+    expressions — format sniff on the root element, fragment split on the
+    item boundary, per-fragment regexps; RFC-822 pubDates and ISO-8601
+    updated stamps both normalize to a DATE. ``carry`` names input columns
+    to ride through (e.g. the poll timestamp a streaming watermark
+    needs)."""
     fmt = F.when(F.col(xml_col).contains("<rss"), "rss") \
         .when(F.col(xml_col).contains("<feed"), "atom")
     frags = F.split(F.col(xml_col), F.lit("<item>|<entry>"))
-    z = (feeds.select(F.col(host_col).alias("host"), fmt.alias("fmt"),
+    z = (feeds.select(F.col(host_col).alias("host"),
+                      *[F.col(c) for c in carry], fmt.alias("fmt"),
                       F.posexplode(frags).alias("rawpos", "frag"))
          .filter(F.col("fmt").isNotNull() & (F.col("rawpos") > 0))
          .withColumn("pos", (F.col("rawpos") - 1).cast("long")))
@@ -124,7 +128,7 @@ def parse_feeds(feeds: DataFrame, xml_col: str = "xml",
                              r"<title>\s*([^<]*?)\s*</title>", 1)
     return (z.withColumn("url", url)
             .filter(F.length("url") > 0)
-            .select("host", "pos", "url",
+            .select("host", *carry, "pos", "url",
                     F.when(F.col("fmt") == "rss", rss_date)
                     .otherwise(atom_date).alias("published"),
                     nn(title).alias("title"), "fmt"))
