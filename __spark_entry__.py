@@ -909,6 +909,14 @@ def _drift_snapshots(spark: SparkSession, sf_dir: str):
     return old, new
 
 
+def q_warc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC dump layout planning (operators/cdx.warc_offsets): hash-
+    assigned segment + per-segment running byte offsets — the
+    filename/offset/length triple a full CDX line carries."""
+    from supercrawler_spark.operators.cdx import warc_offsets
+    return warc_offsets(_cdx_pages(spark, sf_dir), n_segments=4)
+
+
 def q_adaptive_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AIMD refresh-interval update from the content-drift signal
     (operators/recrawl.adaptive_intervals): high drift halves the
@@ -1095,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "adaptive_intervals": q_adaptive_intervals,
         "host_mirrors": q_host_mirrors,
+        "warc_offsets": q_warc_offsets,
     }
 
 
@@ -2832,6 +2841,18 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
 FROM enc GROUP BY doc_id""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
+        "warc_offsets": f"""
+WITH p AS (SELECT {_CDX_URL_EXPR} AS url, text FROM documents),
+d AS (
+  SELECT CAST({_MD5LONG.format(x="url")} % 4 AS BIGINT) AS segment, url,
+         CAST(64 + length(url) + length(coalesce(text, '')) AS BIGINT)
+           AS rec_len
+  FROM p)
+SELECT segment, url,
+       CAST(SUM(rec_len) OVER (PARTITION BY segment ORDER BY url)
+            - rec_len AS BIGINT) AS offset,
+       rec_len
+FROM d""",
         "content_drift": f"WITH {drift_cte}\n"
                          "SELECT url, changed, n_agree, drift_est FROM drift",
         "adaptive_intervals": f"""

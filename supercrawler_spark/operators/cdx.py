@@ -130,3 +130,33 @@ def cdx_shard_bounds(index: DataFrame) -> DataFrame:
             .agg(F.min("surt").alias("surt_lo"),
                  F.max("surt").alias("surt_hi"),
                  F.count("*").alias("n_rows")))
+
+
+def warc_offsets(pages: DataFrame, n_segments: int = 4,
+                 header_overhead: int = 64, url_col: str = "url",
+                 payload_col: str = "text") -> DataFrame:
+    """(segment, url, offset, rec_len): WARC-style dump layout planning —
+    assign every capture to a segment file and compute its byte offset,
+    the numbers a full CDX line carries beside the SURT (filename, offset,
+    length) so a reader can range-request one record out of a multi-GB
+    WARC without scanning it.
+
+    Record length = fixed header model (``header_overhead`` + url bytes)
+    + payload bytes; offset = running sum within the segment in url
+    order. Segments are hash-assigned (deterministic); per-segment offsets
+    come from a window cumulative sum PARTITIONED BY segment — one sorted
+    task per segment, which is exactly the serialization the segment's
+    file write pays anyway, so the window is not an extra scale hazard:
+    size n_segments so a segment ≈ one WARC file (~1 GB) and the sort is
+    file-local."""
+    from supercrawler_spark.operators.trainmix import md5long
+    rec_len = (F.lit(header_overhead) + F.length(F.col(url_col))
+               + F.length(F.coalesce(F.col(payload_col), F.lit(""))))
+    d = pages.select(
+        F.pmod(md5long(F.col(url_col)), F.lit(n_segments)).alias("segment"),
+        F.col(url_col).alias("url"),
+        rec_len.cast("long").alias("rec_len"))
+    w = Window.partitionBy("segment").orderBy("url")
+    return d.select("segment", "url",
+                    (F.sum("rec_len").over(w) - F.col("rec_len"))
+                    .cast("long").alias("offset"), "rec_len")

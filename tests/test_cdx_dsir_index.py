@@ -125,3 +125,23 @@ def test_dsir_strong_separation_on_disjoint_vocab(spark):
     assert w[0] > 0 > w[4]
     assert w[0] > w[8] > w[4]
     assert all(r is not None for r in w.values()) and len(w) == 9
+
+
+def test_warc_offsets_contiguous_per_segment(spark):
+    """Within each segment, records tile the file: offsets start at 0 and
+    each record begins where the previous ends."""
+    from supercrawler_spark.operators.cdx import warc_offsets
+    pages = entry_mod._cdx_pages(spark, SF_DIR)
+    rows = warc_offsets(pages, n_segments=4).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    assert set(by_seg) <= {0, 1, 2, 3} and len(by_seg) == 4
+    for seg, recs in by_seg.items():
+        recs.sort(key=lambda r: r["offset"])
+        pos = 0
+        for r in recs:
+            assert r["offset"] == pos
+            assert r["rec_len"] > 64
+            pos += r["rec_len"]
+    assert sum(len(v) for v in by_seg.values()) == pages.count()
