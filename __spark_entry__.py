@@ -909,6 +909,25 @@ def _drift_snapshots(spark: SparkSession, sf_dir: str):
     return old, new
 
 
+_BITEXT_URL_EXPR = """concat(
+  'https://site', CAST(doc_id % 5 AS STRING), '.example.com',
+  CASE WHEN doc_id % 11 = 0 THEN ''
+       ELSE concat('/', element_at(array('en','fr','de','es'),
+                                   CAST(doc_id % 4 AS INT) + 1)) END,
+  '/doc/', CAST(doc_id % 21 AS STRING))"""
+
+
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParaCrawl-style bitext candidate mining (operators/bitext): URLs
+    differing only in their /{lang}/ path segment pair up; fixture urls
+    collide on (site, page) across languages (doc_id mod 105 classes), and
+    doc_id%11==0 urls carry no language segment (excluded branch)."""
+    from supercrawler_spark.operators.bitext import bitext_candidates
+    urls = _docs(spark, sf_dir).select(
+        F.expr(_BITEXT_URL_EXPR).alias("url"))
+    return bitext_candidates(urls, langs=("en", "fr", "de", "es"))
+
+
 def q_warc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC dump layout planning (operators/cdx.warc_offsets): hash-
     assigned segment + per-segment running byte offsets — the
@@ -1104,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_intervals": q_adaptive_intervals,
         "host_mirrors": q_host_mirrors,
         "warc_offsets": q_warc_offsets,
+        "bitext_candidates": q_bitext_candidates,
     }
 
 
@@ -2841,6 +2861,24 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
 FROM enc GROUP BY doc_id""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
+        "bitext_candidates": """
+WITH u AS (
+  SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+         || CASE WHEN doc_id % 11 = 0 THEN ''
+                 ELSE '/' || list_extract(['en','fr','de','es'],
+                                          CAST(doc_id % 4 AS INTEGER) + 1)
+            END
+         || '/doc/' || CAST(doc_id % 21 AS VARCHAR) AS url
+  FROM documents),
+d AS (
+  SELECT regexp_replace(url, '/(en|fr|de|es)/', '/{*}/', 'g') AS site_key,
+         regexp_extract(url, '/(en|fr|de|es)/', 1) AS lang, url
+  FROM u),
+g AS (SELECT site_key, lang, MIN(url) AS url
+      FROM d WHERE lang <> '' GROUP BY 1, 2)
+SELECT a.site_key, a.lang AS lang_a, a.url AS url_a,
+       b.lang AS lang_b, b.url AS url_b
+FROM g a JOIN g b ON b.site_key = a.site_key AND a.lang < b.lang""",
         "warc_offsets": f"""
 WITH p AS (SELECT {_CDX_URL_EXPR} AS url, text FROM documents),
 d AS (

@@ -145,3 +145,26 @@ def test_warc_offsets_contiguous_per_segment(spark):
             assert r["rec_len"] > 64
             pos += r["rec_len"]
     assert sum(len(v) for v in by_seg.values()) == pages.count()
+
+
+def test_bitext_candidates_semantics(spark):
+    from supercrawler_spark.operators.bitext import bitext_candidates
+    urls = spark.createDataFrame(
+        [("https://a.com/en/pricing",), ("https://a.com/fr/pricing",),
+         ("https://a.com/de/pricing",), ("https://a.com/en/about",),
+         ("https://b.com/en/pricing",),     # other host: no cross-pairing
+         ("https://a.com/pricing",),        # no lang segment: excluded
+         ("https://a.com/en/pricing?v=2",)],  # dup (key,lang): min() wins
+        "url string")
+    out = bitext_candidates(urls, langs=("en", "fr", "de"))
+    pairs = {(r["lang_a"], r["lang_b"], r["url_a"], r["url_b"])
+             for r in out.collect()}
+    assert ("en", "fr", "https://a.com/en/pricing",
+            "https://a.com/fr/pricing") in pairs
+    assert ("de", "en", "https://a.com/de/pricing",
+            "https://a.com/en/pricing") in pairs
+    assert ("de", "fr", "https://a.com/de/pricing",
+            "https://a.com/fr/pricing") in pairs
+    # /en/about has no twin; b.com never pairs with a.com
+    assert len(pairs) == 3
+    assert all("about" not in p[2] and "b.com" not in p[2] for p in pairs)
