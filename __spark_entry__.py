@@ -993,6 +993,23 @@ def q_feed_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.date_format("published", "yyyy-MM-dd"))
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (pieces per word) under the
+    corpus-fit k=3 BPE — the multilingual-fairness number tokenizer
+    design reviews track (a language with high fertility pays more
+    sequence length per sentence). Composes learn_bpe + bpe_encode with a
+    lang rollup (operators/bpe)."""
+    from supercrawler_spark.operators.bpe import bpe_encode, learn_bpe
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode(docs, learn_bpe(docs, k=3))
+    return (enc.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_pieces").alias("n_pieces"),
+                 F.round(F.sum("n_pieces") / F.sum("n_tokens"), 6)
+                 .alias("fertility")))
+
+
 def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration in the undirected host link graph via
     degree-ordered orientation (Cohen's algorithm — wedge fan-out bounded
@@ -1124,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirrors": q_host_mirrors,
         "warc_offsets": q_warc_offsets,
         "bitext_candidates": q_bitext_candidates,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -2860,6 +2878,21 @@ enc AS (SELECT doc_id, {_bpe_enc_seg} AS seg FROM tok)
 SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
 FROM enc GROUP BY doc_id""",
+        "bpe_fertility": f"""
+{_bpe_cte(_bpe_k)},
+tok AS (SELECT doc_id, unnest({_TOKS}) AS word
+        FROM documents WHERE length(trim(text)) > 0),
+enc AS (SELECT doc_id, {_bpe_enc_seg} AS seg FROM tok),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_pieces
+  FROM enc GROUP BY doc_id)
+SELECT d.lang, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+       round(SUM(p.n_pieces) / CAST(SUM(p.n_tokens) AS DOUBLE), 6)
+         AS fertility
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
         "bitext_candidates": """
 WITH u AS (
