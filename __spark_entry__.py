@@ -917,6 +917,29 @@ _BITEXT_URL_EXPR = """concat(
   '/doc/', CAST(doc_id % 21 AS STRING))"""
 
 
+def q_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-source audit sample (corpus.audit_sample):
+    the reproducible human-QA draw every corpus release ships."""
+    from supercrawler_spark.operators.corpus import audit_sample
+    return audit_sample(_docs(spark, sf_dir), k=3, salt="audit-1")
+
+
+def q_robots_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-cache expiry (operators/robots.robots_refresh):
+    hosts whose cached robots.txt is older than 24h at the check time;
+    fixture ages cycle 0..47h by host gid so both branches populate."""
+    from supercrawler_spark.operators.robots import robots_refresh
+    docs = _docs(spark, sf_dir)
+    meta = (docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long")
+        .alias("gid")).distinct()
+        .select("host", F.expr(
+            "timestamp '2026-01-01 00:00:00' - make_interval(0,0,0,0,"
+            "cast(gid % 48 as int),0,0)").alias("fetched_ts")))
+    return robots_refresh(meta, "2026-01-01 00:00:00", max_age_hours=24)
+
+
 def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ParaCrawl-style bitext candidate mining (operators/bitext): URLs
     differing only in their /{lang}/ path segment pair up; fixture urls
@@ -1142,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_offsets": q_warc_offsets,
         "bitext_candidates": q_bitext_candidates,
         "bpe_fertility": q_bpe_fertility,
+        "audit_sample": q_audit_sample,
+        "robots_refresh": q_robots_refresh,
     }
 
 
@@ -2854,18 +2879,21 @@ pos AS (
            generate_series(1, len(t) - 1),
            i -> struct_pack(x := t[i], y := t[i + 1]))) AS g
   FROM toks WHERE len(t) >= 2),
-p AS (SELECT doc_id, g.x AS x, g.y AS y FROM pos),
-bi AS (SELECT x, y, COUNT(*) AS n_xy FROM p GROUP BY x, y),
+trip AS (SELECT doc_id, g.x AS x, g.y AS y, CAST(COUNT(*) AS BIGINT) AS c
+         FROM pos GROUP BY 1, 2, 3),
+bi AS (SELECT x, y, CAST(SUM(c) AS BIGINT) AS n_xy FROM trip GROUP BY x, y),
 ucnt AS (SELECT tk, COUNT(*) AS n_t
          FROM (SELECT unnest(t) AS tk FROM toks) GROUP BY tk),
-tot AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS n1 FROM ucnt)
-SELECT doc_id, COUNT(*) AS n_bigrams,
-       round(avg(-log2(0.7 * n_xy / n_x
-                       + (1.0 - 0.7) * n_y / n1)), 6) AS avg_nll2
-FROM p
-JOIN bi USING (x, y)
-JOIN (SELECT tk AS x, n_t AS n_x FROM ucnt) USING (x)
-JOIN (SELECT tk AS y, n_t AS n_y FROM ucnt) USING (y), tot
+tot AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS n1 FROM ucnt),
+pc AS (
+  SELECT x, y, round(-log2(0.7 * n_xy / n_x
+                           + (1.0 - 0.7) * n_y / n1), 9) AS nll2
+  FROM bi
+  JOIN (SELECT tk AS x, n_t AS n_x FROM ucnt) USING (x)
+  JOIN (SELECT tk AS y, n_t AS n_y FROM ucnt) USING (y), tot)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       round(SUM(c * nll2) / SUM(c), 6) AS avg_nll2
+FROM trip JOIN pc USING (x, y)
 GROUP BY doc_id""",
         "bpe_merges": f"""
 {_bpe_cte(_bpe_k)}
@@ -2894,6 +2922,22 @@ SELECT d.lang, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
 FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.lang""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
+        "audit_sample": f"""
+WITH h AS (
+  SELECT source AS grp, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_MD5LONG.format(x="'audit-1:' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rk
+  FROM documents)
+SELECT grp, doc_id, CAST(rk AS BIGINT) AS rk FROM h WHERE rk <= 3""",
+        "robots_refresh": """
+WITH m AS (
+  SELECT DISTINCT source || '.example.com' AS host,
+         CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) AS gid
+  FROM documents)
+SELECT host, CAST(gid % 48 AS BIGINT) AS age_hours
+FROM m WHERE gid % 48 >= 24""",
         "bitext_candidates": """
 WITH u AS (
   SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'

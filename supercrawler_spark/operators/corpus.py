@@ -229,3 +229,26 @@ def host_quantiles(docs: DataFrame, text_col: str = "text",
             .select("source",
                     F.format_number(F.col("e.q"), 2).alias("q"),
                     F.round(F.col("e.chars_q"), 6).alias("chars_q")))
+
+
+def audit_sample(docs: DataFrame, k: int = 3, salt: str = "audit-1",
+                 group_col: str = "source",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(group, doc_id, rk): a deterministic fixed-k sample per group — the
+    human-QA audit draw every corpus release ships (k docs per source/host
+    for manual inspection, reproducible across reruns so reviewers and
+    pipelines see the same rows).
+
+    Selection key is the salted md5 of the id — uniform, deterministic,
+    and independent of ingestion order — ranked per group with a window
+    whose ``rk <= k`` filter Spark pushes into a WindowGroupLimit
+    (per-partition top-k heaps, no full per-group sort)."""
+    from pyspark.sql import Window
+
+    from supercrawler_spark.operators.trainmix import _salted_id_hash
+    w = Window.partitionBy(group_col).orderBy(
+        _salted_id_hash(salt, id_col), F.col(id_col))
+    return (docs.select(F.col(group_col).alias("grp"),
+                        F.col(id_col).alias("doc_id"),
+                        F.row_number().over(w).cast("long").alias("rk"))
+            .filter(F.col("rk") <= k))

@@ -68,12 +68,17 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.7,
     unseen-context mass from zeroing the product, CCNet-style.
 
     Scale shape: bigram and unigram count fits are the two canonical
-    word-count jobs (explode -> groupBy, map-side combined). Scoring joins
-    the per-position bigram stream to the count tables — the bigram table
-    of a web corpus is NOT broadcastable, so these are plain equi-joins on
-    (x, y) and x (sort-merge at scale, the join key is the shuffle the
-    count fit already paid); the one-row total broadcasts. Documents with
-    fewer than 2 tokens have no bigrams and are dropped."""
+    word-count jobs (explode -> groupBy, map-side combined). Scoring never
+    joins the per-POSITION stream: the per-pair cost is computed once on
+    the distinct-bigram table (three equi-joins over vocabulary-sized
+    rows), then each document joins its distinct (doc, x, y, c) triples to
+    that pair-cost table in ONE join and averages weighted by c — for web
+    text the distinct-triple stream is a small fraction of the raw
+    position stream (Zipf), and the join count drops from three
+    corpus-sized joins to one. Per-pair cost is rounded to 9 decimals
+    before the weighted average so the regrouped sum is bit-stable across
+    engines. Documents with fewer than 2 tokens have no bigrams and are
+    dropped."""
     toks = _tokens(text_col)
     n = F.size(toks)
     grams = F.when(n >= 2, F.transform(
@@ -81,21 +86,25 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.7,
         lambda i: F.struct(F.element_at(toks, i).alias("x"),
                            F.element_at(toks, i + 1).alias("y")))) \
         .otherwise(F.array().cast("array<struct<x:string,y:string>>"))
-    pos = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(grams).alias("g"))
-           .select("doc_id", F.col("g.x").alias("x"), F.col("g.y").alias("y")))
-    bi = pos.groupBy("x", "y").agg(F.count("*").cast("long").alias("n_xy"))
+    trip = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(grams).alias("g"))
+            .groupBy("doc_id", F.col("g.x").alias("x"),
+                     F.col("g.y").alias("y"))
+            .agg(F.count("*").cast("long").alias("c")))
+    bi = trip.groupBy("x", "y").agg(F.sum("c").cast("long").alias("n_xy"))
     uni = (docs.select(F.explode(toks).alias("t"))
            .groupBy("t").agg(F.count("*").cast("long").alias("n_t")))
     total = uni.agg(F.sum("n_t").cast("double").alias("n1"))
     ux = uni.select(F.col("t").alias("x"), F.col("n_t").alias("n_x"))
     uy = uni.select(F.col("t").alias("y"), F.col("n_t").alias("n_y"))
-    scored = (pos.join(bi, ["x", "y"]).join(ux, "x").join(uy, "y")
-              .crossJoin(F.broadcast(total))
-              .select("doc_id",
-                      (-F.log2(F.lit(lam) * F.col("n_xy") / F.col("n_x")
-                               + F.lit(1.0 - lam) * F.col("n_y")
-                               / F.col("n1"))).alias("nll2")))
-    return (scored.groupBy("doc_id")
-            .agg(F.count("*").alias("n_bigrams"),
-                 F.round(F.avg("nll2"), 6).alias("avg_nll2")))
+    pair_cost = (bi.join(ux, "x").join(uy, "y")
+                 .crossJoin(F.broadcast(total))
+                 .select("x", "y", F.round(
+                     -F.log2(F.lit(lam) * F.col("n_xy") / F.col("n_x")
+                             + F.lit(1.0 - lam) * F.col("n_y")
+                             / F.col("n1")), 9).alias("nll2")))
+    return (trip.join(pair_cost, ["x", "y"])
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("n_bigrams"),
+                 F.round(F.sum(F.col("c") * F.col("nll2")) / F.sum("c"), 6)
+                 .alias("avg_nll2")))

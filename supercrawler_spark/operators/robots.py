@@ -157,3 +157,20 @@ def robots_from_pages(pages: DataFrame, user_agent: str = "*") -> DataFrame:
                     F.col("r.disallow_prefixes").alias("disallow_prefixes"),
                     F.col("r.allow_prefixes").alias("allow_prefixes"),
                     F.col("r.crawl_delay_ms").alias("crawl_delay_ms")))
+
+
+def robots_refresh(robots_meta: DataFrame, now_ts, max_age_hours: int = 24,
+                   host_col: str = "host",
+                   ts_col: str = "fetched_ts") -> DataFrame:
+    """(host, age_hours): hosts whose cached robots.txt has exceeded the
+    cache lifetime and must be refetched before the next crawl round —
+    RFC 9309 §2.4 allows caching "generally up to 24 hours", so a polite
+    crawler re-validates on that clock. Pure column arithmetic over the
+    narrow per-host robots metadata table (one row per host by
+    construction, see robots_from_pages)."""
+    now = F.lit(now_ts).cast("timestamp")
+    age_h = F.floor((F.unix_timestamp(now)
+                     - F.unix_timestamp(F.col(ts_col))) / 3600).cast("long")
+    return (robots_meta.select(F.col(host_col).alias("host"),
+                               age_h.alias("age_hours"))
+            .filter(F.col("age_hours") >= max_age_hours))

@@ -259,3 +259,38 @@ def test_stream_dedup_rejects_mismatched_resume(spark, tmp_path_factory):
     other = tmp_path_factory.mktemp("sdm_other")
     with _pytest.raises(ValueError, match="same parameters"):
         stream_exact_dedup(spark, str(other), out)
+
+
+def test_audit_sample_fixed_k_and_deterministic(spark):
+    from supercrawler_spark.operators.corpus import audit_sample
+    rows = [(i, f"src{i % 4}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {(r["grp"], r["doc_id"], r["rk"])
+         for r in audit_sample(docs, k=3).collect()}
+    b = {(r["grp"], r["doc_id"], r["rk"])
+         for r in audit_sample(docs, k=3).collect()}
+    assert a == b
+    per = {}
+    for grp, _, rk in a:
+        per.setdefault(grp, []).append(rk)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+    # a different salt draws a different sample (with overwhelming odds
+    # on 10 docs/group), same size
+    c = {(r["grp"], r["doc_id"]) for r in
+         audit_sample(docs, k=3, salt="audit-2").collect()}
+    assert len(c) == len(a) and c != {(g, d) for g, d, _ in a}
+
+
+def test_robots_refresh_threshold(spark):
+    import datetime
+
+    from supercrawler_spark.operators.robots import robots_refresh
+    t0 = datetime.datetime(2026, 1, 2, 0, 0, 0)
+    meta = spark.createDataFrame(
+        [("fresh", t0 - datetime.timedelta(hours=1)),
+         ("edge", t0 - datetime.timedelta(hours=24)),
+         ("stale", t0 - datetime.timedelta(hours=47))],
+        "host string, fetched_ts timestamp")
+    out = {r["host"]: r["age_hours"]
+           for r in robots_refresh(meta, "2026-01-02 00:00:00").collect()}
+    assert out == {"edge": 24, "stale": 47}
