@@ -2948,7 +2948,8 @@ WITH u AS (
          || '/doc/' || CAST(doc_id % 21 AS VARCHAR) AS url
   FROM documents),
 d AS (
-  SELECT regexp_replace(url, '/(en|fr|de|es)/', '/{*}/', 'g') AS site_key,
+  SELECT regexp_replace(url, '^(.*?)/(en|fr|de|es)/(.*)$',
+                        '\\1/{*}/\\3') AS site_key,
          regexp_extract(url, '/(en|fr|de|es)/', 1) AS lang, url
   FROM u),
 g AS (SELECT site_key, lang, MIN(url) AS url
@@ -2960,11 +2961,15 @@ FROM g a JOIN g b ON b.site_key = a.site_key AND a.lang < b.lang""",
 WITH p AS (SELECT {_CDX_URL_EXPR} AS url, text FROM documents),
 d AS (
   SELECT CAST({_MD5LONG.format(x="url")} % 4 AS BIGINT) AS segment, url,
-         CAST(64 + length(url) + length(coalesce(text, '')) AS BIGINT)
+         md5(coalesce(text, '')) AS digest,
+         CAST(64 + octet_length(encode(url))
+              + octet_length(encode(coalesce(text, ''))) AS BIGINT)
            AS rec_len
   FROM p)
-SELECT segment, url,
-       CAST(SUM(rec_len) OVER (PARTITION BY segment ORDER BY url)
+SELECT segment, url, digest,
+       CAST(SUM(rec_len) OVER (PARTITION BY segment ORDER BY url, digest
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
             - rec_len AS BIGINT) AS offset,
        rec_len
 FROM d""",

@@ -31,8 +31,15 @@ def bitext_candidates(urls: DataFrame, langs: tuple = LANGS,
     lexicographic minimum so the pairing is deterministic."""
     alt = "|".join(langs)
     pat = f"/({alt})/"
+    # replace ONLY the first /{lang}/ segment: a global replace would
+    # normalize inner segments too, pairing pages that differ in a later
+    # language segment (/en/docs/de/x vs /fr/docs/es/x are NOT the same
+    # page). The anchored non-greedy full-string pattern rewrites at most
+    # once; regexp_extract's first-match lang is the same leftmost segment.
+    first_pat = f"^(.*?)/({alt})/(.*)$"
     d = urls.select(
-        F.regexp_replace(F.col(url_col), pat, "/{*}/").alias("site_key"),
+        F.regexp_replace(F.col(url_col), first_pat, "$1/{*}/$3")
+        .alias("site_key"),
         F.regexp_extract(F.col(url_col), pat, 1).alias("lang"),
         F.col(url_col).alias("url"))
     d = (d.filter(F.col("lang") != "")

@@ -54,8 +54,9 @@ def surt_expr(url_col: Column) -> Column:
     ``com,example,www)/A/b?q=1`` (host case-folded; path case preserved;
     userinfo, port, and fragment dropped). Invalid/relative URLs (no
     scheme) yield an empty host part -> ``)``-prefixed key that sorts
-    first; callers filter on ``surt LIKE '%)%'`` if they need to drop
-    them."""
+    first; callers filter them out with ``NOT surt LIKE ')%'`` (every
+    valid SURT contains ``)`` after its reversed host, so only the
+    empty-host prefix identifies invalid input)."""
     hostport = F.regexp_extract(url_col, _SCHEME + r"([^/?#]+)", 1)
     host = F.lower(
         F.regexp_replace(F.regexp_replace(hostport, "^.*@", ""),
@@ -141,22 +142,30 @@ def warc_offsets(pages: DataFrame, n_segments: int = 4,
     length) so a reader can range-request one record out of a multi-GB
     WARC without scanning it.
 
-    Record length = fixed header model (``header_overhead`` + url bytes)
-    + payload bytes; offset = running sum within the segment in url
-    order. Segments are hash-assigned (deterministic); per-segment offsets
-    come from a window cumulative sum PARTITIONED BY segment — one sorted
-    task per segment, which is exactly the serialization the segment's
-    file write pays anyway, so the window is not an extra scale hazard:
-    size n_segments so a segment ≈ one WARC file (~1 GB) and the sort is
-    file-local."""
+    Record length = fixed header model (``header_overhead`` + url BYTES)
+    + payload BYTES (``octet_length`` — UTF-8 byte counts, since offsets
+    address file positions; ``length`` would undercount any non-ASCII
+    payload and corrupt every range request after it); offset = running
+    sum within the segment ordered by (url, digest) with an explicit ROWS
+    frame — the default RANGE frame hands tied rows the sum over ALL
+    their peers, so duplicate captures of one URL would get overlapping
+    byte ranges. Segments are hash-assigned (deterministic); per-segment
+    offsets come from a window cumulative sum PARTITIONED BY segment —
+    one sorted task per segment, which is exactly the serialization the
+    segment's file write pays anyway, so the window is not an extra scale
+    hazard: size n_segments so a segment ≈ one WARC file (~1 GB) and the
+    sort is file-local."""
     from supercrawler_spark.operators.trainmix import md5long
-    rec_len = (F.lit(header_overhead) + F.length(F.col(url_col))
-               + F.length(F.coalesce(F.col(payload_col), F.lit(""))))
+    payload = F.coalesce(F.col(payload_col), F.lit(""))
+    rec_len = (F.lit(header_overhead) + F.octet_length(F.col(url_col))
+               + F.octet_length(payload))
     d = pages.select(
         F.pmod(md5long(F.col(url_col)), F.lit(n_segments)).alias("segment"),
         F.col(url_col).alias("url"),
+        F.md5(payload).alias("digest"),
         rec_len.cast("long").alias("rec_len"))
-    w = Window.partitionBy("segment").orderBy("url")
-    return d.select("segment", "url",
+    w = (Window.partitionBy("segment").orderBy("url", "digest")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return d.select("segment", "url", "digest",
                     (F.sum("rec_len").over(w) - F.col("rec_len"))
                     .cast("long").alias("offset"), "rec_len")

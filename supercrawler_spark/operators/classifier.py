@@ -40,11 +40,14 @@ from supercrawler_spark.operators.trainmix import md5long
 def _features(docs: DataFrame, n_buckets: int, text_col: str,
               id_col: str, label: Column) -> DataFrame:
     """(doc_id, y, b, tf): per-document hashed-bucket term frequencies
-    (token count in bucket / doc token count) plus the 0/1 label."""
+    (token count in bucket / doc token count) plus the 0/1 label.
+    NULL labels (e.g. lang IS NULL) are 0, never NULL — a NULL y would
+    silently drop the document from every gradient while still counting
+    in the denominator (and diverge from the oracle's CASE ... ELSE 0)."""
     tok = (docs
            .filter(F.length(F.trim(F.col(text_col))) > 0)
            .select(F.col(id_col).alias("doc_id"),
-                   label.cast("long").alias("y"),
+                   F.when(label, 1).otherwise(0).cast("long").alias("y"),
                    F.explode(_tokens(text_col)).alias("token")))
     tok = tok.withColumn("b", F.pmod(md5long(F.col("token")),
                                      F.lit(n_buckets)))
@@ -67,28 +70,44 @@ def hashed_logreg_scores(docs: DataFrame, target_lang: str = "en",
     probability of the target class. Empty documents are dropped."""
     feats = _features(docs, n_buckets, text_col, id_col,
                       (F.col(lang_col) == target_lang))
-    n_docs = feats.select("doc_id").distinct().count()
-    # weights live as a tiny DataFrame (b, w); from-zero start
-    spark = docs.sparkSession
-    w = spark.range(n_buckets).select(F.col("id").cast("long").alias("b"),
-                                      F.lit(0.0).alias("w"))
-    for _ in range(iters):
-        z = (feats.join(F.broadcast(w), "b")
-             .groupBy("doc_id", "y")
-             .agg(F.sum(F.col("tf") * F.col("w")).alias("z")))
-        resid = z.select("doc_id",
-                         (F.col("y") - 1.0 / (1.0 + F.exp(-F.col("z"))))
-                         .alias("r"))
-        grad = (feats.join(resid, "doc_id")
-                .groupBy("b")
-                .agg((F.sum(F.col("tf") * F.col("r")) / F.lit(float(n_docs)))
-                     .alias("g")))
-        # right outer keeps zero-gradient buckets; round pins the model
-        # bit-for-bit across engines (module docstring)
-        w = (w.join(grad, "b", "left")
-             .select("b", F.round(F.col("w")
-                                  + F.lit(lr) * F.coalesce("g", F.lit(0.0)),
-                                  6).alias("w")))
+    # ONE corpus pass builds the feature table; everything else reads the
+    # cache (without this, each GD round re-tokenizes the corpus — ~2k+2
+    # full scans instead of one at the 100 TB design point). Training is
+    # driver-synchronous anyway (each round's argmax-free update still
+    # materializes), so weights are collected per round (n_buckets rows)
+    # and the cache is released before the lazily-scored result returns —
+    # the final scoring recomputes the feature lineage exactly once.
+    feats = feats.persist()
+    try:
+        n_docs = feats.select("doc_id").distinct().count()
+        spark = docs.sparkSession
+        weights = [(int(b), 0.0) for b in range(n_buckets)]  # from zero
+        for _ in range(iters):
+            w = spark.createDataFrame(weights, "b long, w double")
+            z = (feats.join(F.broadcast(w), "b")
+                 .groupBy("doc_id", "y")
+                 .agg(F.sum(F.col("tf") * F.col("w")).alias("z")))
+            resid = z.select("doc_id",
+                             (F.col("y") - 1.0 / (1.0 + F.exp(-F.col("z"))))
+                             .alias("r"))
+            grad = (feats.join(resid, "doc_id")
+                    .groupBy("b")
+                    .agg((F.sum(F.col("tf") * F.col("r"))
+                          / F.lit(float(n_docs))).alias("g")))
+            # left join keeps zero-gradient buckets; the ROUND runs in
+            # Spark (HALF_UP, matching DuckDB's away-from-zero) — Python's
+            # banker's round would diverge at exact half-ulp boundaries.
+            # Collecting n_buckets rows per round bounds the plan lineage.
+            new_w = (w.join(grad, "b", "left")
+                     .select("b", F.round(
+                         F.col("w")
+                         + F.lit(lr) * F.coalesce("g", F.lit(0.0)),
+                         6).alias("w")))
+            weights = sorted((int(r["b"]), float(r["w"]))
+                             for r in new_w.collect())
+    finally:
+        feats.unpersist()
+    w = spark.createDataFrame(weights, "b long, w double")
     scored = (feats.join(F.broadcast(w), "b")
               .groupBy("doc_id", "y")
               .agg(F.sum(F.col("tf") * F.col("w")).alias("z")))

@@ -117,11 +117,19 @@ def parse_feeds(feeds: DataFrame, xml_col: str = "xml",
                                  r'<link[^>]*href="([^"]*)"', 1)
     url = F.when(F.col("fmt") == "rss", rss_link).otherwise(atom_link)
     nn = lambda c: F.when(F.length(c) > 0, c)  # ''/absent -> NULL
-    rss_date = F.to_date(F.to_timestamp(
-        nn(F.regexp_extract(F.col("frag"),
-                            r"<pubDate>\s*\w+,\s*([^<]*?)\s*</pubDate>", 1)),
-        _RFC822_TAIL))
-    atom_date = F.to_date(nn(F.substring(
+    # try_* variants: under Spark 4's default ANSI mode the plain
+    # to_timestamp/to_date THROW on unparseable text (a single feed with a
+    # '+0000' numeric zone would abort the job — and in the streaming
+    # poller, wedge the checkpoint permanently); malformed dates must
+    # surface as NULL per this parser's contract. The RFC-822 weekday
+    # prefix is optional (RFC 5322 day-of-week is optional), hence the
+    # non-capturing (?:\w+,\s*)? group.
+    rss_date = F.to_date(F.try_to_timestamp(
+        nn(F.regexp_extract(
+            F.col("frag"),
+            r"<pubDate>\s*(?:\w+,\s*)?([^<]*?)\s*</pubDate>", 1)),
+        F.lit(_RFC822_TAIL)))
+    atom_date = F.try_to_date(nn(F.substring(
         F.regexp_extract(F.col("frag"), r"<updated>([^<]*)</updated>", 1),
         1, 10)))
     title = F.regexp_extract(F.col("frag"),

@@ -139,7 +139,8 @@ def sitemap_refresh(entries: DataFrame, pages: DataFrame,
 
 def content_drift(old_pages: DataFrame, new_pages: DataFrame,
                   num_hashes: int = 8, url_col: str = "url",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  ts_col: str = "warc_ts") -> DataFrame:
     """(url, changed, n_agree, drift_est): per-URL content drift between two
     crawl snapshots, estimated as 1 - minhash-Jaccard of the 3-token
     shingle sets. snapshot_diff (above) answers WHICH urls changed;
@@ -154,8 +155,27 @@ def content_drift(old_pages: DataFrame, new_pages: DataFrame,
     URLs missing from either snapshot, or too short to shingle (<3
     tokens), drop out of the inner join; `changed` is the exact text
     inequality, so a drift_est of 0.0 with changed=true flags edits below
-    minhash resolution."""
+    minhash resolution.
+
+    Each snapshot is first reduced to ONE text per url: latest ``ts_col``
+    wins when the column exists (multi-capture Common-Crawl snapshots),
+    ties and ts-less inputs break on max(text). Without this, same-url
+    captures would merge their shingle sets into one phantom signature
+    and the text join would fan out conflicting `changed` rows."""
     from supercrawler_spark.operators.dedup import minhash_sig_array
+
+    def one_per_url(df):
+        if ts_col in df.columns:
+            best = F.max(F.struct(F.col(ts_col).alias("_ts"),
+                                  F.col(text_col).alias("_t")))
+        else:
+            best = F.max(F.struct(F.col(text_col).alias("_t")))
+        return (df.groupBy(F.col(url_col))
+                .agg(best.alias("_b"))
+                .select(url_col, F.col("_b._t").alias(text_col)))
+
+    old_pages = one_per_url(old_pages)
+    new_pages = one_per_url(new_pages)
     sig = lambda df: (minhash_sig_array(
         df.select(F.col(url_col).alias("doc_id"), text_col),
         num_hashes=num_hashes)

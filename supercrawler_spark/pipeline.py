@@ -216,7 +216,12 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
                                             cfg.dsir_salt)
                 .select(F.col("doc_id").alias(id_col)).persist())
         caches.append(kept)
-        n_before = cur.count()
+        # n_before is already determined by the recorded stage arithmetic —
+        # re-counting cur would re-execute the whole upstream plan
+        n_before = (n_exact
+                    - report.get("near_dup_dropped", 0)
+                    - report.get("semantic_dup_dropped", 0)
+                    - report.get("decontaminated_dropped", 0))
         cur = cur.join(kept, id_col, "left_semi")
         report["dsir_selected"] = kept.count()
         report["dsir_dropped"] = n_before - report["dsir_selected"]

@@ -168,3 +168,39 @@ def test_bitext_candidates_semantics(spark):
     # /en/about has no twin; b.com never pairs with a.com
     assert len(pairs) == 3
     assert all("about" not in p[2] and "b.com" not in p[2] for p in pairs)
+
+
+def test_warc_offsets_duplicate_urls_and_bytes(spark):
+    """Duplicate-URL captures must tile disjointly (ROWS frame, digest
+    tie-break), and rec_len counts UTF-8 BYTES, not characters."""
+    from supercrawler_spark.operators.cdx import warc_offsets
+    pages = spark.createDataFrame(
+        [("https://h/a", "first capture text"),
+         ("https://h/a", "second capture different"),
+         ("https://h/b", "日本語テキスト")],
+        "url string, text string")
+    rows = warc_offsets(pages, n_segments=1).collect()
+    recs = sorted(rows, key=lambda r: r["offset"])
+    pos = 0
+    for r in recs:
+        assert r["offset"] == pos
+        pos += r["rec_len"]
+    jp = [r for r in rows if r["url"] == "https://h/b"][0]
+    assert jp["rec_len"] == 64 + len(b"https://h/b") \
+        + len("日本語テキスト".encode("utf-8"))
+
+
+def test_bitext_inner_lang_segment_not_normalized(spark):
+    """Only the FIRST /{lang}/ segment defines the site key: pages that
+    differ in a later language segment are different pages."""
+    from supercrawler_spark.operators.bitext import bitext_candidates
+    urls = spark.createDataFrame(
+        [("https://x.com/en/docs/de/page",),
+         ("https://x.com/fr/docs/es/page",),
+         ("https://x.com/fr/docs/de/page",)],
+        "url string")
+    pairs = {(r["lang_a"], r["lang_b"], r["url_b"]) for r in
+             bitext_candidates(urls, langs=("en", "fr", "de", "es"))
+             .collect()}
+    # en/docs/de pairs ONLY with fr/docs/de — not with fr/docs/es
+    assert pairs == {("en", "fr", "https://x.com/fr/docs/de/page")}

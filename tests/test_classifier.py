@@ -47,3 +47,14 @@ def test_empty_docs_dropped_and_deterministic(spark):
     b = sorted(map(tuple, hashed_logreg_scores(docs, n_buckets=16).collect()))
     assert a == b
     assert [r[0] for r in a] == [0, 2]
+
+
+def test_null_lang_counts_as_negative(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb", "en"), (1, "aaa bbb", None), (2, "ccc ddd", None)],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           hashed_logreg_scores(docs, n_buckets=16, iters=1).collect()}
+    assert out[1]["y"] == 0 and out[2]["y"] == 0
+    assert out[0]["y"] == 1
+    assert all(r["score"] is not None for r in out.values())

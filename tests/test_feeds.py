@@ -67,3 +67,34 @@ def test_roundtrip_both_formats_present(spark):
     assert fmts == {"rss", "atom"}
     assert out.count() == docs.count()
     assert out.filter(F.col("published").isNull()).count() == 0
+
+
+def test_rss_numeric_zone_yields_null_not_crash(spark):
+    """Spark 4 ANSI mode: a '+0000' numeric zone (RFC-5322-preferred) must
+    surface as published=NULL, never abort the job."""
+    xml = ('<?xml version="1.0"?><rss version="2.0"><channel>'
+           "<item><link>https://h/a</link>"
+           "<pubDate>Mon, 05 Jan 2026 00:00:00 +0000</pubDate></item>"
+           "</channel></rss>")
+    rows = _parse(spark, xml)
+    assert rows[0]["url"] == "https://h/a"
+    assert rows[0]["published"] is None
+
+
+def test_rss_weekday_optional(spark):
+    """RFC 822 day-of-week is optional — dates without it must parse."""
+    import datetime
+    xml = ('<?xml version="1.0"?><rss version="2.0"><channel>'
+           "<item><link>https://h/b</link>"
+           "<pubDate>05 Jan 2026 13:45:00 GMT</pubDate></item>"
+           "</channel></rss>")
+    rows = _parse(spark, xml)
+    assert rows[0]["published"] == datetime.date(2026, 1, 5)
+
+
+def test_atom_garbage_updated_yields_null(spark):
+    xml = ('<?xml version="1.0"?><feed><entry>'
+           '<link href="https://h/c"/><updated>not-a-date</updated>'
+           "</entry></feed>")
+    rows = _parse(spark, xml)
+    assert rows[0]["published"] is None

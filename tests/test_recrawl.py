@@ -210,3 +210,26 @@ def test_adaptive_intervals_aimd(spark):
     out2 = {r["url"]: r["interval_days"]
             for r in adaptive_intervals(drift).collect()}
     assert out2["hot"] == 15 and out2["calm"] == 60 and out2["mid"] == 30
+
+
+def test_content_drift_multi_capture_latest_wins(spark):
+    """Snapshots with several captures per url reduce to the latest
+    warc_ts before signatures — no phantom merged documents, one output
+    row per url."""
+    import datetime
+
+    from supercrawler_spark.operators.recrawl import content_drift
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    t1 = datetime.datetime(2026, 1, 1)
+    t2 = datetime.datetime(2026, 2, 1)
+    old = spark.createDataFrame(
+        [("u", "totally different stale early capture words here now ok",
+          t1), ("u", base, t2)],
+        "url string, text string, warc_ts timestamp")
+    new = spark.createDataFrame(
+        [("u", base, t1)], "url string, text string, warc_ts timestamp")
+    out = content_drift(old, new).collect()
+    assert len(out) == 1
+    # latest old capture == new text -> unchanged, drift 0
+    assert out[0]["changed"] is False and out[0]["drift_est"] == 0.0
