@@ -917,6 +917,21 @@ _BITEXT_URL_EXPR = """concat(
   '/doc/', CAST(doc_id % 21 AS STRING))"""
 
 
+def q_seed_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source frontier bootstrap (operators/bootstrap): explicit
+    seeds (doc_id < 10) + sitemap enumeration + feed entries — all three
+    channels list overlapping URLs, so the priority dedup (explicit >
+    sitemap > feed) is non-vacuous: 10 explicit rows, the rest sitemap."""
+    from supercrawler_spark.operators.bootstrap import seed_bootstrap
+    from supercrawler_spark.operators.feeds import feed_seeds
+    from supercrawler_spark.operators.sitemaps import sitemap_seeds
+    docs = _docs(spark, sf_dir)
+    return seed_bootstrap(
+        explicit=graph.seeds(docs).select("url"),
+        sitemap=sitemap_seeds(docs).select(F.col("loc").alias("url")),
+        feed=feed_seeds(docs).select("url"))
+
+
 def q_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-k per-source audit sample (corpus.audit_sample):
     the reproducible human-QA draw every corpus release ships."""
@@ -1167,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "audit_sample": q_audit_sample,
         "robots_refresh": q_robots_refresh,
+        "seed_bootstrap": q_seed_bootstrap,
     }
 
 
@@ -2922,6 +2938,15 @@ SELECT d.lang, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
 FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.lang""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
+        "seed_bootstrap": """
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url, doc_id
+  FROM documents)
+SELECT url,
+       CASE WHEN doc_id < 10 THEN 'explicit' ELSE 'sitemap' END AS src,
+       CAST(CASE WHEN doc_id < 10 THEN 0 ELSE 1 END AS BIGINT) AS priority
+FROM u""",
         "audit_sample": f"""
 WITH h AS (
   SELECT source AS grp, doc_id,

@@ -294,3 +294,22 @@ def test_robots_refresh_threshold(spark):
     out = {r["host"]: r["age_hours"]
            for r in robots_refresh(meta, "2026-01-02 00:00:00").collect()}
     assert out == {"edge": 24, "stale": 47}
+
+
+def test_seed_bootstrap_priority_and_dedup(spark):
+    from supercrawler_spark.operators.bootstrap import seed_bootstrap
+    mk = lambda urls: spark.createDataFrame([(u,) for u in urls],
+                                            "url string")
+    out = {r["url"]: (r["src"], r["priority"]) for r in seed_bootstrap(
+        explicit=mk(["https://a/x"]),
+        sitemap=mk(["https://a/x", "https://a/y"]),
+        feed=mk(["https://a/y", "https://a/z", "https://a/z"])).collect()}
+    assert out == {"https://a/x": ("explicit", 0),
+                   "https://a/y": ("sitemap", 1),
+                   "https://a/z": ("feed", 2)}
+    # single-source and missing-source paths
+    one = seed_bootstrap(feed=mk(["https://a/q"])).collect()
+    assert [(r["src"], r["priority"]) for r in one] == [("feed", 2)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        seed_bootstrap()
