@@ -917,6 +917,33 @@ _BITEXT_URL_EXPR = """concat(
   '/doc/', CAST(doc_id % 21 AS STRING))"""
 
 
+_TPL_HTML_EXPR = """CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN concat('<html><head><title>T</title></head><body><article>',
+                     '<h1>H</h1><p>', text, '</p></article></body></html>')
+  WHEN 1 THEN concat('<html><body><div><ul><li>', text,
+                     '</li></ul></div></body></html>')
+  ELSE concat('<html><body><p>', text, '</p><p>more</p></body></html>')
+END"""
+
+
+def q_template_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host HTML-template census (operators/templates): pages reduce
+    to tag-sequence fingerprints (no DOM parse), hosts report distinct
+    template count + dominant-template share. Fixture serves 3 structural
+    variants by doc_id%3, so every host has n_templates=3 with
+    text-independent fingerprints."""
+    from supercrawler_spark.operators.templates import (page_templates,
+                                                        template_stats)
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.expr(_TPL_HTML_EXPR).alias("html"))
+    return template_stats(page_templates(pages))
+
+
 def q_seed_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source frontier bootstrap (operators/bootstrap): explicit
     seeds (doc_id < 10) + sitemap enumeration + feed entries — all three
@@ -1183,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_sample": q_audit_sample,
         "robots_refresh": q_robots_refresh,
         "seed_bootstrap": q_seed_bootstrap,
+        "template_stats": q_template_stats,
     }
 
 
@@ -2938,6 +2966,21 @@ SELECT d.lang, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
 FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.lang""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
+        "template_stats": f"""
+WITH p AS (
+  SELECT source || '.example.com' AS host, {_TPL_HTML_EXPR} AS html
+  FROM documents),
+f AS (
+  SELECT host,
+         {_MD5LONG.format(
+             x="array_to_string(regexp_extract_all(html, "
+               "'<([a-zA-Z][a-zA-Z0-9]*)', 1), '>')")} AS tpl
+  FROM p),
+per AS (SELECT host, tpl, COUNT(*) AS c FROM f GROUP BY 1, 2)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_templates,
+       CAST(SUM(c) AS BIGINT) AS n_pages,
+       round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS dominant_share
+FROM per GROUP BY host HAVING SUM(c) >= 2""",
         "seed_bootstrap": """
 WITH u AS (
   SELECT 'https://' || source || '.example.com/doc/'

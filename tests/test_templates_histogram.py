@@ -75,3 +75,28 @@ def test_url_templates_uppercase_hex_folds(spark):
     out = url_templates(urls, k=3, min_urls=2).collect()
     assert len(out) == 1 and out[0]["template"] == "/x/{hex}/y"
     assert out[0]["n_urls"] == 5
+
+
+def test_page_templates_text_independent(spark):
+    """Fingerprints depend on structure only: same template with different
+    text hashes identically; a structural change hashes differently."""
+    from supercrawler_spark.operators.templates import (page_templates,
+                                                        template_stats)
+    from pyspark.sql import functions as F
+    pages = spark.createDataFrame(
+        [("u1", "h.com", "<html><body><p>alpha</p></body></html>"),
+         ("u2", "h.com", "<html><body><p>beta gamma</p></body></html>"),
+         ("u3", "h.com", "<html><body><div>alpha</div></body></html>"),
+         ("u4", "solo.com", "<html><body><p>x</p></body></html>")],
+        "url string, host string, html string")
+    fps = {r["url"]: r["tpl_hash"] for r in page_templates(pages).collect()}
+    assert fps["u1"] == fps["u2"] != fps["u3"]
+    st = {r["host"]: r for r in template_stats(page_templates(pages),
+                                               min_pages=2).collect()}
+    assert "solo.com" not in st  # below min_pages
+    assert st["h.com"]["n_templates"] == 2
+    assert abs(st["h.com"]["dominant_share"] - 2 / 3) < 1e-6
+    # binary html column works too
+    b = pages.withColumn("html", F.col("html").cast("binary"))
+    fps_b = {r["url"]: r["tpl_hash"] for r in page_templates(b).collect()}
+    assert fps_b == fps
