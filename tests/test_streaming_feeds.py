@@ -66,3 +66,37 @@ def test_stream_matches_batch_and_restarts_incrementally(spark, tmp_path):
 
 def test_empty_out_dir_reads_empty(spark, tmp_path):
     assert read_new_seeds(spark, str(tmp_path / "none")).count() == 0
+
+
+def test_feed_discovery_drives_a_crawl(spark, tmp_path):
+    """Close the loop: feed snapshots -> streaming poll -> bootstrap ->
+    live crawl. The crawl seeded from feed-discovered URLs must produce
+    exactly the docs of the same crawl seeded directly."""
+    import datetime
+
+    from supercrawler_spark.crawler import CrawlConfig, crawl
+    from supercrawler_spark.operators.bootstrap import seed_bootstrap
+    from supercrawler_spark.sources.synth import ensure_corpus, load_tables
+
+    pages, seeds, _robots = load_tables(spark, ensure_corpus(0.001))
+    seed_urls = [r["url"] for r in
+                 seeds.orderBy("seed_order").collect()]
+    t0 = datetime.datetime(2026, 1, 5, 12, 0, 0)
+    _snapshot(spark, str(tmp_path / "feeds"),
+              [("h", _rss(seed_urls), t0)])
+    poll_feeds_available_now(spark, str(tmp_path / "feeds"),
+                             str(tmp_path / "seeds"),
+                             str(tmp_path / "ckpt"))
+    discovered = read_new_seeds(spark, str(tmp_path / "seeds"))
+    boot = seed_bootstrap(feed=discovered.select("url"))
+    assert {r["src"] for r in boot.select("src").distinct().collect()} \
+        == {"feed"}
+
+    cfg = CrawlConfig(crawl_depth=1, politeness=False)
+    via_feed = crawl(spark, pages, boot.select("url"), cfg,
+                     store_dir=str(tmp_path / "store_feed"))
+    direct = crawl(spark, pages, seeds.select("url"), cfg,
+                   store_dir=str(tmp_path / "store_direct"))
+    got = {r["url"] for r in via_feed.docs.select("url").collect()}
+    want = {r["url"] for r in direct.docs.select("url").collect()}
+    assert got == want and len(want) > 0
