@@ -926,6 +926,38 @@ _TPL_HTML_EXPR = """CASE CAST(doc_id % 3 AS INT)
 END"""
 
 
+_HREFLANG_LANGS = "array('en','fr','de','es')"
+_HREFLANG_HTML_EXPR = f"""concat(
+  '<html><head>',
+  concat_ws('', transform(sequence(0, 3), j -> concat(
+    '<link rel="alternate" hreflang="',
+    element_at({_HREFLANG_LANGS}, cast(j + 1 as int)),
+    '" href="https://site',
+    cast((4 * (doc_id div 4) + j) % 5 as string), '.example.com/',
+    element_at({_HREFLANG_LANGS}, cast(j + 1 as int)),
+    '/p/', cast(doc_id div 4 as string), '"/>'))),
+  '</head><body><p>', text, '</p></body></html>')"""
+
+_HREFLANG_URL_EXPR = f"""concat(
+  'https://site', cast(doc_id % 5 as string), '.example.com/',
+  element_at({_HREFLANG_LANGS}, cast(doc_id % 4 + 1 as int)),
+  '/p/', cast(doc_id div 4 as string))"""
+
+
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-declared language-variant clusters (operators/alternates):
+    every group of 4 docs forms a self-inclusive hreflang clique across
+    hosts; the engine PARSES the declarations out of the built html while
+    the oracle declares the expected clusters directly — round-trip
+    proves the parser."""
+    from supercrawler_spark.operators.alternates import (hreflang_clusters,
+                                                         hreflang_edges)
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(F.expr(_HREFLANG_URL_EXPR).alias("url"),
+                        F.expr(_HREFLANG_HTML_EXPR).alias("html"))
+    return hreflang_clusters(hreflang_edges(pages))
+
+
 def q_template_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host HTML-template census (operators/templates): pages reduce
     to tag-sequence fingerprints (no DOM parse), hosts report distinct
@@ -1211,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_refresh": q_robots_refresh,
         "seed_bootstrap": q_seed_bootstrap,
         "template_stats": q_template_stats,
+        "hreflang_clusters": q_hreflang_clusters,
     }
 
 
@@ -2966,6 +2999,19 @@ SELECT d.lang, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
 FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.lang""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
+        "hreflang_clusters": """
+WITH d AS (
+  SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INTEGER) AS v
+  FROM documents),
+u AS (
+  SELECT doc_id, g,
+         'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/'
+           || list_extract(['en','fr','de','es'], v + 1)
+           || '/p/' || CAST(g AS VARCHAR) AS url
+  FROM d),
+c AS (SELECT g, MIN(url) AS cluster_id FROM u GROUP BY g)
+SELECT u.url, c.cluster_id, CAST(4 AS BIGINT) AS n_alternates
+FROM u JOIN c USING (g)""",
         "template_stats": f"""
 WITH p AS (
   SELECT source || '.example.com' AS host, {_TPL_HTML_EXPR} AS html

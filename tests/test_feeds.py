@@ -98,3 +98,31 @@ def test_atom_garbage_updated_yields_null(spark):
            "</entry></feed>")
     rows = _parse(spark, xml)
     assert rows[0]["published"] is None
+
+
+def test_hreflang_edges_and_clusters(spark):
+    from supercrawler_spark.operators.alternates import (hreflang_clusters,
+                                                         hreflang_edges)
+    html_a = ('<html><head>'
+              '<link rel="alternate" hreflang="en" href="https://a/en"/>'
+              '<link rel="alternate" hreflang="fr" href="https://a/fr"/>'
+              '<link rel="stylesheet" href="https://a/css"/>'
+              '<link rel="alternate" href="https://a/no-lang"/>'
+              "</head><body/></html>")
+    pages = spark.createDataFrame(
+        [("https://a/en", html_a),
+         ("https://a/fr", html_a),
+         ("https://b/solo", "<html><head></head><body/></html>")],
+        "url string, html string")
+    edges = hreflang_edges(pages)
+    got = {(r["url"], r["hreflang"], r["alt_url"]) for r in edges.collect()}
+    # stylesheet and lang-less alternates excluded; no-declaration page
+    # yields nothing
+    assert got == {("https://a/en", "en", "https://a/en"),
+                   ("https://a/en", "fr", "https://a/fr"),
+                   ("https://a/fr", "en", "https://a/en"),
+                   ("https://a/fr", "fr", "https://a/fr")}
+    cl = {r["url"]: (r["cluster_id"], r["n_alternates"])
+          for r in hreflang_clusters(edges).collect()}
+    assert cl == {"https://a/en": ("https://a/en", 2),
+                  "https://a/fr": ("https://a/en", 2)}
