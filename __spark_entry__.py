@@ -1068,6 +1068,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_buckets=64, iters=2, lr=2.0)
 
 
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration of the trained classifier's scores against the
+    training label (operators/classifier.score_calibration) — the
+    threshold-acceptance check before a score gates a corpus."""
+    from supercrawler_spark.operators.classifier import (
+        hashed_logreg_scores, score_calibration)
+    return score_calibration(
+        hashed_logreg_scores(_docs(spark, sf_dir), target_lang="en",
+                             n_buckets=64, iters=2, lr=2.0), bins=10)
+
+
 def q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-URL content drift between two snapshots as 1 - minhash-Jaccard
     of 3-token shingles (operators/recrawl.content_drift): docs with
@@ -1244,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_bootstrap": q_seed_bootstrap,
         "template_stats": q_template_stats,
         "hreflang_clusters": q_hreflang_clusters,
+        "score_calibration": q_score_calibration,
     }
 
 
@@ -2999,6 +3011,12 @@ SELECT d.lang, CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
 FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.lang""",
         "quality_classifier": _logreg_sql(64, 2, 2.0),
+        "score_calibration": f"""
+WITH scored AS ({_logreg_sql(64, 2, 2.0)})
+SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+       COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+FROM scored GROUP BY 1""",
         "hreflang_clusters": """
 WITH d AS (
   SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INTEGER) AS v

@@ -114,3 +114,18 @@ def hashed_logreg_scores(docs: DataFrame, target_lang: str = "en",
     return scored.select(
         "doc_id", "y",
         F.round(1.0 / (1.0 + F.exp(-F.round("z", 9))), 6).alias("score"))
+
+
+def score_calibration(scored: DataFrame, bins: int = 10) -> DataFrame:
+    """(bin, n, n_pos, pos_rate): decile calibration of classifier scores
+    against the training label — the acceptance check before a score
+    threshold gates a corpus (a well-calibrated filter shows pos_rate
+    rising with bin; a flat profile means the model learned nothing and
+    thresholding it would just subsample). One tiny aggregation over the
+    (doc_id, y, score) output; score==1.0 folds into the top bin."""
+    b = F.least(F.floor(F.col("score") * bins).cast("long"),
+                F.lit(bins - 1))
+    return (scored.groupBy(b.alias("bin"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("n_pos"),
+                 F.round(F.sum("y") / F.count("*"), 6).alias("pos_rate")))

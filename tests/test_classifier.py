@@ -58,3 +58,17 @@ def test_null_lang_counts_as_negative(spark):
     assert out[1]["y"] == 0 and out[2]["y"] == 0
     assert out[0]["y"] == 1
     assert all(r["score"] is not None for r in out.values())
+
+
+def test_score_calibration_bins_and_rates(spark):
+    from supercrawler_spark.operators.classifier import score_calibration
+    scored = spark.createDataFrame(
+        [(0, 1, 0.95), (1, 1, 0.91), (2, 0, 0.95),   # bin 9
+         (3, 0, 0.05), (4, 0, 0.02),                 # bin 0
+         (5, 1, 1.0)],                               # 1.0 folds into bin 9
+        "doc_id long, y long, score double")
+    out = {r["bin"]: r for r in score_calibration(scored, bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[9]["n"] == 4 and out[9]["n_pos"] == 3
+    assert abs(out[9]["pos_rate"] - 0.75) < 1e-9
+    assert out[0]["n"] == 2 and out[0]["n_pos"] == 0
