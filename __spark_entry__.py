@@ -1068,6 +1068,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_buckets=64, iters=2, lr=2.0)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) positional fingerprints, k=4 w=5
+    (operators/spans.winnow_fingerprints): rightmost-min selection per
+    hash window, guaranteed coverage of >=8-token shared substrings at
+    ~1/3 the density of exhaustive windows."""
+    from supercrawler_spark.operators.spans import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
+
 def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile calibration of the trained classifier's scores against the
     training label (operators/classifier.score_calibration) — the
@@ -1256,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_stats": q_template_stats,
         "hreflang_clusters": q_hreflang_clusters,
         "score_calibration": q_score_calibration,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -3017,6 +3027,25 @@ SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
        COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
        round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
 FROM scored GROUP BY 1""",
+        "winnow_fingerprints": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+h AS (
+  SELECT doc_id, list_transform(
+           generate_series(1, len(tok) - 3),
+           i -> {_MD5LONG.format(
+               x="array_to_string(tok[i:i+3], ' ')")}) AS hs
+  FROM t WHERE len(tok) >= 8),
+sel AS (
+  -- list_distinct over struct lists is unimplemented in DuckDB; the
+  -- outer SELECT DISTINCT performs the dedup instead
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(hs) - 4),
+           j -> struct_pack(
+             pos := j + 5 - list_position(list_reverse(hs[j:j+4]),
+                                          list_aggregate(hs[j:j+4], 'min')),
+             fp := list_aggregate(hs[j:j+4], 'min')))) AS s
+  FROM h)
+SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp FROM sel""",
         "hreflang_clusters": """
 WITH d AS (
   SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INTEGER) AS v

@@ -88,3 +88,46 @@ def span_dup_stats(docs: DataFrame, w: int = 8, min_count: int = 2,
                  .alias("dup_windows"))
             .withColumn("dup_fraction",
                         F.round(F.col("dup_windows") / F.col("n_windows"), 6)))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, fp): winnowing fingerprints (Schleimer et al., the
+    MOSS algorithm) — from each window of ``w`` consecutive k-gram hashes,
+    select the minimum (rightmost on ties), dedup repeats. The selection
+    guarantees every shared substring of at least w+k-1 tokens yields at
+    least one shared fingerprint, at an expected density of 2/(w+1) —
+    the positional copy-detection index ``duplicate_spans`` (exhaustive
+    windows) is too dense to store at corpus scale.
+
+    Pure higher-order column functions over the token array — the whole
+    selection runs at scan speed with no shuffle; the output (doc, pos,
+    fp) rows are the only thing that ever aggregates. Documents shorter
+    than w+k-1 tokens emit nothing."""
+    from supercrawler_spark.operators.textquality import _tokens
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    # k-gram hash stream: H[i] = md5long of tokens[i..i+k-1], 1-based
+    H = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.conv(F.substring(F.md5(
+            F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")),
+            1, 15), 16, 10).cast("long"))
+    # per window j (1-based over H): rightmost index of the window min
+    def pick(h):
+        m = F.size(h) - (w - 1)
+        return F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.struct(
+                (j + w - F.array_position(
+                    F.reverse(F.slice(h, j, w)),
+                    F.array_min(F.slice(h, j, w)))).alias("pos"),
+                F.array_min(F.slice(h, j, w)).alias("fp")))
+    sel = F.when(n >= w + k - 1, pick(H)) \
+        .otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.array_distinct(sel)).alias("s"))
+            .select("doc_id", F.col("s.pos").cast("long").alias("pos"),
+                    F.col("s.fp").alias("fp"))
+            .distinct())

@@ -84,3 +84,33 @@ def test_duplicate_spans_flags_shared_run(spark):
     assert stats[0]["n_windows"] == 6                            # 13 tokens
     assert stats[0]["dup_fraction"] == pytest.approx(1 / 6, abs=1e-6)
     assert stats[4]["dup_windows"] == 2                          # spam doc
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing property: two docs sharing a substring of >= w+k-1 tokens
+    share at least one fingerprint VALUE; density well below exhaustive
+    windows; short docs emit nothing; selection is deterministic."""
+    from pyspark.sql import functions as F
+
+    from supercrawler_spark.operators.spans import winnow_fingerprints
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, "prefix words here " + shared + " and a suffix tail"),
+         (1, shared + " totally different continuation of text body"),
+         (2, "unrelated content with nothing in common at all here now"),
+         (3, "too short")],
+        "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=4, w=5)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 3 not in by_doc                       # < w+k-1 tokens
+    assert by_doc[0] & by_doc[1]                 # guarantee on shared span
+    assert not (by_doc[0] & by_doc[2])           # unrelated docs disjoint
+    # density: far fewer fingerprints than k-gram windows
+    n_tokens = 10 + 7
+    assert len(by_doc[0]) < (n_tokens - 3)
+    again = {(r["doc_id"], r["pos"], r["fp"])
+             for r in winnow_fingerprints(docs, k=4, w=5).collect()}
+    assert again == {(r["doc_id"], r["pos"], r["fp"]) for r in rows}
