@@ -628,7 +628,7 @@ def main() -> None:
             n_pages / timings["crawl_scan"], 1)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -636,8 +636,42 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         **extras,
-    }))
+    }
+    # Full record (all extras, 3-decimal timings) goes to a file for audit;
+    # stdout carries ONE compact JSON line kept under ~1.9 KB because the
+    # round driver records only a 2 KB tail of bench output (the round-2
+    # line was truncated to parsed:null). If even 2-decimal timings don't
+    # fit, the cheapest cells are dropped first and counted in
+    # "queries_omitted" — never a silent cut.
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the headline
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if "crawl_scan_urls_per_sec" in extras:
+        compact["crawl_scan_urls_per_sec"] = extras["crawl_scan_urls_per_sec"]
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line.encode()) > 1900 and compact["queries"]:
+        cheapest = min(compact["queries"], key=compact["queries"].get)
+        compact["queries"].pop(cheapest)
+        compact["queries_omitted"] = len(timings) - len(compact["queries"])
+        line = json.dumps(compact, separators=(",", ":"))
+    # stop FIRST: the JVM occasionally emits late GC warnings on stdout,
+    # and anything printed after the JSON line would corrupt the driver's
+    # 2 KB tail-parse
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,13 @@ class CrawlConfig:
     compact_seen_every: int = 8     # seen-delta compaction cadence
     broadcast_frontier_max: int = 1_000_000  # rows; below this the fetch
     # join broadcasts the FRONTIER and streams pages (see _run_round)
+    broadcast_frontier_bytes: int = 64 << 20  # byte budget for that same
+    # broadcast (autoBroadcastJoinThreshold-style conf): the row cap alone
+    # would let 1M × 500-byte URLs (~1 GB build side with the host column)
+    # onto every executor, so the round also estimates the build-side
+    # footprint from the measured avg url width (see frontier_broadcast_ok)
+    # and falls through to the bucket-wise / shuffle ladder when either
+    # bound is exceeded
     snapshot_dedup: bool = True     # latest-warc_ts-wins when pages carries
     # multiple Common-Crawl snapshots per url (set False only if the pages
     # table is known url-unique; ties on (url, warc_ts) assumed impossible)
@@ -145,6 +152,25 @@ def _with_bucket(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
 def _path_col():
     # url path+query for robots prefix matching (scheme://host stripped)
     return F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+
+
+_BROADCAST_ROW_OVERHEAD = 48  # UnsafeRow header + depth/seq/bucket fields
+
+
+def frontier_broadcast_ok(n_rows: int, avg_url_bytes: float,
+                          cfg: "CrawlConfig") -> bool:
+    """Byte-budget guard for the broadcast-frontier fetch join. Estimates
+    the build side as rows × (2 × avg url width + fixed row overhead) —
+    the url and host strings dominate a frontier row — and requires BOTH
+    the flat row cap (backstop) and the byte budget. The avg width comes
+    free from the round's existing stats collect (sum(octet_length(url))),
+    so the guard adds no extra job."""
+    if n_rows <= 0:
+        return True
+    if n_rows > cfg.broadcast_frontier_max:
+        return False
+    est = n_rows * (2.0 * avg_url_bytes + _BROADCAST_ROW_OVERHEAD)
+    return est <= cfg.broadcast_frontier_bytes
 
 
 def attach_dense_seq(
@@ -373,7 +399,9 @@ class Crawler:
         # fetchable parent is still below the depth budget (single action)
         stats = (work.groupBy("bucket", "robots_blocked", "deferred")
                  .agg(F.count("*").alias("cnt"),
-                      F.min("depth").alias("min_depth")).collect())
+                      F.min("depth").alias("min_depth"),
+                      F.sum(F.octet_length("url")).alias("url_bytes"))
+                 .collect())
         frontier_count = sum(r["cnt"] for r in stats)
         n_deferred = sum(r["cnt"] for r in stats if r["deferred"])
         live_buckets = sorted({r["bucket"] for r in stats
@@ -394,6 +422,11 @@ class Crawler:
         throttle_cache = None
         n_fetchable = frontier_count - n_deferred \
             - sum(r["cnt"] for r in stats if r["robots_blocked"])
+        fetchable_url_bytes = sum(
+            r["url_bytes"] or 0 for r in stats
+            if not r["robots_blocked"] and not r["deferred"])
+        avg_url_bytes = (fetchable_url_bytes / n_fetchable
+                         if n_fetchable else 0.0)
         if (cfg.max_fetch_per_round is not None
                 and n_fetchable > cfg.max_fetch_per_round):
             # dequeue order: priority score (desc) when a host_priority table
@@ -466,7 +499,13 @@ class Crawler:
                   .groupBy("url").agg(F.max("warc_ts").alias("warc_ts")))
             return frontier_side.join(F.broadcast(ts), "url", "inner")
 
-        broadcast_fetch = frontier_count <= cfg.broadcast_frontier_max
+        # build side of the broadcast is the (post-throttle) FETCHABLE set;
+        # gate on its row count AND its estimated bytes (byte-budget guard)
+        n_broadcast_rows = n_fetchable
+        if cfg.max_fetch_per_round is not None:
+            n_broadcast_rows = min(n_broadcast_rows, cfg.max_fetch_per_round)
+        broadcast_fetch = frontier_broadcast_ok(
+            n_broadcast_rows, avg_url_bytes, cfg)
         fetch_cache = None
         if broadcast_fetch:
             build = _resolve_snapshots(fetchable, pages) if snap else fetchable

@@ -45,6 +45,36 @@ def test_bucketwise_fetch_join_equals_broadcast(spark, corpus_sf0001,
     assert b == f
 
 
+def test_frontier_broadcast_byte_budget_guard():
+    """The broadcast decision is rows AND bytes: 1M tiny URLs pass the row
+    cap but 1M × 500-byte URLs (~1 GB build side) must NOT broadcast."""
+    from supercrawler_spark.crawler import frontier_broadcast_ok
+    cfg = CrawlConfig()  # 1M rows / 64 MB defaults
+    assert frontier_broadcast_ok(0, 0.0, cfg)
+    assert frontier_broadcast_ok(100_000, 40.0, cfg)     # ~13 MB: ok
+    assert not frontier_broadcast_ok(2_000_000, 40.0, cfg)  # row cap
+    assert not frontier_broadcast_ok(1_000_000, 500.0, cfg)  # ~1 GB: bytes
+    # the byte budget is a conf: raising it re-admits the wide frontier
+    wide = CrawlConfig(broadcast_frontier_bytes=2 << 30)
+    assert frontier_broadcast_ok(1_000_000, 500.0, wide)
+
+
+def test_byte_budget_fallback_crawl_parity(spark, corpus_sf0001,
+                                           tmp_path_factory):
+    """Forcing the byte guard to reject every broadcast (1-byte budget)
+    must route rounds through the bucket-wise ladder with identical crawl
+    results — the guard changes the physical strategy, never the answer."""
+    pages, seeds, _ = load_tables(spark, corpus_sf0001)
+    base = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=2, num_buckets=8),
+                 store_dir=str(tmp_path_factory.mktemp("bb_base")))
+    forced = crawl(spark, pages, seeds,
+                   CrawlConfig(crawl_depth=2, num_buckets=8,
+                               broadcast_frontier_bytes=1),
+                   store_dir=str(tmp_path_factory.mktemp("bb_forced")))
+    assert _seen_depths(forced) == _seen_depths(base)
+    assert _docs_map(forced) == _docs_map(base)
+
+
 def test_bucketwise_join_plan_has_no_shuffle_on_pages(spark, corpus_sf0001):
     """Plan audit: the per-bucket broadcast join unioned across buckets must
     contain NO shuffle exchange — pages html bytes never cross the wire even

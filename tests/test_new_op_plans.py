@@ -70,6 +70,36 @@ def test_cdx_pure_codegen_projection(spark):
     assert "*(1)" in plan  # whole-stage codegen stage marker
 
 
+def test_cdx_distributed_rank_no_global_window(spark):
+    """The REGISTERED cdx_index query now runs the two-phase distributed
+    rank: every Window in its plan must be partitioned (by the range
+    partition id), never a single-partition global window that would
+    serialize the whole 10^10-row index through one task."""
+    from supercrawler_spark.operators.cdx import cdx_index
+    out, cache = cdx_index(entry_mod._cdx_pages(spark, SF_DIR), n_shards=4,
+                           exact=False)
+    try:
+        plan = _plan(out)
+        for line in plan.splitlines():
+            if line.lstrip().startswith("Window"):
+                assert "_pid" in line, f"unpartitioned window: {line}"
+        assert "EvalPython" not in plan
+    finally:
+        cache.unpersist()
+
+
+def test_cdx_registered_query_matches_exact_rank(spark):
+    """q_cdx_index (distributed, temp-dir materialized) row-for-row equals
+    the exact single-window rank."""
+    from supercrawler_spark.operators.cdx import cdx_index
+    got = {tuple(r) for r in
+           entry_mod.q_cdx_index(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in
+            cdx_index(entry_mod._cdx_pages(spark, SF_DIR), n_shards=4,
+                      exact=True).collect()}
+    assert got == want
+
+
 def test_dsir_single_bucket_broadcast(spark):
     """DSIR scoring joins the 256-row model table via broadcast; the
     one-row totals cross join is the only nested-loop allowed."""
