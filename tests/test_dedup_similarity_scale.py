@@ -360,6 +360,55 @@ def test_pq_ann_recovers_twins_and_codes_valid(spark):
     assert bad == 0
 
 
+def test_pq_trained_beats_fixed_and_recovers_twins(spark):
+    """Trained codebooks must (a) recover planted near-identical twins at
+    rank 1 and (b) reach recall@3 >= 0.5 vs exact L2 on random vectors —
+    the regime where the fixed-span codebook reads ~0 recall."""
+    import random
+    rng = random.Random(37)
+    rows = [(i, [float(rng.uniform(-0.5, 0.5)) for _ in range(64)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.l2_topk(emb, q, k=3).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.pq_ann_topk_trained(
+               emb, q, k=3, m_sub=16, k_codes=32, rerank=16).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"trained-PQ recall@3 {recall} < 0.5"
+    # twin recovery: rank-1 for a +0.005 perturbed copy
+    twins = [(1000 + i, [float(x + 0.005) for x in v])
+             for i, v in rows[:5]]
+    emb2 = emb.unionByName(
+        spark.createDataFrame(twins, "vec_id LONG, embedding ARRAY<FLOAT>"))
+    r1 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in similarity.pq_ann_topk_trained(
+              emb2, emb.filter(F.col("vec_id") < 5), k=1,
+              m_sub=16, k_codes=32, rerank=16).collect()}
+    for qid in range(5):
+        assert r1[(qid, 1)] == 1000 + qid, "twin not recovered"
+
+
+def test_pq_trained_plan_is_jvm_only(spark):
+    """Training + encode + ADC + rerank must stay pure JVM expressions:
+    no Python eval, no CartesianProduct; the only nested-loop joins are
+    the deliberate one-row codebook broadcasts and the broadcast query
+    table."""
+    rows = [(i, [float((i * 7 + j) % 11 - 5) for j in range(64)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = similarity.pq_ann_topk_trained(
+        emb, emb.filter(F.col("vec_id") < 3), k=3, m_sub=8, k_codes=16,
+        rerank=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln  # one-row codebook / broadcast qt only
+
+
 def test_pq_adist_matches_table_reconstruction(spark):
     """The ADC distance must equal the sum of per-subspace table entries at
     the neighbor's codes — reconstructed independently in Python."""
