@@ -201,6 +201,17 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
 
 
+def q_minhash_lsh_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted hot-block path: every band block above salt_threshold=1
+    member runs the S×S salted grid self-join (S=4), so at gate scale the
+    salting machinery carries essentially ALL pairs — and the oracle is the
+    SAME SQL as the plain query, proving salting is a pure physical
+    re-plan (identical pairs, bounded per-key fan-in) with no semantic
+    effect."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), salt_buckets=4,
+                                   salt_threshold=1)
+
+
 def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mega-cluster guard path: band blocks larger than max_bucket_size are
     dropped before the self-join (bounded fan-out at web scale); cap 2 is
@@ -963,12 +974,20 @@ _HREFLANG_LANGS = "array('en','fr','de','es')"
 _HREFLANG_HTML_EXPR = f"""concat(
   '<html><head>',
   concat_ws('', transform(sequence(0, 3), j -> concat(
-    '<link rel="alternate" hreflang="',
+    case when j = 1 then '<link rel=\\'alternate\\' hreflang=\\''
+         when j = 2 then '<link rel=alternate hreflang='
+         else '<link rel="alternate" hreflang="' end,
     element_at({_HREFLANG_LANGS}, cast(j + 1 as int)),
-    '" href="https://site',
+    case when j = 1 then '\\' href=\\''
+         when j = 2 then ' href='
+         else '" href="' end,
+    'https://site',
     cast((4 * (doc_id div 4) + j) % 5 as string), '.example.com/',
     element_at({_HREFLANG_LANGS}, cast(j + 1 as int)),
-    '/p/', cast(doc_id div 4 as string), '"/>'))),
+    '/p/', cast(doc_id div 4 as string),
+    case when j = 1 then '\\'/>'
+         when j = 2 then ' />'
+         else '"/>' end))),
   '</head><body><p>', text, '</p></body></html>')"""
 
 _HREFLANG_URL_EXPR = f"""concat(
@@ -1253,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         # ---- end of the driver's 50-query window ----
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
+        "minhash_lsh_pairs_salted": q_minhash_lsh_pairs_salted,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "span_dup_stats": q_span_dup_stats,
         "entropy_signals": q_entropy_signals,
@@ -1854,7 +1874,7 @@ scored AS (
                JOIN embeddings e2 ON e2.vec_id = p.b_id
 )
 SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.4"""
-    return {
+    sqls = {
         "crawl_seen": recursive_cte + """,
 bfs AS (
   SELECT doc_id, 0 AS depth FROM seeds
@@ -3300,3 +3320,6 @@ SELECT host,
        CASE WHEN gid % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt
 FROM d""",
     }
+    # salted LSH is a pure physical re-plan: identical pairs, same oracle
+    sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
+    return sqls

@@ -24,17 +24,33 @@ from pyspark.sql import DataFrame, functions as F
 _LINK_TAG = "<link\\s[^>]*>"
 
 
+def _attr(t, name: str):
+    """Attribute value of ``name`` in tag text ``t``, accepting double-
+    quoted, single-quoted, and unquoted syntax — real-web HTML uses all
+    three, and a double-quote-only regex silently drops declared
+    alternates on the other two (shrinking clusters). Quoted forms win
+    over the unquoted fallback; missing attribute yields ''."""
+    dq = F.regexp_extract(t, f'{name}\\s*=\\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(t, f"{name}\\s*=\\s*'([^']*)'", 1)
+    uq = F.regexp_extract(t, f"""{name}\\s*=\\s*([^"'\\s>]+)""", 1)
+    return (F.when(dq != "", dq)
+            .otherwise(F.when(sq != "", sq).otherwise(uq)))
+
+
+_REL_ALTERNATE = """rel\\s*=\\s*("alternate"|'alternate'|alternate(?=[\\s/>]))"""
+
+
 def hreflang_edges(pages: DataFrame, html_col: str = "html",
                    url_col: str = "url") -> DataFrame:
     """(url, hreflang, alt_url): one row per declared alternate. Tags
     missing either attribute are dropped; html may be string or UTF-8
-    binary."""
+    binary; attributes may be double-quoted, single-quoted, or unquoted."""
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html, F.lit(_LINK_TAG), 0)
-    alts = F.filter(tags, lambda t: t.contains('rel="alternate"'))
+    alts = F.filter(tags, lambda t: t.rlike(_REL_ALTERNATE))
     pairs = F.transform(alts, lambda t: F.struct(
-        F.regexp_extract(t, 'hreflang="([^"]*)"', 1).alias("hreflang"),
-        F.regexp_extract(t, 'href="([^"]*)"', 1).alias("alt_url")))
+        _attr(t, "hreflang").alias("hreflang"),
+        _attr(t, "href").alias("alt_url")))
     return (pages.select(F.col(url_col).alias("url"),
                          F.explode(pairs).alias("p"))
             .select("url", F.col("p.hreflang").alias("hreflang"),

@@ -106,7 +106,9 @@ def minhash_sig_array(docs: DataFrame, num_hashes: int = 8,
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      salt_buckets: int | None = None,
+                      salt_threshold: int = 64) -> DataFrame:
     """LSH candidate pairs: docs whose signatures agree on at least one full
     band of ``band_size`` consecutive minhashes. Output (a_id, b_id, n_bands)
     with a_id < b_id.
@@ -121,7 +123,19 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
     document text — versus the k² join-row explosion it prevents. Pairs
     lost are exactly those inside dropped blocks
     (every member still meets the rest of the corpus through its other
-    bands). None = unbounded (small-corpus default; at 10^10 docs set it)."""
+    bands). None = unbounded (small-corpus default; at 10^10 docs set it).
+
+    ``salt_buckets=S`` KEEPS hot-block pairs instead of relying on AQE or
+    the drop guard: blocks larger than ``salt_threshold`` run through an
+    S×S salted grid self-join — each member gets a deterministic salt
+    σ(doc_id) ∈ [0,S); the A side is replicated S times as (σ(a), j), the
+    B side as (i, σ(b)), and the join keys on (band, band_key, i, j), so
+    every pair meets in EXACTLY one grid cell and the largest single join
+    key carries ~2k/S input rows and ~(k/S)² output rows instead of k and
+    k². Results are identical with salting on or off (parity-tested);
+    replication cost (S× the hot rows, strings only) is paid only on the
+    blocks that need it. Compose with ``max_bucket_size`` to still drop
+    truly degenerate mega-clusters and salt the middle range."""
     sig = minhash_signatures(docs, num_hashes, text_col, id_col)
     bands = (sig
              .withColumn("band", (F.col("hash_id") / band_size).cast("long"))
@@ -129,13 +143,38 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
              .agg(F.concat_ws(",", F.sort_array(F.collect_list(
                  F.concat_ws(":", F.col("hash_id"), F.col("min_hash")))))
                  .alias("band_key")))
-    if max_bucket_size is not None:
+    if max_bucket_size is not None or salt_buckets is not None:
         wsz = Window.partitionBy("band", "band_key")
-        bands = (bands.withColumn("_bsz", F.count("*").over(wsz))
-                 .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
-    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
-    return (a.join(b, ["band", "band_key"])
+        bands = bands.withColumn("_bsz", F.count("*").over(wsz))
+    if max_bucket_size is not None:
+        bands = bands.filter(F.col("_bsz") <= max_bucket_size)
+    if salt_buckets is None:
+        if "_bsz" in bands.columns:
+            bands = bands.drop("_bsz")
+        a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+        b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+        joined = a.join(b, ["band", "band_key"]).select("a_id", "b_id")
+    else:
+        S = salt_buckets
+        hot = F.col("_bsz") > salt_threshold
+        cold = bands.filter(~hot).drop("_bsz")
+        hotb = bands.filter(hot).drop("_bsz")
+        ca = cold.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+        cb = cold.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+        cold_pairs = (ca.join(cb, ["band", "band_key"])
+                      .select("a_id", "b_id"))
+        salt = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(S))
+        grid = F.explode(F.array(*[F.lit(x) for x in range(S)]))
+        ha = (hotb.withColumn("_sa", salt).withColumn("_sb", grid)
+              .select(F.col("doc_id").alias("a_id"), "band", "band_key",
+                      "_sa", "_sb"))
+        hb = (hotb.withColumn("_sb", salt).withColumn("_sa", grid)
+              .select(F.col("doc_id").alias("b_id"), "band", "band_key",
+                      "_sa", "_sb"))
+        hot_pairs = (ha.join(hb, ["band", "band_key", "_sa", "_sb"])
+                     .select("a_id", "b_id"))
+        joined = cold_pairs.unionByName(hot_pairs)
+    return (joined
             .filter(F.col("a_id") < F.col("b_id"))
             .groupBy("a_id", "b_id")
             .agg(F.count("*").alias("n_bands")))

@@ -112,24 +112,30 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 200,
     (typically >half the vocabulary of web text, all useless for lookup),
     ``max_df`` drops stopword-grade terms whose posting lists would be
     corpus-sized rows — exactly the terms a query planner answers with a
-    scan anyway. Within the band a posting row is at most ``max_df`` ids,
-    so the ``collect_list`` is bounded and the index build is two shuffles:
-    dropDuplicates on (term, doc) then groupBy(term), both map-side
-    combined. Terms above ``max_df`` would otherwise make ``collect_list``
-    the skew hazard; the filter runs on the counted df BEFORE the list is
-    assembled (aggregate twice: count first, list only for survivors via
-    self-semi-join would add a scan — instead both aggregates run in one
-    groupBy and Spark's partial aggregation caps memory per partial group
-    at max_df survivors only after the final merge; for a 100 TB build use
-    the two-phase variant: df counts -> semi-join -> list aggregate)."""
+    scan anyway.
+
+    TWO-PHASE build so no list buffer ever exists for an out-of-band
+    term: phase 1 counts df per term (map-side-combinable longs only) and
+    applies the band; phase 2 joins the surviving term set back to the
+    postings relation and only THEN aggregates the lists — every
+    ``collect_list`` group is ≤ ``max_df`` ids by construction. A
+    single-pass build (count + collect_list in one groupBy) would
+    materialize a corpus-sized array in one aggregation buffer for every
+    stopword-grade term before the band filter could drop it — list
+    buffers are NOT reduced by partial aggregation, so that is exactly
+    the skew/OOM hazard the band exists to avoid. The extra cost is one
+    term-keyed join of the (term, doc_id) relation against the banded df
+    table — narrow rows, same key as the aggregate that follows."""
     t = (docs.select(F.col(id_col).alias("doc_id"),
                      F.explode(_tokens(text_col)).alias("term"))
          .dropDuplicates(["term", "doc_id"]))
-    g = (t.groupBy("term")
-         .agg(F.count("*").cast("long").alias("df"),
-              F.array_join(
-                  F.transform(F.sort_array(F.collect_list("doc_id")),
-                              lambda x: x.cast("string")), ",")
-              .alias("postings")))
-    return g.filter((F.col("df") >= min_df) & (F.col("df") <= max_df)) \
-            .select("term", "df", "postings")
+    dfc = (t.groupBy("term")
+           .agg(F.count("*").cast("long").alias("df"))
+           .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+    return (t.join(dfc, "term")
+            .groupBy("term", "df")
+            .agg(F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")),
+                            lambda x: x.cast("string")), ",")
+                .alias("postings"))
+            .select("term", "df", "postings"))

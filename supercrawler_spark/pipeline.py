@@ -204,11 +204,22 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
         else:
             # no declared language — fall back to the engine's own
             # n-gram language ID (one extra scan for the narrow
-            # (id, pred_lang) join column)
+            # (id, pred_lang) join column). LEFT join: a doc langid
+            # cannot label must still participate in the resample (as
+            # non-target, via the 'unk' fallback) — an inner join would
+            # silently remove it from the corpus and fold it into
+            # dsir_dropped without distinction. (Empty-text docs are
+            # still dropped by dsir_logweights itself — they have no
+            # unigrams to weight; that drop is the operator's documented
+            # semantics, not a join artifact.)
             pred = _tq.langid(cur, text_col, id_col).select(
                 F.col("doc_id").alias(id_col),
-                F.col("pred_lang").alias("_dsir_lang"))
-            base, lang_col = cur.join(pred, id_col), "_dsir_lang"
+                F.col("pred_lang").alias("_pl"))
+            base = (cur.join(pred, id_col, "left")
+                    .withColumn("_dsir_lang",
+                                F.coalesce(F.col("_pl"), F.lit("unk")))
+                    .drop("_pl"))
+            lang_col = "_dsir_lang"
         w = _dsir.dsir_logweights(base, cfg.dsir_target_lang,
                                   cfg.dsir_buckets, text_col, id_col,
                                   lang_col)

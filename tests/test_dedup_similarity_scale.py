@@ -258,6 +258,49 @@ def test_minhash_bucket_cap_drops_mega_cluster(spark):
     assert capped == full - mega                 # ...and ONLY the cluster
 
 
+def test_minhash_salted_pairs_identical_and_bounded(spark):
+    """Salt-and-recombine on hot band blocks: (a) pairs AND n_bands are
+    identical with salting on/off — salting is a physical re-plan only;
+    (b) the salted grid actually bounds per-join-key fan-in: no
+    (band, band_key, sa, sb) cell sees the whole 24-member hot block."""
+    boiler = "repeat this exact boilerplate text again and again ok " * 3
+    rows = [(i, boiler) for i in range(24)]
+    rows += [(30, "some unique interesting document text here today friends"),
+             (31, "some unique interesting document text here today people")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {(r["a_id"], r["b_id"]): r["n_bands"]
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    salted = {(r["a_id"], r["b_id"]): r["n_bands"]
+              for r in dedup.minhash_lsh_pairs(
+                  docs, salt_buckets=4, salt_threshold=8).collect()}
+    assert salted == plain
+    assert len({p for p in plain if p[0] < 24}) == 276  # 24-choose-2 kept
+    # boundedness: replay the grid assignment — the largest per-cell side
+    # must be well under the 24-member block (σ is ~uniform over S=4)
+    salt = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(4))
+    sizes = (docs.filter(F.col("doc_id") < 24)
+             .select(salt.alias("s")).groupBy("s").count().collect())
+    assert len(sizes) > 1                      # block actually split
+    assert max(r["count"] for r in sizes) < 24
+
+
+def test_minhash_salted_composes_with_cap(spark):
+    """salt_buckets + max_bucket_size: the cap still drops the degenerate
+    mega-cluster; salting carries the mid-size block losslessly."""
+    boiler = "repeat this exact boilerplate text again and again ok " * 3
+    mid = "medium sized shared paragraph content for the block test " * 3
+    rows = [(i, boiler) for i in range(40)]          # mega: dropped by cap
+    rows += [(100 + i, mid) for i in range(10)]      # mid: salted, kept
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"])
+           for r in dedup.minhash_lsh_pairs(
+               docs, max_bucket_size=20, salt_buckets=4,
+               salt_threshold=4).collect()}
+    assert {p for p in got if p[0] < 40} == set()    # mega dropped
+    mid_pairs = {p for p in got if p[0] >= 100}
+    assert len(mid_pairs) == 45                      # 10-choose-2 kept
+
+
 def test_embedding_near_dups_bucket_cap(spark):
     """Same guard on the hyperplane-banded near-dup path: 8 identical
     vectors form over-crowded (band, bucket) blocks that cap=4 drops; a

@@ -126,3 +126,22 @@ def test_hreflang_edges_and_clusters(spark):
           for r in hreflang_clusters(edges).collect()}
     assert cl == {"https://a/en": ("https://a/en", 2),
                   "https://a/fr": ("https://a/en", 2)}
+
+
+def test_hreflang_quoting_variants(spark):
+    """Real-web attribute syntax: single-quoted and unquoted declarations
+    must parse identically to double-quoted ones; rel=alternately must
+    NOT match the unquoted rel test."""
+    from supercrawler_spark.operators.alternates import hreflang_edges
+    html = ('<html><head>'
+            "<link rel='alternate' hreflang='en' href='https://a/en'/>"
+            '<link rel=alternate hreflang=fr href=https://a/fr />'
+            '<link rel="alternate" hreflang = "de" href = "https://a/de"/>'
+            '<link rel=alternately hreflang=xx href=https://a/xx />'
+            "</head><body/></html>")
+    pages = spark.createDataFrame([("https://a/en", html)],
+                                  "url string, html string")
+    got = {(r["hreflang"], r["alt_url"])
+           for r in hreflang_edges(pages).collect()}
+    assert got == {("en", "https://a/en"), ("fr", "https://a/fr"),
+                   ("de", "https://a/de")}
