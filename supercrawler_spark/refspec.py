@@ -19,9 +19,22 @@ Reference citations (all into /root/reference):
 
 Implementation notes on parity:
   - The reference parses with html5ever (WHATWG); we parse with stdlib
-    ``html.parser``. Fixture/synthetic HTML is restricted to well-formed
-    markup (explicit html/head/body, explicit closing tags) where the two
-    parse trees agree (SURVEY.md §5.2).
+    ``html.parser`` extended with the WHATWG implied-end-tag rules the
+    real web exercises most: block starts close an open <p>; <li>, <dt>/
+    <dd>, <td>/<th>, <tr>, <option>/<optgroup> close their open siblings
+    (scope-bounded); a heading start pops an open heading; a stray </p>
+    synthesizes an empty <p>. Unclosed-tag markup in these families now
+    builds the same sibling structure html5ever does (adversarial
+    fixtures in tests/test_refspec.py). REMAINING DIVERGENCE CLASSES
+    (documented, not silently wrong): (1) misnested inline formatting
+    (``<b>x<i>y</b>z</i>``) — html5ever's adoption agency re-opens <i>
+    around "z", we attach "z" to the outer parent: text content and
+    order are identical, only emphasis-marker placement can differ;
+    (2) table foster-parenting (character/element tokens between table
+    internals are hoisted before the table by WHATWG, kept in place
+    here); (3) html/head/body synthesis — fragment HTML without an
+    explicit body still takes the "could not parse body" branch
+    (synthetic corpus always writes explicit html/head/body).
   - Rust ``str::len`` is bytes; the ``len > 10`` loose-text rule and the
     250-char description truncation use UTF-8 byte lengths here too.
   - CSS selector groups in scraper match in *document order* across the whole
@@ -46,13 +59,33 @@ VOID_ELEMENTS = {
     "link", "meta", "param", "source", "track", "wbr",
 }
 
-# tags whose open implicitly closes a still-open <p> (html5ever behavior);
-# fixtures use explicit closes, this is defensive only.
+# tags whose open implicitly closes a still-open <p> (html5ever behavior)
 _P_CLOSERS = {
     "p", "div", "ul", "ol", "li", "h1", "h2", "h3", "h4", "h5", "h6",
     "blockquote", "pre", "table", "section", "article", "main", "header",
-    "footer", "nav", "aside", "form",
+    "footer", "nav", "aside", "form", "dl", "dt", "dd",
 }
+
+# WHATWG implied-end-tag rules beyond <p> (html5ever's tree builder,
+# exercised by the reference via process_element over real-web markup):
+# a start tag of KEY closes any open tag in TARGETS, scanning the open
+# stack top-down and stopping at the scope BARRIERS. This is what makes
+# the common malformed patterns — unclosed <li>, <td>, <tr>, <dt>/<dd>,
+# <option> — produce the same sibling structure html5ever builds.
+_IMPLIED_CLOSES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    "li": (("li",), ("ul", "ol", "menu")),
+    "dt": (("dt", "dd"), ("dl",)),
+    "dd": (("dt", "dd"), ("dl",)),
+    "tr": (("tr", "td", "th"), ("table",)),
+    "td": (("td", "th"), ("tr", "table")),
+    "th": (("td", "th"), ("tr", "table")),
+    "option": (("option",), ("select", "optgroup", "datalist")),
+    "optgroup": (("option", "optgroup"), ("select",)),
+}
+
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+_SCOPE_BARRIERS = {"body", "html", "#document", "template"}
 
 
 @dataclass
@@ -120,6 +153,29 @@ class _TreeBuilder(HTMLParser):
                     break
                 if self.stack[i].tag in ("body", "html", "#document", "td", "th", "li"):
                     break
+        # WHATWG implied end tags: <li><li>, <td><td>, <tr><tr>, <dt><dd>,
+        # <option><option> — close the open sibling(s), bounded by the
+        # element's scope. The cut is the DEEPEST matching target above
+        # the barrier, so an incoming <tr> closes the whole open row
+        # (td AND tr), while a nested <li> inside a fresh <ul> (its
+        # barrier) leaves the outer li open.
+        closes = _IMPLIED_CLOSES.get(tag)
+        if closes is not None:
+            targets, barriers = closes
+            cut = None
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in targets:
+                    cut = i
+                    continue
+                if t in barriers or t in _SCOPE_BARRIERS:
+                    break
+            if cut is not None:
+                del self.stack[cut:]
+        # WHATWG: a heading start tag pops a still-open heading (parse
+        # error recovery — <h1>a<h2>b becomes siblings, never nesting)
+        if tag in _HEADINGS and self.stack[-1].tag in _HEADINGS:
+            self.stack.pop()
         node = Node(tag=tag, attrs={k.lower(): (v if v is not None else "") for k, v in attrs})
         node.parent = self.stack[-1]
         self.stack[-1].children.append(node)
@@ -140,6 +196,14 @@ class _TreeBuilder(HTMLParser):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
                 return
+        if tag == "p":
+            # WHATWG: </p> with no open <p> inserts an EMPTY <p> element
+            # (html5ever does this; it is text-invisible but keeps the
+            # sibling structure identical)
+            node = Node(tag="p")
+            node.parent = self.stack[-1]
+            self.stack[-1].children.append(node)
+            return
         # stray close tag: ignored (html5ever parse-error recovery)
 
     def handle_data(self, data):

@@ -69,3 +69,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def mask_api_key(value: str | None) -> str:
+    """Startup credential report with the reference's masking rule
+    (src/main.rs:1021-1045): keys of >= 10 chars show first-5 + '...' +
+    last-5; shorter non-empty keys report '(short key)' with no content;
+    empty and unset are distinguished. The reference slices bytes
+    (Rust ``&s[0..5]``, ASCII keys assumed); char slicing here is
+    identical on that domain. Offline the engine holds no live
+    credentials — this exists so a live-fetcher deployment logs the same
+    masked line the reference logs, never the key itself."""
+    if value is None:
+        return "not found"
+    if value == "":
+        return "set but empty"
+    if len(value) >= 10:
+        return f"{value[:5]}...{value[-5:]}"
+    return "(short key)"
+
+
+def credential_report(names: tuple[str, ...] = ("FIRECRAWL_API_KEY",
+                                                "YOUTUBE_API_KEY")) -> dict:
+    """{env var -> masked status} for startup logging (rs:1021-1045)."""
+    return {n: mask_api_key(os.environ.get(n)) for n in names}

@@ -313,3 +313,20 @@ def test_seed_bootstrap_priority_and_dedup(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         seed_bootstrap()
+
+
+def test_mask_api_key_reference_branches():
+    """src/main.rs:1021-1045: >=10 chars -> first5...last5; shorter
+    non-empty -> '(short key)' (never leaks content); empty vs unset
+    distinguished."""
+    from supercrawler_spark.session import credential_report, mask_api_key
+    assert mask_api_key("fc-abcdefghijklmno") == "fc-ab...klmno"
+    assert mask_api_key("0123456789") == "01234...56789"   # boundary: 10
+    assert mask_api_key("shortkey!") == "(short key)"      # 9 chars
+    assert mask_api_key("") == "set but empty"
+    assert mask_api_key(None) == "not found"
+    # masked output never contains the middle of the key
+    key = "AAAAAsecretmiddleZZZZZ"
+    assert "secretmiddle" not in mask_api_key(key)
+    rep = credential_report(("SOME_UNSET_VAR_XYZ",))
+    assert rep == {"SOME_UNSET_VAR_XYZ": "not found"}

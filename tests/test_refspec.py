@@ -129,6 +129,79 @@ def test_table_empty():
     assert render("<table></table>") == ""
 
 
+# ---- WHATWG implied-end-tag recovery (html5ever parity on malformed
+# markup: unclosed li/td/tr/dt/option, nested p, heading-in-heading) ----
+
+@pytest.mark.parametrize("html,expected", [
+    # unclosed <li>: each start closes the open sibling (list scope)
+    ("<ul><li>one<li>two<li>three</ul>", "* one\n* two\n* three\n\n"),
+    ("<ol><li>a<li>b</ol>", "1. a\n2. b\n\n"),
+    # unclosed <td>/<tr>: same cells html5ever builds
+    ("<table><tr><td>1<td>2<tr><td>3<td>4</table>",
+     "| 1 | 2 |\n| 3 | 4 |\n\n"),
+    ("<table><tr><th>A<th>B<tr><td>1<td>2</table>",
+     "| A | B |\n| --- | --- |\n| 1 | 2 |\n\n"),
+])
+def test_malformed_list_table_recovery(html, expected):
+    assert render(html) == expected
+
+
+def test_unclosed_markup_equals_wellformed_render():
+    """The recovery contract stated directly: dropping the explicit close
+    tags must not change the extraction."""
+    cases = [
+        ("<ul><li>a<ul><li>b</ul>",
+         "<ul><li>a<ul><li>b</li></ul></li></ul>"),
+        ("<ul><li>one<li>two</ul>", "<ul><li>one</li><li>two</li></ul>"),
+        ("<table><tr><td>1<td>2<tr><td>3<td>4</table>",
+         "<table><tr><td>1</td><td>2</td></tr>"
+         "<tr><td>3</td><td>4</td></tr></table>"),
+        ("<div><p>first para here<p>second para here</div>",
+         "<div><p>first para here</p><p>second para here</p></div>"),
+    ]
+    for malformed, wellformed in cases:
+        assert render(malformed) == render(wellformed), malformed
+
+
+def test_malformed_paragraph_and_heading_recovery():
+    # <p> start closes an open <p>: siblings, two paragraphs
+    assert render("<div><p>first para here<p>second para here</div>") == \
+        "first para here\n\nsecond para here\n\n"
+    # heading start pops an open heading — never nests
+    doc = parse_html("<html><body><h1>a<h2>b</body></html>")
+    body = doc.select_first(lambda el: el.tag == "body")
+    tags = [ch.tag for ch in body.children if ch.is_element]
+    assert tags == ["h1", "h2"]
+    # stray </p> synthesizes an empty <p> (text-invisible, no crash)
+    assert render("<div></p>some loose text!</div>") == "some loose text!\n\n"
+
+
+def test_malformed_dt_dd_option_tree_shape():
+    doc = parse_html("<html><body><dl><dt>t1<dd>d1<dt>t2<dd>d2</dl>"
+                     "<select><option>x<option>y</select></body></html>")
+    dl = doc.select_first(lambda el: el.tag == "dl")
+    assert [ch.tag for ch in dl.children if ch.is_element] == \
+        ["dt", "dd", "dt", "dd"]
+    sel = doc.select_first(lambda el: el.tag == "select")
+    opts = [ch for ch in sel.children if ch.is_element]
+    assert [o.tag for o in opts] == ["option", "option"]
+    assert [o.all_text() for o in opts] == ["x", "y"]
+
+
+def test_implied_closes_scope_bounded():
+    # a <td> in an OUTER table must not be closed by a <td> inside a
+    # nested table (the inner tr/table is the scope barrier)
+    doc = parse_html("<html><body><table><tr><td>out"
+                     "<table><tr><td>in1<td>in2</table>"
+                     "</td></tr></table></body></html>")
+    tables = doc.select(lambda el: el.tag == "table")
+    outer_tds = [el for el in tables[0].descendants() if el.tag == "td"]
+    inner_tds = [el for el in tables[1].descendants() if el.tag == "td"]
+    assert len(inner_tds) == 2
+    # the outer cell still CONTAINS the inner table
+    assert any(el.tag == "table" for el in outer_tds[0].descendants())
+
+
 # ---- container/blocklist/loose text (rs:311-343) ----
 
 def test_container_loose_text():
