@@ -23,16 +23,17 @@ Implementation notes on parity:
     real web exercises most: block starts close an open <p>; <li>, <dt>/
     <dd>, <td>/<th>, <tr>, <option>/<optgroup> close their open siblings
     (scope-bounded); a heading start pops an open heading; a stray </p>
-    synthesizes an empty <p>. Unclosed-tag markup in these families now
-    builds the same sibling structure html5ever does (adversarial
-    fixtures in tests/test_refspec.py). REMAINING DIVERGENCE CLASSES
+    synthesizes an empty <p>; non-whitespace text and non-table start
+    tags inside table internals are FOSTER-PARENTED before the table,
+    and td/th/tr starts clear the stack back to their row/table context.
+    Unclosed-tag markup in these families now builds the same sibling
+    structure html5ever does (adversarial fixtures in
+    tests/test_refspec.py). REMAINING DIVERGENCE CLASSES
     (documented, not silently wrong): (1) misnested inline formatting
     (``<b>x<i>y</b>z</i>``) — html5ever's adoption agency re-opens <i>
     around "z", we attach "z" to the outer parent: text content and
     order are identical, only emphasis-marker placement can differ;
-    (2) table foster-parenting (character/element tokens between table
-    internals are hoisted before the table by WHATWG, kept in place
-    here); (3) html/head/body synthesis — fragment HTML without an
+    (2) html/head/body synthesis — fragment HTML without an
     explicit body still takes the "could not parse body" branch
     (synthetic corpus always writes explicit html/head/body).
   - Rust ``str::len`` is bytes; the ``len > 10`` loose-text rule and the
@@ -76,9 +77,9 @@ _IMPLIED_CLOSES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "li": (("li",), ("ul", "ol", "menu")),
     "dt": (("dt", "dd"), ("dl",)),
     "dd": (("dt", "dd"), ("dl",)),
-    "tr": (("tr", "td", "th"), ("table",)),
-    "td": (("td", "th"), ("tr", "table")),
-    "th": (("td", "th"), ("tr", "table")),
+    "tr": (("tr", "td", "th"), ("thead", "tbody", "tfoot", "table")),
+    "td": (("td", "th"), ("tr", "thead", "tbody", "tfoot", "table")),
+    "th": (("td", "th"), ("tr", "thead", "tbody", "tfoot", "table")),
     "option": (("option",), ("select", "optgroup", "datalist")),
     "optgroup": (("option", "optgroup"), ("select",)),
 }
@@ -86,6 +87,22 @@ _IMPLIED_CLOSES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
 _SCOPE_BARRIERS = {"body", "html", "#document", "template"}
+
+# WHATWG foster parenting: while the insertion point is one of the table
+# internals, character data with non-whitespace and start tags that are not
+# legal table content are inserted immediately BEFORE the nearest open
+# <table> in its parent (html5ever's "in table" insertion-mode recovery —
+# real-web `<table>stray text<tr>…` hoists the stray run above the table).
+_TABLE_CONTEXT = {"table", "thead", "tbody", "tfoot", "tr"}
+_TABLE_ALLOWED = {
+    "caption", "colgroup", "col", "thead", "tbody", "tfoot", "tr",
+    "td", "th", "script", "style", "template", "form", "table",
+}
+
+# td/th/tr starts "clear the stack back to a table (row) context": any
+# non-target element still open above the tr/table (a foster-parented <p>,
+# a misnested <span>) is popped before the cell/row is inserted.
+_CLEAR_TO_CONTEXT = {"td", "th", "tr"}
 
 
 @dataclass
@@ -163,13 +180,24 @@ class _TreeBuilder(HTMLParser):
         if closes is not None:
             targets, barriers = closes
             cut = None
+            barrier_i = None
+            own_barrier = False
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t in targets:
                     cut = i
                     continue
                 if t in barriers or t in _SCOPE_BARRIERS:
+                    barrier_i, own_barrier = i, t in barriers
                     break
+            if cut is None and own_barrier and tag in _CLEAR_TO_CONTEXT \
+                    and barrier_i < len(self.stack) - 1:
+                # "clear the stack back to a table (row) context": a td/th/
+                # tr arriving with non-cell elements still open inside the
+                # tr/table pops them first. Only when the break was the
+                # tag's OWN barrier (tr/table) — a stray <td> with no open
+                # table must not pop document structure.
+                cut = barrier_i + 1
             if cut is not None:
                 del self.stack[cut:]
         # WHATWG: a heading start tag pops a still-open heading (parse
@@ -177,10 +205,26 @@ class _TreeBuilder(HTMLParser):
         if tag in _HEADINGS and self.stack[-1].tag in _HEADINGS:
             self.stack.pop()
         node = Node(tag=tag, attrs={k.lower(): (v if v is not None else "") for k, v in attrs})
-        node.parent = self.stack[-1]
-        self.stack[-1].children.append(node)
+        if self.stack[-1].tag in _TABLE_CONTEXT and tag not in _TABLE_ALLOWED:
+            parent, idx = self._foster_target()
+            node.parent = parent
+            parent.children.insert(idx, node)
+        else:
+            node.parent = self.stack[-1]
+            self.stack[-1].children.append(node)
         if not self_closing and tag not in VOID_ELEMENTS:
             self.stack.append(node)
+
+    def _foster_target(self):
+        """(parent, insert_index) immediately before the nearest open
+        <table> — the WHATWG foster-parenting insertion point."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                tbl = self.stack[i]
+                parent = tbl.parent if tbl.parent is not None else self.stack[i - 1]
+                return parent, parent.children.index(tbl)
+        last = self.stack[-1]
+        return last, len(last.children)
 
     def handle_starttag(self, tag, attrs):
         self._open(tag, attrs, self_closing=False)
@@ -210,6 +254,13 @@ class _TreeBuilder(HTMLParser):
         if data:
             parent = self.stack[-1]
             node = Node(tag=None, text=data)
+            if parent.tag in _TABLE_CONTEXT and data.strip():
+                # foster-parent non-whitespace character runs out of table
+                # internals (whitespace-only runs stay in place, per spec)
+                parent, idx = self._foster_target()
+                node.parent = parent
+                parent.children.insert(idx, node)
+                return
             node.parent = parent
             parent.children.append(node)
 

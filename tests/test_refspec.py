@@ -188,6 +188,54 @@ def test_malformed_dt_dd_option_tree_shape():
     assert [o.all_text() for o in opts] == ["x", "y"]
 
 
+def test_table_foster_parenting_equals_wellformed():
+    """WHATWG foster parenting: non-whitespace text / non-table elements
+    inside table internals are hoisted immediately before the table —
+    the malformed page must extract byte-identically to the page that
+    already has the content before the table."""
+    BASE = "https://example.com/x"
+    cases = [
+        # stray character run directly inside <table>
+        ("<table>stray loose text here!<tr><td>1<td>2</table>",
+         "stray loose text here!"
+         "<table><tr><td>1</td><td>2</td></tr></table>"),
+        # stray element (div) inside <table>
+        ("<table><div><p>div before the table</p></div><tr><td>1</table>",
+         "<div><p>div before the table</p></div>"
+         "<table><tr><td>1</td></tr></table>"),
+        # a foster-parented <p> left open is popped by the next <td>
+        # ("clear the stack back to a table row context")
+        ("<table><tr><p>para before the table<td>cell</table>",
+         "<p>para before the table</p>"
+         "<table><tr><td>cell</td></tr></table>"),
+    ]
+    for malformed, wellformed in cases:
+        a = clean_to_mdx(f"<html><head></head><body>{malformed}</body></html>", BASE)
+        b = clean_to_mdx(f"<html><head></head><body>{wellformed}</body></html>", BASE)
+        assert a == b, malformed
+
+
+def test_table_foster_parenting_tree_shape():
+    # whitespace-only runs inside table internals stay in place (spec) and
+    # are invisible; the table renders normally
+    assert render("<table> <tr> <td>1</td> </tr> </table>") == "| 1 |\n\n"
+    # text is hoisted BEFORE the table node in the body
+    doc = parse_html("<html><body><table>hoist me now please!"
+                     "<tr><td>c</td></tr></table></body></html>")
+    body = doc.select_first(lambda el: el.tag == "body")
+    kinds = [(ch.tag, ch.text.strip()) for ch in body.children]
+    assert kinds[0] == (None, "hoist me now please!")
+    assert kinds[1][0] == "table"
+    # a stray <td> with NO open table must not pop document structure or
+    # foster anything — it stays where it is
+    doc = parse_html("<html><body><div><td>x</td>"
+                     "some real paragraph text</div></body></html>")
+    div = doc.select_first(lambda el: el.tag == "div")
+    assert div is not None
+    assert [ch.tag for ch in div.children if ch.is_element] == ["td"]
+    assert "some real paragraph text" in div.all_text()
+
+
 def test_implied_closes_scope_bounded():
     # a <td> in an OUTER table must not be closed by a <td> inside a
     # nested table (the inner tr/table is the scope barrier)
