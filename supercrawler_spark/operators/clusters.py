@@ -47,8 +47,21 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     labels = (edges.select(F.col("u").alias("doc_id")).distinct()
               .withColumn("cluster", F.col("doc_id")))
     labels = labels.persist()
-    labels.count()  # materialize so each round starts from a flat plan
-    changed = -1
+
+    def _label_sum(df: DataFrame) -> int:
+        # decimal(38,0) sum: exact at 10^10 vertices × 64-bit ids (a bigint
+        # sum could overflow); one scan of the persisted labels, no join
+        s = df.agg(F.sum(F.col("cluster").cast("decimal(38,0)"))
+                   .alias("s")).collect()[0]["s"]
+        return 0 if s is None else int(s)
+
+    # fixpoint check rides the label-sum monotone: every update takes
+    # least(old, nbr_min), so the sum strictly decreases until converged —
+    # comparing sums costs one aggregation over the already-persisted round
+    # output instead of the old nxt⋈labels inequality count (a full extra
+    # shuffle per iteration)
+    prev_sum = _label_sum(labels)  # also materializes the persist
+    converged = False
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.v == labels.doc_id)
                .groupBy("u").agg(F.min("cluster").alias("nbr_min")))
@@ -58,14 +71,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                                F.coalesce(F.col("nbr_min"), F.col("cluster")))
                        .alias("cluster")))
         nxt = nxt.persist()
-        changed = (nxt.join(labels.withColumnRenamed("cluster", "old"),
-                            "doc_id")
-                   .filter(F.col("cluster") != F.col("old")).count())
+        cur_sum = _label_sum(nxt)
         labels.unpersist()
         labels = nxt
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = cur_sum
+    if not converged:
         # silently returning partial labels would split one true component
         # into several clusters (multiple keepers ⇒ duplicates survive a
         # dedup pass) — fail loud instead; raise max_iters for graphs whose
