@@ -44,13 +44,14 @@ def run_level(cpus: int, synth_sf: float) -> dict:
 
 
 def main() -> None:
-    """N vs 4N parallelism. Default levels local[4] / local[16]: both sit
-    within the VM's physical cores — at local[32] SMT sharing caps per-thread
-    speed (~25% measured on a pure-Python burn), which would understate the
-    engine's scaling, a sandbox artifact rather than an engine property."""
+    """N vs 4N parallelism. Default levels local[8] / local[32] (the driver
+    instruction's example): this VM presents 32 physical cores, 1 thread per
+    core, and a 32-wide pure-Python burn loop shows only ~6% extra per-
+    process slowdown vs 8-wide (0.49s -> 0.52s), so the hardware penalty at
+    the 4N level is small and reported, not hidden."""
     synth_sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.3
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n4 = 4 * n
 
     results: dict[int, dict] = {}
@@ -101,11 +102,13 @@ levels on the same input, fresh JVM each:
 | local[{n4}] | {t32:.1f} | {thr32:,.0f} |
 
 **Scaling efficiency = throughput@local[{n4}] / (4 x throughput@local[{n}]) =
-{eff:.3f}** (target >= 0.8). Levels local[{n}]/local[{n4}] sit within the
-VM's physical cores; at local[32] SMT sharing caps per-thread speed (~25%
-measured on a pure-Python burn loop), a sandbox artifact that would
-understate engine scaling. Interleaved best-of-{repeats} runs, fresh JVM per
-run, checkpoint I/O on tmpfs (the sandbox disk shows 5%+ steal-time noise).
+{eff:.3f}** (target >= 0.8). Levels local[{n}]/local[{n4}] both sit within
+the VM's 32 physical cores (1 thread/core); a 32-wide pure-Python burn loop
+shows ~6% extra per-process slowdown vs 8-wide (0.49s -> 0.52s single-core
+0.39s), so the reported efficiency slightly UNDERSTATES the engine (the
+hardware itself costs a few points at the 4N level). Interleaved
+best-of-{repeats} runs, fresh JVM per run, checkpoint I/O on tmpfs (the
+sandbox disk shows 5%+ steal-time noise).
 
 Job: one full-width crawl round over the synthetic Common-Crawl-style corpus
 (sf={synth_sf}, {urls:,} pages, hot-host skew 40%): frontier -> bucket-pruned

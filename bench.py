@@ -679,7 +679,8 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
     }
-    for key in ("crawl_scan_urls_per_sec", "lsh_ann_recall_at3",
+    for key in ("crawl_scan_urls_per_sec", "crawl_scan_urls",
+                "lsh_ann_recall_at3",
                 "lsh_ann_multiprobe_recall_at3", "ivf_ann_recall_at3",
                 "pq_ann_recall_at3_l2", "pq_trained_recall_at3_l2",
                 "pq_twin_recall_at1"):

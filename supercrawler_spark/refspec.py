@@ -28,11 +28,16 @@ Implementation notes on parity:
     and td/th/tr starts clear the stack back to their row/table context.
     Unclosed-tag markup in these families now builds the same sibling
     structure html5ever does (adversarial fixtures in
-    tests/test_refspec.py). REMAINING DIVERGENCE CLASSES
-    (documented, not silently wrong): (1) misnested inline formatting
-    (``<b>x<i>y</b>z</i>``) — html5ever's adoption agency re-opens <i>
-    around "z", we attach "z" to the outer parent: text content and
-    order are identical, only emphasis-marker placement can differ;
+    tests/test_refspec.py). Misnested inline formatting
+    (``<b>x<i>y</b>z</i>``) runs a simplified adoption agency: the
+    formatting elements implicitly closed by the mismatched end tag are
+    queued and LAZILY reconstructed around the next content insertion
+    (never eager — an empty clone would fabricate elements and
+    duplicate <a href> extraction), cancelled by their own later end
+    tag. REMAINING DIVERGENCE CLASSES (documented, not silently
+    wrong): (1) formatting closed by an IMPLIED block close (e.g.
+    ``<p><b>x<p>y``) is not re-queued — html5ever keeps "y" bold, we
+    drop the marker; text bytes and order are identical either way;
     (2) html/head/body synthesis — fragment HTML without an
     explicit body still takes the "could not parse body" branch
     (synthetic corpus always writes explicit html/head/body).
@@ -104,6 +109,13 @@ _TABLE_ALLOWED = {
 # a misnested <span>) is popped before the cell/row is inserted.
 _CLEAR_TO_CONTEXT = {"td", "th", "tr"}
 
+# WHATWG active formatting elements (the adoption-agency set): when an end
+# tag closes an element with formatting elements still open ABOVE it
+# (misnested ``<b>x<i>y</b>z</i>``), html5ever reopens the formatting
+# elements around the following content — z renders inside a fresh <i>.
+_FORMATTING = {"a", "b", "big", "code", "em", "font", "i", "nobr", "s",
+               "small", "strike", "strong", "tt", "u"}
+
 
 @dataclass
 class Node:
@@ -159,6 +171,20 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node(tag="#document")
         self.stack = [self.root]
+        # active formatting elements awaiting reconstruction (adoption
+        # agency): (tag, attrs) entries, outermost first. Materialized
+        # LAZILY on the next content insertion, exactly like html5ever —
+        # an eager clone would fabricate empty elements (a duplicate
+        # <a href> would corrupt link extraction).
+        self._pending_fmt: list[tuple[str, dict]] = []
+
+    def _reconstruct_formatting(self):
+        for tag, attrs in self._pending_fmt:
+            clone = Node(tag=tag, attrs=dict(attrs))
+            clone.parent = self.stack[-1]
+            self.stack[-1].children.append(clone)
+            self.stack.append(clone)
+        self._pending_fmt = []
 
     def _open(self, tag, attrs, self_closing):
         tag = tag.lower()
@@ -204,6 +230,11 @@ class _TreeBuilder(HTMLParser):
         # error recovery — <h1>a<h2>b becomes siblings, never nesting)
         if tag in _HEADINGS and self.stack[-1].tag in _HEADINGS:
             self.stack.pop()
+        if (self._pending_fmt and tag in _FORMATTING
+                and self.stack[-1].tag not in _TABLE_CONTEXT):
+            # reconstruct active formatting before a nested formatting
+            # start so the clone wraps it in the original nesting order
+            self._reconstruct_formatting()
         node = Node(tag=tag, attrs={k.lower(): (v if v is not None else "") for k, v in attrs})
         if self.stack[-1].tag in _TABLE_CONTEXT and tag not in _TABLE_ALLOWED:
             parent, idx = self._foster_target()
@@ -238,8 +269,25 @@ class _TreeBuilder(HTMLParser):
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
+                # adoption agency (simplified): formatting elements still
+                # open above the closed element are implicitly closed here
+                # and queued for lazy reconstruction (original nesting
+                # order) so following CONTENT keeps their formatting —
+                # html5ever's recovery for misnested inline markup like
+                # <b>x<i>y</b>z</i>. Non-formatting elements stay closed.
+                self._pending_fmt.extend(
+                    (el.tag, el.attrs) for el in self.stack[i + 1:]
+                    if el.tag in _FORMATTING)
                 del self.stack[i:]
                 return
+        if tag in _FORMATTING:
+            # end tag for a formatting element that is only PENDING (its
+            # clone was never materialized): cancel the entry — html5ever
+            # removes it from the active list without creating an element
+            for j in range(len(self._pending_fmt) - 1, -1, -1):
+                if self._pending_fmt[j][0] == tag:
+                    del self._pending_fmt[j]
+                    return
         if tag == "p":
             # WHATWG: </p> with no open <p> inserts an EMPTY <p> element
             # (html5ever does this; it is text-invisible but keeps the
@@ -252,6 +300,10 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
+            if (data.strip() and self._pending_fmt
+                    and self.stack[-1].tag not in _TABLE_CONTEXT):
+                # reconstruct active formatting around the character run
+                self._reconstruct_formatting()
             parent = self.stack[-1]
             node = Node(tag=None, text=data)
             if parent.tag in _TABLE_CONTEXT and data.strip():

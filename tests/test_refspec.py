@@ -236,6 +236,39 @@ def test_table_foster_parenting_tree_shape():
     assert "some real paragraph text" in div.all_text()
 
 
+def test_adoption_agency_misnested_formatting():
+    """<b>x<i>y</b>z</i>: html5ever closes the <i> with the <b> and
+    reconstructs a fresh <i> around the following content — z stays
+    italic. Verified tree shape AND rendered emphasis markers."""
+    assert render("<p><b>x<i>y</i></b><i>z</i></p>") == \
+        render("<p><b>x<i>y</b>z</i></p>")  # equality with well-formed twin
+    doc = parse_html("<html><body><p><b>x<i>y</b>z</i></p></body></html>")
+    p = doc.select_first(lambda el: el.tag == "p")
+    kids = [ch.tag for ch in p.children if ch.is_element]
+    assert kids == ["b", "i"]  # reconstructed <i> sibling, b keeps i(y)
+
+
+def test_adoption_agency_lazy_no_empty_clones():
+    # a cancelled pending element (</i> before any content) must create
+    # NO node — an eager empty clone would fabricate elements
+    doc = parse_html("<html><body><p><b>x<i>y</b></i>done</p></body></html>")
+    p = doc.select_first(lambda el: el.tag == "p")
+    assert [ch.tag for ch in p.children if ch.is_element] == ["b"]
+    assert render("<p><b>x<i>y</b></i>done</p>") == "**x*y***done\n\n"
+    # reconstructed <a> must not duplicate hrefs in link extraction
+    html = ('<html><head></head><body><p><a href="https://e.com/x">x<b>y'
+            '</a>after</b></p></body></html>')
+    links = extract_links(html, "https://e.com/")
+    assert links.count("https://e.com/x") == 1
+
+
+def test_adoption_agency_formatting_persists_into_next_block():
+    # after the misnested close, the pending <i> reconstructs inside the
+    # NEXT paragraph's character run (active-formatting semantics)
+    got = render("<div><p><b>x<i>y</b><p>still italic text</div>")
+    assert "**x*y***" in got and "*still italic text*" in got
+
+
 def test_implied_closes_scope_bounded():
     # a <td> in an OUTER table must not be closed by a <td> inside a
     # nested table (the inner tr/table is the scope barrier)
