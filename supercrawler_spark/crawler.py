@@ -40,7 +40,7 @@ Scale notes (the 100 TB design point):
 from __future__ import annotations
 
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -139,6 +139,10 @@ class CrawlResult:
     frontiers: dict       # round -> DataFrame(url, host, depth, seq, bucket)
     rounds_run: int
     store: CrawlStore
+    # A5: per-phase wall seconds from the manifest — {"init": {...},
+    # 0: {...}, 1: {...}} keyed by round; attributes scan/extract time vs
+    # fixed per-round orchestration (what a scaling run needs)
+    phase_times: dict = field(default_factory=dict)
 
 
 def _canon_udf(cfg: CrawlConfig):
@@ -266,6 +270,8 @@ class Crawler:
     def _init_frontier(self, seeds: DataFrame) -> None:
         cfg = self.cfg
         canon = _canon_udf(cfg)
+        phases: dict = {}
+        _pt = time.monotonic()
         s = seeds
         seq_cache = None
         if "seed_order" not in s.columns:
@@ -286,6 +292,8 @@ class Crawler:
                      F.col("seed_order").cast("long").alias("seq")),
             cfg)
         frontier0.write.mode("overwrite").parquet(self.store.init_frontier_path())
+        phases["seed_prep_write"] = round(time.monotonic() - _pt, 3)
+        _pt = time.monotonic()
         if seq_cache is not None:
             seq_cache.unpersist()
         frontier0 = self.spark.read.parquet(self.store.init_frontier_path())
@@ -303,13 +311,16 @@ class Crawler:
         # the reference logs these at startup, src/supercrawler.rs:1254)
         frontier0.orderBy("seq").limit(5).select("url", "seq") \
             .write.mode("overwrite").parquet(self.store.seed_preview_path())
+        phases["seen_init_write"] = round(time.monotonic() - _pt, 3)
+        _pt = time.monotonic()
         n = frontier0.count()
+        phases["seed_count"] = round(time.monotonic() - _pt, 3)
         init_paths = {"frontier": self.store.init_frontier_path(),
                       "seen_delta": self.store.init_seen_path(),
                       "seed_preview": self.store.seed_preview_path()}
         if cfg.seen_bloom:
             init_paths["bloom_words"] = self.store.init_bloom_path()
-        self.store.commit_init({"seeds": n}, init_paths)
+        self.store.commit_init({"seeds": n}, init_paths, timings=phases)
 
     def _scope_df(self) -> DataFrame:
         frontier0 = self.spark.read.parquet(self.store.init_frontier_path())
@@ -337,6 +348,12 @@ class Crawler:
     def _run_round(self, r: int, frontier: DataFrame, scope: DataFrame) -> dict:
         cfg, spark, store = self.cfg, self.spark, self.store
         canon = _canon_udf(cfg)
+        # A5 phase timings: wall seconds per driver-visible phase, committed
+        # with the round manifest (and surfaced in CrawlResult.phase_times)
+        # so scaling runs can attribute time to scan/extract vs fixed
+        # per-round orchestration
+        phases: dict = {}
+        _pt = time.monotonic()
 
         # F9 dequeue-side depth guard (rs:1284-1289). By construction every
         # enqueued row satisfies depth <= crawl_depth, so this is a no-op
@@ -402,6 +419,7 @@ class Crawler:
                       F.min("depth").alias("min_depth"),
                       F.sum(F.octet_length("url")).alias("url_bytes"))
                  .collect())
+        phases["stats_collect"] = round(time.monotonic() - _pt, 3)
         frontier_count = sum(r["cnt"] for r in stats)
         n_deferred = sum(r["cnt"] for r in stats if r["deferred"])
         live_buckets = sorted({r["bucket"] for r in stats
@@ -578,7 +596,10 @@ class Crawler:
         extracted = extracted.withColumn("_pid", F.spark_partition_id())
         # checkpoint the round's expensive work exactly once
         extracted_path = store.round_dir(r, "extracted")
+        _pt = time.monotonic()
         extracted.write.mode("overwrite").parquet(extracted_path)
+        phases["fetch_extract_write"] = round(time.monotonic() - _pt, 3)
+        _pt = time.monotonic()
         if inner_fetch:
             # recover failed fetches (urls with no pages row): frontier-sized
             # anti-join, appended as fetched=false rows
@@ -594,14 +615,18 @@ class Crawler:
         if fetch_cache is not None:
             fetch_cache.unpersist()
         extracted = spark.read.parquet(extracted_path)
+        phases["recover_missing"] = round(time.monotonic() - _pt, 3)
 
         # --- docs (F12 empty-MDX filter; X7 doc key) -----------------------
+        _pt = time.monotonic()
         docs = (extracted
                 .filter(F.col("mdx").isNotNull()
                         & (F.length(F.trim(F.col("mdx"))) > 0))
                 .select("url", "depth", "seq", "mdx",
                         udfs.doc_key(F.col("url")).alias("doc_key")))
         docs.write.mode("overwrite").parquet(store.docs_path(r))
+        phases["docs_write"] = round(time.monotonic() - _pt, 3)
+        _pt = time.monotonic()
 
         # --- expand: links → candidates → survivors ------------------------
         # ``expanding`` was computed per-PARENT from the frontier stats:
@@ -732,7 +757,10 @@ class Crawler:
                     .parquet(store.frontier_path(r + 1))
             dedup_metrics = None
 
+        phases["expand"] = round(time.monotonic() - _pt, 3)
+
         # --- per-partition metrics (A4 / north-rule) ------------------------
+        _pt = time.monotonic()
         fetch_metrics = (extracted.groupBy(F.col("_pid").alias("partition_id"))
                          .agg(F.count("*").alias("processed"),
                               F.sum(F.col("fetched").cast("long")).alias("fetched"),
@@ -750,6 +778,7 @@ class Crawler:
             metrics = mf if metrics is None else metrics.unionByName(mf, allowMissingColumns=True)
         metrics = metrics.withColumn("round", F.lit(r))
         metrics.write.mode("overwrite").parquet(store.metrics_path(r))
+        phases["metrics_write"] = round(time.monotonic() - _pt, 3)
 
         counts = {
             "frontier": int(frontier_count),
@@ -770,12 +799,14 @@ class Crawler:
         # the manifest yet, so union the manifest-visible seen (≤ r-1) with
         # this round's just-written delta explicitly.
         if expanding and r > 0 and (r + 1) % cfg.compact_seen_every == 0:
+            _pt = time.monotonic()
             compact = (self._seen_df(r - 1)
                        .unionByName(spark.read.parquet(store.seen_delta_path(r)))
                        .repartition(cfg.num_buckets, "bucket"))
             compact.write.mode("overwrite").parquet(store.seen_compact_path(r))
             paths["seen_compact"] = store.seen_compact_path(r)
-        store.commit_round(r, counts, paths)
+            phases["seen_compact"] = round(time.monotonic() - _pt, 3)
+        store.commit_round(r, counts, paths, timings=phases)
         if cfg.politeness:
             work.unpersist()
         if throttle_cache is not None:
@@ -836,9 +867,15 @@ class Crawler:
         for e in manifest["rounds"]:
             if "frontier_next" in e["paths"]:
                 frontiers[e["round"] + 1] = spark.read.parquet(e["paths"]["frontier_next"])
+        phase_times: dict = {}
+        if manifest["init"] and manifest["init"].get("timings"):
+            phase_times["init"] = manifest["init"]["timings"]
+        for e in manifest["rounds"]:
+            if e.get("timings"):
+                phase_times[e["round"]] = e["timings"]
         return CrawlResult(docs=docs, seen=seen, metrics=metrics,
                            frontiers=frontiers, rounds_run=len(rounds),
-                           store=store)
+                           store=store, phase_times=phase_times)
 
 
 def crawl(

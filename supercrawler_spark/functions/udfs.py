@@ -44,10 +44,11 @@ def _decode_html(raw) -> str:
 
 def make_extract_page(variant: str = "supercrawler"):
     """HTML binary → (mdx, links) Arrow UDF for an engine variant
-    ('supercrawler' canonical / 'main' — SURVEY §2.9). One DOM parse per page
-    would be ideal; the reference itself parses twice (clean_to_mdx re-parses
-    after noise strip, link extraction parses raw — rs:734 vs rs:738), and we
-    keep the two-parse structure because the noise regex changes the tree."""
+    ('supercrawler' canonical / 'main' — SURVEY §2.9). The reference parses
+    twice (clean_to_mdx after noise strip, link extraction over raw —
+    rs:734 vs rs:738); ``refspec.extract_page_fields`` keeps that structure
+    but shares ONE parse when the noise strip is a no-op (byte-identical
+    by construction — the MDX walk never mutates the tree)."""
     @pandas_udf(PAGE_STRUCT)
     def extract_page_v(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         mdx_out: list[str | None] = []
@@ -57,9 +58,10 @@ def make_extract_page(variant: str = "supercrawler"):
                 mdx_out.append(None)   # F7/E4: missing page ≙ failed fetch
                 links_out.append(None)
                 continue
-            text = _decode_html(h)
-            mdx_out.append(refspec.clean_to_mdx(text, u, variant=variant))
-            links_out.append(refspec.extract_links(text, u))
+            mdx, links = refspec.extract_page_fields(
+                _decode_html(h), u, variant=variant)
+            mdx_out.append(mdx)
+            links_out.append(links)
         return pd.DataFrame({"mdx": mdx_out, "links": links_out})
     return extract_page_v
 

@@ -657,8 +657,10 @@ def clean_to_mdx(content: str, source_url: str,
 
 def _clean_to_mdx_inner(content: str, source_url: str) -> str:
     clean = _NOISE_RE.sub("", content)
-    doc = parse_html(clean)
+    return _clean_to_mdx_from_doc(parse_html(clean), source_url)
 
+
+def _clean_to_mdx_from_doc(doc: Node, source_url: str) -> str:
     mdx: list[str] = []
 
     # title (rs:371-375)
@@ -789,7 +791,11 @@ def extract_anchors(content: str, source_url: str,
     base = rust_url_parse(source_url)
     if base is None:
         return []
-    doc = parse_html(content)
+    return _anchors_from_doc(parse_html(content), base, with_text)
+
+
+def _anchors_from_doc(doc: Node, base, with_text: bool = True
+                      ) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     for el in doc.descendants():
         if el.tag != "a":
@@ -813,6 +819,35 @@ def extract_anchors(content: str, source_url: str,
             out.append((absolute,
                         " ".join(el.all_text().split()) if with_text else ""))
     return out
+
+
+def extract_page_fields(content: str, source_url: str,
+                        variant: str = "supercrawler"
+                        ) -> tuple[str, list[str]]:
+    """(mdx, links) for one page, with a shared-parse fast path. The
+    reference parses each page twice — noise-stripped for MDX
+    (src/supercrawler.rs:734) and raw for links (rs:738). When the noise
+    strip is a NO-OP (no script/style/noscript/comment markup), both parses
+    would see identical bytes, so one tree serves both kernels with
+    byte-identical output by construction (the MDX walk is read-only —
+    blocklists filter during traversal, never mutate). Pages that do carry
+    noise fall back to the exact two-parse structure."""
+    global _LOOSE_TEXT_MIN_BYTES
+    prev = _LOOSE_TEXT_MIN_BYTES
+    _LOOSE_TEXT_MIN_BYTES = 10 if variant == "supercrawler" else 0
+    try:
+        clean = _NOISE_RE.sub("", content)
+        if clean == content:
+            doc = parse_html(content)
+            mdx = _clean_to_mdx_from_doc(doc, source_url)
+            base = rust_url_parse(source_url)
+            links = [] if base is None else [
+                h for h, _ in _anchors_from_doc(doc, base, with_text=False)]
+            return mdx, links
+        return (_clean_to_mdx_inner(content, source_url),
+                extract_links(content, source_url))
+    finally:
+        _LOOSE_TEXT_MIN_BYTES = prev
 
 
 # --------------------------------------------------------------------------

@@ -62,22 +62,29 @@ class CrawlStore:
         rounds = self.read_manifest()["rounds"]
         return rounds[-1]["round"] if rounds else -1
 
-    def commit_init(self, counts: dict, paths: dict) -> None:
+    def commit_init(self, counts: dict, paths: dict,
+                    timings: dict | None = None) -> None:
         """Commit the seed-enqueue step (frontier_0 + seed seen delta)."""
         manifest = self.read_manifest()
         manifest["init"] = {"committed_at": time.time(),
                             "counts": counts, "paths": paths}
+        if timings:
+            manifest["init"]["timings"] = timings
         self._write_manifest(manifest)
 
-    def commit_round(self, round_no: int, counts: dict, paths: dict) -> None:
+    def commit_round(self, round_no: int, counts: dict, paths: dict,
+                     timings: dict | None = None) -> None:
         manifest = self.read_manifest()
         assert all(r["round"] < round_no for r in manifest["rounds"])
-        manifest["rounds"].append({
+        entry = {
             "round": round_no,
             "committed_at": time.time(),
             "counts": counts,
             "paths": paths,
-        })
+        }
+        if timings:
+            entry["timings"] = timings
+        manifest["rounds"].append(entry)
         self._write_manifest(manifest)
 
     def mark_done(self) -> None:

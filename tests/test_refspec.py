@@ -269,6 +269,28 @@ def test_adoption_agency_formatting_persists_into_next_block():
     assert "**x*y***" in got and "*still italic text*" in got
 
 
+def test_extract_page_fields_shared_parse_parity():
+    """The shared-parse fast path (noise strip is a no-op → one tree serves
+    MDX and links) must be byte-identical to the two-parse kernels, on
+    clean, noisy, and malformed pages, for both engine variants."""
+    from supercrawler_spark.refspec import extract_page_fields
+    bodies = [
+        '<p>some paragraph of text</p><a href="/x">x</a>',             # fast path
+        '<script>var x=1;</script><p>para</p><a href="/y">y</a>'
+        "<style>.c{color:red}</style>",                                 # fallback
+        '<table>stray text goes here!<tr><td><a href="/z">z</a></table>',  # malformed
+        '<p><b>x<i>y</b>z</i><a href="/w">w</a></p>',                   # adoption
+    ]
+    for b in bodies:
+        full = f"<html><head><title>t</title></head><body>{b}</body></html>"
+        for variant in ("supercrawler", "main"):
+            mdx, links = extract_page_fields(full, "https://e.com/a",
+                                             variant=variant)
+            assert mdx == clean_to_mdx(full, "https://e.com/a",
+                                       variant=variant), (b, variant)
+            assert links == extract_links(full, "https://e.com/a"), b
+
+
 def test_implied_closes_scope_bounded():
     # a <td> in an OUTER table must not be closed by a <td> inside a
     # nested table (the inner tr/table is the scope barrier)
