@@ -97,6 +97,19 @@ def test_metrics_are_per_partition(engine_result):
     assert all(r["partition_id"] is not None for r in rows)
 
 
+def test_phase_times_recorded(engine_result):
+    """A5: every committed round carries per-phase wall timings in the
+    manifest, surfaced on CrawlResult.phase_times, keyed 'init' + round."""
+    pt = engine_result.phase_times
+    assert "init" in pt and "seed_prep_write" in pt["init"]
+    rounds = [k for k in pt if k != "init"]
+    assert len(rounds) == engine_result.rounds_run
+    for r in rounds:
+        assert {"stats_collect", "fetch_extract_write",
+                "docs_write", "metrics_write"} <= set(pt[r])
+        assert all(v >= 0 for v in pt[r].values())
+
+
 def test_robots_politeness(spark, corpus_sf0001, corpus, tmp_path_factory):
     pages, seeds, robots = load_tables(spark, corpus_sf0001)
     cfg = CrawlConfig(crawl_depth=2, num_buckets=8, politeness=True)
