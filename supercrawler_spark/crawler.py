@@ -210,6 +210,16 @@ def attach_dense_seq(
 
 
 class Crawler:
+    """Offline BFS crawler over a ``pages`` lookup table.
+
+    ``pages`` contract: at most ONE row per url — or, when
+    ``snapshot_dedup`` is on and a ``warc_ts`` column is present, one row
+    per (url, warc_ts) snapshot, of which the latest is fetched. Duplicate
+    rows for the same key would duplicate fetches downstream (and the
+    fetch-count bookkeeping that lets a round skip the failed-fetch
+    recovery join relies on this uniqueness).
+    """
+
     def __init__(
         self,
         spark: SparkSession,
@@ -594,15 +604,25 @@ class Crawler:
                                  F.col("page.mdx").alias("mdx"),
                                  F.col("page.links").alias("links")))
         extracted = extracted.withColumn("_pid", F.spark_partition_id())
-        # checkpoint the round's expensive work exactly once
+        # checkpoint the round's expensive work exactly once; the row count
+        # rides the SAME write job via an Observation (no extra action)
+        from pyspark.sql import Observation
+        obs = Observation(f"extract_r{r}")
+        extracted = extracted.observe(obs, F.count(F.lit(1)).alias("rows"))
         extracted_path = store.round_dir(r, "extracted")
         _pt = time.monotonic()
         extracted.write.mode("overwrite").parquet(extracted_path)
         phases["fetch_extract_write"] = round(time.monotonic() - _pt, 3)
         _pt = time.monotonic()
-        if inner_fetch:
+        n_extracted = int(obs.get["rows"])
+        if inner_fetch and n_extracted != n_broadcast_rows:
             # recover failed fetches (urls with no pages row): frontier-sized
-            # anti-join, appended as fetched=false rows
+            # anti-join, appended as fetched=false rows. Skipped entirely
+            # when the write's observed row count already equals the
+            # fetchable count — under the engine's documented uniqueness
+            # assumption (one pages row per url after snapshot resolution)
+            # equal counts ⇔ no missing url, so the common all-urls-resolve
+            # round saves a read-back + anti-join + append job.
             got = spark.read.parquet(extracted_path).select("url")
             missing = (fetchable.select(*FRONTIER_COLS)
                        .join(F.broadcast(got), "url", "left_anti")

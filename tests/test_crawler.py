@@ -175,3 +175,23 @@ def test_depth_zero_crawl(spark, corpus_sf0001, tmp_path_factory):
                 store_dir=str(tmp_path_factory.mktemp("store_d0")))
     assert res.rounds_run == 1
     assert res.docs.count() == res.seen.count() == seeds.count()
+
+
+def test_all_resolved_round_skips_recovery(spark, tmp_path_factory):
+    """Fast path: when every fetchable url has a pages row, the round's
+    observed extract count equals the fetchable count and the failed-fetch
+    recovery append is skipped — docs/metrics must be identical to a crawl
+    that takes the recovery branch (here: complete, with failed == 0)."""
+    html = ('<html><head><title>t</title></head>'
+            '<body><p>body {i}</p><a href="/p{j}">n</a></body></html>')
+    rows = [(f"https://allgood.test/p{i}",
+             html.replace("{i}", str(i)).replace("{j}", str((i + 1) % 4)),
+             "text/html") for i in range(4)]
+    pages = spark.createDataFrame(rows, "url string, html string, content_type string")
+    seeds = spark.createDataFrame([("https://allgood.test/p0",)], "url string")
+    res = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=3, num_buckets=8),
+                store_dir=str(tmp_path_factory.mktemp("store_allgood")))
+    assert res.docs.count() == 4
+    m = res.metrics.agg(F.sum("failed").alias("f"),
+                        F.sum("fetched").alias("ok")).collect()[0]
+    assert (m["f"] or 0) == 0 and m["ok"] == 4
