@@ -863,6 +863,9 @@ def _cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text")
 
 
+_CDX_MATERIALIZED: dict = {}
+
+
 def _cdx_index_distributed(spark: SparkSession, sf_dir: str,
                            n_shards: int = 4) -> DataFrame:
     """Distributed two-phase CDX rank (range-repartition + per-partition
@@ -870,16 +873,34 @@ def _cdx_index_distributed(spark: SparkSession, sf_dir: str,
     materialized through a temp parquet dir so the attach_dense_seq cache
     can be unpersisted before the result is handed to the driver. This is
     the plan that runs at cluster scale; the exact=True single-window twin
-    remains pytest-verified equal (tests/test_cdx_dsir_index.py)."""
+    remains pytest-verified equal (tests/test_cdx_dsir_index.py).
+
+    The materialization path is DETERMINISTIC per (sf_dir, n_shards) and
+    written with overwrite — repeated gate/bench/parity runs reuse one dir
+    instead of leaking an mkdtemp per call — and memoized per source-table
+    fingerprint so cdx_shard_bounds reuses the index build instead of
+    paying a second one."""
+    import hashlib
     import os
     import tempfile
 
     from supercrawler_spark.operators.cdx import cdx_index
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = None
+    key = (os.path.abspath(sf_dir), n_shards, fingerprint)
+    if fingerprint is not None and key in _CDX_MATERIALIZED:
+        return spark.read.parquet(_CDX_MATERIALIZED[key])
+    slug = hashlib.sha256(repr(key[:2]).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"sc_cdx_{slug}", "index")
     out, cache = cdx_index(_cdx_pages(spark, sf_dir), n_shards=n_shards,
                            exact=False)
-    path = os.path.join(tempfile.mkdtemp(prefix="sc_cdx_"), "index")
     out.write.mode("overwrite").parquet(path)
     cache.unpersist()
+    _CDX_MATERIALIZED[key] = path
     return spark.read.parquet(path)
 
 

@@ -215,9 +215,9 @@ class Crawler:
     ``pages`` contract: at most ONE row per url — or, when
     ``snapshot_dedup`` is on and a ``warc_ts`` column is present, one row
     per (url, warc_ts) snapshot, of which the latest is fetched. Duplicate
-    rows for the same key would duplicate fetches downstream (and the
-    fetch-count bookkeeping that lets a round skip the failed-fetch
-    recovery join relies on this uniqueness).
+    rows for the same key duplicate fetches downstream (the failed-fetch
+    recovery skip itself is checksum-guarded, so it stays correct even on
+    contract-violating input).
     """
 
     def __init__(
@@ -427,7 +427,12 @@ class Crawler:
         stats = (work.groupBy("bucket", "robots_blocked", "deferred")
                  .agg(F.count("*").alias("cnt"),
                       F.min("depth").alias("min_depth"),
-                      F.sum(F.octet_length("url")).alias("url_bytes"))
+                      F.sum(F.octet_length("url")).alias("url_bytes"),
+                      # url-hash checksum (exact decimal sum): lets the
+                      # extract step prove "every fetchable url came back"
+                      # without re-reading anything — see recovery skip
+                      F.sum(F.xxhash64("url").cast("decimal(38,0)"))
+                      .alias("url_hash_sum"))
                  .collect())
         phases["stats_collect"] = round(time.monotonic() - _pt, 3)
         frontier_count = sum(r["cnt"] for r in stats)
@@ -452,6 +457,9 @@ class Crawler:
             - sum(r["cnt"] for r in stats if r["robots_blocked"])
         fetchable_url_bytes = sum(
             r["url_bytes"] or 0 for r in stats
+            if not r["robots_blocked"] and not r["deferred"])
+        fetchable_hash_sum = sum(
+            int(r["url_hash_sum"] or 0) for r in stats
             if not r["robots_blocked"] and not r["deferred"])
         avg_url_bytes = (fetchable_url_bytes / n_fetchable
                          if n_fetchable else 0.0)
@@ -605,24 +613,33 @@ class Crawler:
                                  F.col("page.links").alias("links")))
         extracted = extracted.withColumn("_pid", F.spark_partition_id())
         # checkpoint the round's expensive work exactly once; the row count
-        # rides the SAME write job via an Observation (no extra action)
+        # AND a url-hash checksum ride the SAME write job via an Observation
+        # (no extra action)
         from pyspark.sql import Observation
         obs = Observation(f"extract_r{r}")
-        extracted = extracted.observe(obs, F.count(F.lit(1)).alias("rows"))
+        extracted = extracted.observe(
+            obs, F.count(F.lit(1)).alias("rows"),
+            F.sum(F.xxhash64("url").cast("decimal(38,0)")).alias("hash_sum"))
         extracted_path = store.round_dir(r, "extracted")
         _pt = time.monotonic()
         extracted.write.mode("overwrite").parquet(extracted_path)
         phases["fetch_extract_write"] = round(time.monotonic() - _pt, 3)
         _pt = time.monotonic()
         n_extracted = int(obs.get["rows"])
-        if inner_fetch and n_extracted != n_broadcast_rows:
+        extracted_hash_sum = int(obs.get["hash_sum"] or 0)
+        all_resolved = (n_throttled == 0
+                        and n_extracted == n_broadcast_rows
+                        and extracted_hash_sum == fetchable_hash_sum)
+        if inner_fetch and not all_resolved:
             # recover failed fetches (urls with no pages row): frontier-sized
             # anti-join, appended as fetched=false rows. Skipped entirely
-            # when the write's observed row count already equals the
-            # fetchable count — under the engine's documented uniqueness
-            # assumption (one pages row per url after snapshot resolution)
-            # equal counts ⇔ no missing url, so the common all-urls-resolve
-            # round saves a read-back + anti-join + append job.
+            # when the write's observed row count AND url-hash checksum
+            # equal the fetchable side's — a multiset identity (up to
+            # engineered xxhash64 collisions), so a duplicate pages row
+            # offsetting a missing url cannot fake completeness; the common
+            # all-urls-resolve round saves a read-back + anti-join + append
+            # job. Throttled rounds always recover (the post-throttle
+            # checksum isn't collected — not worth an extra action).
             got = spark.read.parquet(extracted_path).select("url")
             missing = (fetchable.select(*FRONTIER_COLS)
                        .join(F.broadcast(got), "url", "left_anti")

@@ -47,20 +47,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     labels = (edges.select(F.col("u").alias("doc_id")).distinct()
               .withColumn("cluster", F.col("doc_id")))
     labels = labels.persist()
+    labels.count()  # materialize the persist
 
-    def _label_sum(df: DataFrame) -> int:
-        # decimal(38,0) sum: exact at 10^10 vertices × 64-bit ids (a bigint
-        # sum could overflow); one scan of the persisted labels, no join
-        s = df.agg(F.sum(F.col("cluster").cast("decimal(38,0)"))
-                   .alias("s")).collect()[0]["s"]
-        return 0 if s is None else int(s)
-
-    # fixpoint check rides the label-sum monotone: every update takes
-    # least(old, nbr_min), so the sum strictly decreases until converged —
-    # comparing sums costs one aggregation over the already-persisted round
-    # output instead of the old nxt⋈labels inequality count (a full extra
-    # shuffle per iteration)
-    prev_sum = _label_sum(labels)  # also materializes the persist
+    # fixpoint check: each round carries the previous label alongside the
+    # least(old, nbr_min) update, so "did anything change" is one SUM over
+    # the already-persisted round output — no extra join (the old
+    # nxt⋈labels inequality count was a full extra shuffle per iteration)
+    # and no numeric cast, so ids of ANY orderable type (long doc ids,
+    # string doc keys/urls) converge correctly.
     converged = False
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.v == labels.doc_id)
@@ -69,15 +63,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                .select(labels.doc_id,
                        F.least(F.col("cluster"),
                                F.coalesce(F.col("nbr_min"), F.col("cluster")))
-                       .alias("cluster")))
-        nxt = nxt.persist()
-        cur_sum = _label_sum(nxt)
+                       .alias("cluster"),
+                       F.col("cluster").alias("_prev")))
+        nxt = nxt.persist()  # keep this exact handle for unpersist — a
+        # derived projection would not release the cached blocks
+        n_changed = (nxt.agg(F.sum((F.col("cluster") != F.col("_prev"))
+                                   .cast("long")).alias("c"))
+                     .collect()[0]["c"]) or 0
         labels.unpersist()
         labels = nxt
-        if cur_sum == prev_sum:
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # silently returning partial labels would split one true component
         # into several clusters (multiple keepers ⇒ duplicates survive a
@@ -140,6 +137,6 @@ def resolve_duplicates(docs: DataFrame, clusters: DataFrame | None = None,
     return (ranked
             .withColumn("keeper_id",
                         F.max(F.when(F.col("_rk") == 1, F.col("doc_id")))
-                        .over(wall).cast("long"))
+                        .over(wall))
             .select("doc_id", "cluster_id", "quality", "keeper_id",
                     (F.col("_rk") == 1).alias("keep")))

@@ -89,9 +89,36 @@ _IMPLIED_CLOSES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "optgroup": (("option", "optgroup"), ("select",)),
 }
 
+# WHATWG "special" category (HTML namespace): the li/dt/dd start-tag
+# algorithms stop their close-the-open-sibling scan at ANY special element
+# other than address/div/p — e.g. <li>a<section><li>b keeps the outer li
+# open, while <li>a<div><li>b closes it across the div.
+_SPECIAL = {
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "iframe", "img", "input", "keygen", "li",
+    "link", "listing", "main", "marquee", "menu", "meta", "nav", "noembed",
+    "noframes", "noscript", "object", "ol", "p", "param", "plaintext",
+    "pre", "script", "search", "section", "select", "source", "style",
+    "summary", "table", "tbody", "td", "template", "textarea", "tfoot",
+    "th", "thead", "title", "tr", "track", "ul", "wbr", "xmp",
+}
+_SPECIAL_SCAN_EXCEPT = {"address", "div", "p"}
+_SPECIAL_RULE_KEYS = {"li", "dt", "dd"}
+
 _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
-_SCOPE_BARRIERS = {"body", "html", "#document", "template"}
+_SCOPE_BARRIERS = {
+    "body", "html", "#document", "template",
+    # WHATWG base "in scope" list: every has-an-element-in-scope variant
+    # includes these, so a <li> start inside a table nested in an open
+    # <li> must NOT close the outer item and pop the table — the scan
+    # stops at the cell/table boundary (html5ever list-item scope).
+    "applet", "caption", "marquee", "object", "table", "td", "th",
+}
 
 # WHATWG foster parenting: while the insertion point is one of the table
 # internals, character data with non-whitespace and start tags that are not
@@ -194,7 +221,9 @@ class _TreeBuilder(HTMLParser):
                 if self.stack[i].tag == "p":
                     del self.stack[i:]
                     break
-                if self.stack[i].tag in ("body", "html", "#document", "td", "th", "li"):
+                if self.stack[i].tag in ("body", "html", "#document",
+                                         "td", "th", "li", "table",
+                                         "caption"):
                     break
         # WHATWG implied end tags: <li><li>, <td><td>, <tr><tr>, <dt><dd>,
         # <option><option> — close the open sibling(s), bounded by the
@@ -208,12 +237,19 @@ class _TreeBuilder(HTMLParser):
             cut = None
             barrier_i = None
             own_barrier = False
+            special_rule = tag in _SPECIAL_RULE_KEYS
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t in targets:
                     cut = i
                     continue
-                if t in barriers or t in _SCOPE_BARRIERS:
+                if special_rule:
+                    # li/dt/dd: any special element except address/div/p
+                    # ends the scan (WHATWG in-body li/dd/dt start tags)
+                    if t in _SPECIAL and t not in _SPECIAL_SCAN_EXCEPT:
+                        barrier_i, own_barrier = i, t in barriers
+                        break
+                elif t in barriers or t in _SCOPE_BARRIERS:
                     barrier_i, own_barrier = i, t in barriers
                     break
             if cut is None and own_barrier and tag in _CLEAR_TO_CONTEXT \

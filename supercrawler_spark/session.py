@@ -72,19 +72,23 @@ def get_spark(
 
 
 def mask_api_key(value: str | None) -> str:
-    """Startup credential report with the reference's masking rule
-    (src/main.rs:1021-1045): keys of >= 10 chars show first-5 + '...' +
-    last-5; shorter non-empty keys report '(short key)' with no content;
-    empty and unset are distinguished. The reference slices bytes
-    (Rust ``&s[0..5]``, ASCII keys assumed); char slicing here is
-    identical on that domain. Offline the engine holds no live
+    """Startup credential report after the reference's masking rule
+    (src/main.rs:1021-1045): long keys show first-5 + '...' + last-5;
+    shorter non-empty keys report '(short key)' with no content; empty
+    and unset are distinguished. DELIBERATE divergence: the reference
+    reveals the edges from 10 chars up, so a 10-char key is logged
+    verbatim (5+5 covers it) and 11-13 char keys leak all but 1-3 chars;
+    here the edges only show when >= 4 chars stay hidden (len >= 14) —
+    the masked line is never reassemblable into the key. The reference
+    slices bytes (Rust ``&s[0..5]``, ASCII keys assumed); char slicing
+    here is identical on that domain. Offline the engine holds no live
     credentials — this exists so a live-fetcher deployment logs the same
-    masked line the reference logs, never the key itself."""
+    shape of masked line the reference logs, never the key itself."""
     if value is None:
         return "not found"
     if value == "":
         return "set but empty"
-    if len(value) >= 10:
+    if len(value) >= 14:
         return f"{value[:5]}...{value[-5:]}"
     return "(short key)"
 

@@ -140,6 +140,29 @@ def test_connected_components_nonconvergence_raises(spark):
         clusters.connected_components(chain, max_iters=2).collect()
 
 
+def test_connected_components_string_ids(spark):
+    """ids of any orderable type must converge (string doc keys/urls);
+    a numeric-only fixpoint check would crash under ANSI or silently
+    return partial labels with ANSI off."""
+    edges = spark.createDataFrame(
+        [("urlB", "urlC"), ("urlA", "urlB"), ("urlX", "urlY")],
+        "a_id string, b_id string")
+    cc = {r["doc_id"]: r["cluster_id"]
+          for r in clusters.connected_components(edges).collect()}
+    assert cc == {"urlA": "urlA", "urlB": "urlA", "urlC": "urlA",
+                  "urlX": "urlX", "urlY": "urlX"}
+
+
+def test_resolve_duplicates_string_ids(spark):
+    docs = spark.createDataFrame(
+        [("k1", "the quick brown fox jumps over the lazy dog tonight ok"),
+         ("k2", "the quick brown fox jumps over the lazy dog tonight ok")],
+        "doc_id string, text string")
+    out = clusters.resolve_duplicates(docs).collect()
+    assert {r["doc_id"] for r in out} == {"k1", "k2"}
+    assert all(isinstance(r["keeper_id"], str) for r in out)
+
+
 def test_filter_corpus_single_scan_no_join(spark):
     from supercrawler_spark.operators import textquality
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -195,3 +195,21 @@ def test_all_resolved_round_skips_recovery(spark, tmp_path_factory):
     m = res.metrics.agg(F.sum("failed").alias("f"),
                         F.sum("fetched").alias("ok")).collect()[0]
     assert (m["f"] or 0) == 0 and m["ok"] == 4
+
+
+def test_dup_page_row_cannot_fake_completeness(spark, tmp_path_factory):
+    """Contract-violating pages input (duplicate row for one url) plus a
+    missing url: row counts offset, but the url-hash checksum must force
+    the recovery branch so the missing url still gets its fetched=false
+    row and the failed metric is right."""
+    h = ('<html><head><title>t</title></head>'
+         '<body><p>x</p><a href="/gone">g</a></body></html>')
+    rows = [("https://dup.test/a", h, "text/html"),
+            ("https://dup.test/a", h, "text/html")]  # dup, no /gone row
+    pages = spark.createDataFrame(rows, "url string, html string, content_type string")
+    seeds = spark.createDataFrame([("https://dup.test/a",),
+                                   ("https://dup.test/gone",)], "url string")
+    res = crawl(spark, pages, seeds, CrawlConfig(crawl_depth=0, num_buckets=8),
+                store_dir=str(tmp_path_factory.mktemp("store_dup")))
+    m = res.metrics.agg(F.sum("failed").alias("f")).collect()[0]
+    assert (m["f"] or 0) == 1, "missing url lost its fetched=false row"

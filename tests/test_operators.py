@@ -316,17 +316,22 @@ def test_seed_bootstrap_priority_and_dedup(spark):
 
 
 def test_mask_api_key_reference_branches():
-    """src/main.rs:1021-1045: >=10 chars -> first5...last5; shorter
-    non-empty -> '(short key)' (never leaks content); empty vs unset
-    distinguished."""
+    """src/main.rs:1021-1045 shape (first5...last5 / '(short key)' / empty
+    vs unset), with the deliberate safety divergence: edges only show when
+    >= 4 chars stay hidden, so no key length is reassemblable from the
+    masked line (the reference logs a 10-char key verbatim)."""
     from supercrawler_spark.session import credential_report, mask_api_key
     assert mask_api_key("fc-abcdefghijklmno") == "fc-ab...klmno"
-    assert mask_api_key("0123456789") == "01234...56789"   # boundary: 10
-    assert mask_api_key("shortkey!") == "(short key)"      # 9 chars
+    assert mask_api_key("0123456789abcd") == "01234...9abcd"  # boundary: 14
+    assert mask_api_key("0123456789abc") == "(short key)"     # 13: 5+5 would
+    assert mask_api_key("0123456789") == "(short key)"        # leak most
+    assert mask_api_key("shortkey!") == "(short key)"
     assert mask_api_key("") == "set but empty"
     assert mask_api_key(None) == "not found"
-    # masked output never contains the middle of the key
-    key = "AAAAAsecretmiddleZZZZZ"
-    assert "secretmiddle" not in mask_api_key(key)
+    # masked output never reveals enough to reassemble the key
+    for key in ("AAAAAsecretmiddleZZZZZ", "0123456789", "0123456789a"):
+        masked = mask_api_key(key)
+        hidden = key[5:-5] if masked != "(short key)" else key
+        assert hidden and hidden not in masked
     rep = credential_report(("SOME_UNSET_VAR_XYZ",))
     assert rep == {"SOME_UNSET_VAR_XYZ": "not found"}

@@ -305,6 +305,36 @@ def test_implied_closes_scope_bounded():
     assert any(el.tag == "table" for el in outer_tds[0].descendants())
 
 
+def test_li_scope_stops_at_table_cell():
+    """List-item scope includes the base in-scope barriers (td/th/table/
+    caption): a <li> start inside a table nested in an open <li> must not
+    close the outer item and pop the table (WHATWG; html5ever parity)."""
+    doc = parse_html("<html><body><ul><li>a<table><tr><td>"
+                     "<li>x</li></td></tr></table></li></ul></body></html>")
+    td = doc.select_first(lambda el: el.tag == "td")
+    assert td is not None
+    inner = [el for el in td.descendants() if el.tag == "li"]
+    assert len(inner) == 1 and inner[0].all_text() == "x"
+    # and the outer li still contains the whole table
+    outer_li = doc.select_first(lambda el: el.tag == "li")
+    assert any(el.tag == "table" for el in outer_li.descendants())
+
+
+def test_li_scope_special_barrier_vs_div_exception():
+    """WHATWG li start scan: ANY special element except address/div/p ends
+    the scan — <section> keeps the outer li open; <div> is the documented
+    exception and the outer li closes across it."""
+    d1 = parse_html("<html><body><ul><li>a<section><li>b</section>"
+                    "</li></ul></body></html>")
+    lis = d1.select(lambda el: el.tag == "li")
+    assert len(lis) == 2
+    sec = d1.select_first(lambda el: el.tag == "section")
+    assert [el.tag for el in sec.descendants()] == ["li"]
+    d2 = parse_html("<html><body><ul><li>a<div><li>b</ul></body></html>")
+    ul = d2.select_first(lambda el: el.tag == "ul")
+    assert [el.tag for el in ul.children if el.is_element] == ["li", "li"]
+
+
 # ---- container/blocklist/loose text (rs:311-343) ----
 
 def test_container_loose_text():
