@@ -397,6 +397,19 @@ def q_pq_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=2, rerank=32)
 
 
+def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a k-means-TRAINED coarse quantizer (16 cells, 2
+    deterministic Lloyd rounds, nprobe=4): inverted lists follow the data
+    distribution instead of the fixed centroid recurrence — the same
+    upgrade that fixed PQ recall. The oracle replays the training, the
+    argmin cell assignment, the per-query probe ranking, and the in-cell
+    cosine scan bit-for-bit (operators/similarity.ivf_ann_topk_trained)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_ann_topk_trained(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=4,
+        n_iters=2)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL table — candidates are LSH-banded (16 planes x 4 bands), never an
     # all-pairs cartesian; threshold 0.4 is meaningful for this corpus (max
@@ -1302,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "l2_topk": q_l2_topk,
         "pq_ann_topk_trained": q_pq_ann_topk_trained,
+        "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
         "frame_sample": q_frame_sample,
         "shuffle_corpus": q_shuffle_corpus,
         "stratified_sample": q_stratified_sample,
@@ -1820,11 +1834,15 @@ SELECT query_id, neighbor_id,
        round(sim, 6) AS sim
 FROM scored
 QUALIFY rank <= 3""".format(cos=_COS_E)
-    _kmeans_cte = """
+    # one deterministic-Lloyd CTE, parameterized on k (LIMIT {k} seeds);
+    # e/c0/a0/a0x/c1/a1 = prep, seed centroids, first assignment, the
+    # integer-exact mean update, and the assignment under the updated
+    # centroids — replayed bit-for-bit against operators/kmeans.
+    _kmeans_cte_tpl = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
   FROM embeddings),
-c0 AS (SELECT vec_id AS cell, ev AS cv FROM e ORDER BY vec_id LIMIT 8),
+c0 AS (SELECT vec_id AS cell, ev AS cv FROM e ORDER BY vec_id LIMIT {k}),
 a0 AS (
   SELECT e.vec_id,
          MIN([list_sum(list_transform(range(64),
@@ -1847,6 +1865,36 @@ a1 AS (
               i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))),
               CAST(c.cell AS DOUBLE)]) AS s
   FROM e CROSS JOIN c1 c GROUP BY e.vec_id)"""
+    _kmeans_cte = _kmeans_cte_tpl.format(k=8)
+
+    ivf_trained_sql = _kmeans_cte_tpl.format(k=16) + """,
+cells AS (SELECT vec_id, CAST(s[2] AS BIGINT) AS cell FROM a1),
+qp AS (
+  SELECT e.vec_id AS query_id, c.cell,
+         list_sum(list_transform(range(64),
+              i -> (e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1]))) AS dist
+  FROM e CROSS JOIN c1 c
+  WHERE e.vec_id < 5),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, cell) AS rn
+    FROM qp) WHERE rn <= 4),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id
+  FROM probes p JOIN cells n USING (cell)
+  WHERE p.query_id <> n.vec_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS sim
+  FROM cand c JOIN embeddings e1 ON e1.vec_id = c.query_id
+              JOIN embeddings e2 ON e2.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       round(sim, 6) AS sim
+FROM scored
+QUALIFY rank <= 3""".format(cos=_COS_E)
 
     def _hits_oracle(iters: int = 2) -> str:
         # unrolled CTE chain mirroring operators/pagerank.hits: exact BIGINT
@@ -2542,6 +2590,7 @@ QUALIFY rank <= 3""",
         "ivf_ann_topk": ivf_sql,
         "pq_ann_topk": pq_sql,
         "pq_ann_topk_trained": pq_trained_sql,
+        "ivf_ann_topk_trained": ivf_trained_sql,
         "l2_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),

@@ -531,6 +531,18 @@ def main() -> None:
         extras["ivf_ann_recall_at3"] = round(
             len(ann_sets["ivf"] & exact) / max(1, len(exact)), 4)
 
+    def ivf_ann_trained():
+        q = emb.filter(F.col("vec_id") < 20)
+        ann_sets["ivf_t"] = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_ann_topk_trained(emb, q, k=3).collect()}
+
+    bench("ivf_ann_topk_trained", ivf_ann_trained)
+    if "ivf_t" in ann_sets:
+        exact = exact_baseline()
+        extras["ivf_trained_recall_at3"] = round(
+            len(ann_sets["ivf_t"] & exact) / max(1, len(exact)), 4)
+
     def pq_ann():
         q = emb.filter(F.col("vec_id") < 20)
         ann_sets["pq"] = {(r["query_id"], r["neighbor_id"])
@@ -682,6 +694,7 @@ def main() -> None:
     for key in ("crawl_scan_urls_per_sec", "crawl_scan_urls",
                 "lsh_ann_recall_at3",
                 "lsh_ann_multiprobe_recall_at3", "ivf_ann_recall_at3",
+                "ivf_trained_recall_at3",
                 "pq_ann_recall_at3_l2", "pq_trained_recall_at3_l2",
                 "pq_twin_recall_at1"):
         if key in extras:

@@ -37,42 +37,49 @@ def _sq_dist(a, b):
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
-                  dim: int = 64, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, cell, dist): cluster assignment after ``n_iters`` Lloyd
-    rounds (assign -> mean-update between rounds; the returned assignment is
-    under the last updated centroids). ``dist`` is the squared L2 distance
-    to the winning centroid, rounded to 6 decimals. Vectors whose length is
-    not ``dim`` raise (a silent zip_with mismatch would poison the update
-    with NULLs); if the table has fewer than ``k`` rows, that many centroids
-    are used."""
+def _prep(embeddings: DataFrame, dim: int, id_col: str,
+          vec_col: str) -> DataFrame:
+    """(vec_id, ev double-array) with a loud raise on length != dim (a
+    silent zip_with mismatch would poison the update with NULLs)."""
     ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    e = embeddings.select(
+    return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.when(F.size(F.col(vec_col)) == dim, ev).otherwise(F.raise_error(
-            F.concat(F.lit(f"kmeans_assign: embedding length != dim={dim}: "),
+            F.concat(F.lit(f"kmeans: embedding length != dim={dim}: "),
                      F.size(F.col(vec_col)).cast("string")))).alias("ev"))
+
+
+def _assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmin squared-L2 assignment under a broadcast one-row centroid
+    array; ties break on the smaller cell id (struct lexicographic min)."""
+    one_row = centroids.agg(
+        F.collect_list(F.struct("cell", "cv")).alias("cs"))
+    best = F.array_min(F.transform(
+        F.col("cs"),
+        lambda c: F.struct(_sq_dist(F.col("ev"), c["cv"]).alias("dist"),
+                           c["cell"].alias("cell"))))
+    return (e.crossJoin(F.broadcast(one_row))
+            .select("vec_id", "ev", best.alias("s"))
+            .select("vec_id", "ev", F.col("s.cell").alias("cell"),
+                    F.col("s.dist").alias("dist")))
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(cell, cv): the trained centroids after ``n_iters - 1`` mean
+    updates, cells keyed by the seed vectors' ids. This is the reusable
+    coarse quantizer — :func:`kmeans_assign` is an assignment under these,
+    and ``similarity.ivf_ann_topk_trained`` probes them per query. Empty
+    cells drop out of the update (both engines)."""
+    e = _prep(embeddings, dim, id_col, vec_col)
     # k smallest ids — TakeOrderedAndProject, honest "first k by id" even
     # when ids are sparse or offset (filter(vec_id < k) would silently
     # under-seed such tables)
     cents = (e.orderBy("vec_id").limit(k)
              .select(F.col("vec_id").alias("cell"), F.col("ev").alias("cv")))
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        one_row = centroids.agg(
-            F.collect_list(F.struct("cell", "cv")).alias("cs"))
-        best = F.array_min(F.transform(
-            F.col("cs"),
-            lambda c: F.struct(_sq_dist(F.col("ev"), c["cv"]).alias("dist"),
-                               c["cell"].alias("cell"))))
-        return (e.crossJoin(F.broadcast(one_row))
-                .select("vec_id", "ev", best.alias("s"))
-                .select("vec_id", "ev", F.col("s.cell").alias("cell"),
-                        F.col("s.dist").alias("dist")))
-
-    a = assign(cents)
     for _ in range(n_iters - 1):
+        a = _assign(e, cents)
         # order-independent mean: integer micro-unit sums, then one divide
         sums = (a.groupBy("cell")
                 .agg(*[F.sum(F.floor(F.col("ev")[i] * _SCALE + 0.5)
@@ -83,7 +90,21 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
             "cell",
             F.array(*[F.col(f"_s{i}") / (float(_SCALE) * F.col("_n"))
                       for i in range(dim)]).alias("cv"))
-        a = assign(cents)
+    return cents
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iters: int = 2,
+                  dim: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, dist): cluster assignment after ``n_iters`` Lloyd
+    rounds (assign -> mean-update between rounds; the returned assignment is
+    under the last updated centroids, i.e. :func:`kmeans_centroids`).
+    ``dist`` is the squared L2 distance to the winning centroid, rounded to
+    6 decimals. If the table has fewer than ``k`` rows, that many centroids
+    are used."""
+    e = _prep(embeddings, dim, id_col, vec_col)
+    cents = kmeans_centroids(embeddings, k, n_iters, dim, id_col, vec_col)
+    a = _assign(e, cents)
     return a.select("vec_id", "cell", F.round("dist", 6).alias("dist"))
 
 

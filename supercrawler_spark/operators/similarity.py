@@ -229,6 +229,61 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                     F.round("sim", 6).alias("sim")))
 
 
+def ivf_ann_topk_trained(embeddings: DataFrame, queries: DataFrame,
+                         k: int = 3, n_cells: int = 16, nprobe: int = 4,
+                         n_iters: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int = 64) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: cells come from
+    deterministic Lloyd centroids (:func:`kmeans.kmeans_centroids`) instead
+    of the fixed pseudo-random recurrence, so the inverted lists follow the
+    data distribution — the same upgrade that took PQ recall from 0.03 to
+    0.87. Search topology is identical to :func:`ivf_ann_topk`: each query
+    probes its ``nprobe`` nearest centroids (squared L2, ties to the
+    smaller cell id) and scans only the vectors assigned there; output
+    shape matches cosine_topk.
+
+    Scale shape: the centroids collapse to one broadcast row; corpus
+    assignment is a scan-speed argmin projection (at scale it is the
+    partitioning column of the vector table, making a probe a
+    partition-pruned scan); per-query work is nprobe inverted lists.
+    Pipelines issuing many query batches should materialize the
+    centroid/assignment tables once (the training lineage otherwise
+    re-executes per use). Bit-for-bit DuckDB oracle twin in
+    ``__spark_entry__.oracle_sql['ivf_ann_topk_trained']``."""
+    from supercrawler_spark.operators.kmeans import (_assign, _prep,
+                                                     kmeans_centroids)
+    cents = kmeans_centroids(embeddings, n_cells, n_iters, dim,
+                             id_col, vec_col)
+    e = _prep(embeddings, dim, id_col, vec_col)
+    cells = (_assign(e, cents)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("ev").alias("nv"), "cell"))
+    one_row = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
+    q = _prep(queries, dim, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+    ranked = F.array_sort(F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(F.col("qv"), c["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+            c["cell"].alias("cell"))))
+    probe = (q.crossJoin(F.broadcast(one_row))
+             .select("query_id", "qv",
+                     F.explode(F.slice(ranked, 1, nprobe)).alias("pc"))
+             .select("query_id", "qv", F.col("pc.cell").alias("cell")))
+    scored = (probe.join(cells, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         n_planes: int = 16, n_bands: int = 4,
                         id_col: str = "vec_id", vec_col: str = "embedding",

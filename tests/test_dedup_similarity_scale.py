@@ -502,3 +502,32 @@ def test_host_mirrors_semantics(spark):
                           threshold=0.3, max_hosts_per_digest=3)
     got = {(r["host_a"], r["host_b"]): r["jaccard"] for r in capped.collect()}
     assert got[("a.com", "b.com")] == 1.0  # boiler digest dropped by cap
+
+
+def test_ivf_trained_beats_fixed_quantizer(spark):
+    """The k-means-trained coarse quantizer must recall strictly more of
+    the exact cosine top-3 than the fixed centroid recurrence at the same
+    (n_cells, nprobe) budget on random vectors, and recover planted
+    near-identical twins at rank 1 (the twin lands in the same cell as
+    its query under any data-following quantizer)."""
+    import random
+    rng = random.Random(41)
+    rows = [(i, [float(rng.uniform(-0.5, 0.5)) for _ in range(64)])
+            for i in range(80)]
+    twins = [(1000 + i, [float(x + 0.005) for x in v]) for i, v in rows[:5]]
+    emb = spark.createDataFrame(rows + twins,
+                                "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, q, k=3).collect()}
+    trained = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.ivf_ann_topk_trained(emb, q, k=3).collect()}
+    fixed = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.ivf_ann_topk(emb, q, k=3).collect()}
+    r_t = len(trained & exact) / len(exact)
+    r_f = len(fixed & exact) / len(exact)
+    assert r_t > r_f, f"trained {r_t} <= fixed {r_f}"
+    rank1 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in similarity.ivf_ann_topk_trained(emb, q, k=1).collect()}
+    for i in range(5):
+        assert rank1[(i, 1)] == 1000 + i, "twin not recovered at rank 1"
