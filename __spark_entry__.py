@@ -410,6 +410,18 @@ def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=2)
 
 
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (FAISS IVFPQ shape, by_residual=False): k-means-trained
+    coarse cells (16, nprobe=4) restrict an ADC scan over k-means-trained
+    PQ codes (16x32), shortlist-32 exact-L2 rerank. The production ANN
+    composition — codes, not vectors, are what the probe scans
+    (operators/similarity.ivfpq_ann_topk)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivfpq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=4,
+        m_sub=16, k_codes=32, n_iters=2, rerank=32)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL table — candidates are LSH-banded (16 planes x 4 bands), never an
     # all-pairs cartesian; threshold 0.4 is meaningful for this corpus (max
@@ -1316,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_topk": q_l2_topk,
         "pq_ann_topk_trained": q_pq_ann_topk_trained,
         "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "frame_sample": q_frame_sample,
         "shuffle_corpus": q_shuffle_corpus,
         "stratified_sample": q_stratified_sample,
@@ -1776,6 +1789,101 @@ scored AS (
          list_sum(list_transform(range({_M}),
                                  m -> q.ts[m+1][c.cs[m+1]+1])) AS adist
   FROM qrow q, crow c WHERE q.query_id != c.vec_id),
+short AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS srank
+    FROM scored) WHERE srank <= {_RER}),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_sum(list_transform(range(64),
+             i -> (CAST(e1.embedding[i+1] AS DOUBLE)
+                   - CAST(e2.embedding[i+1] AS DOUBLE))
+                  * (CAST(e1.embedding[i+1] AS DOUBLE)
+                     - CAST(e2.embedding[i+1] AS DOUBLE)))) AS d2
+  FROM short s JOIN embeddings e1 ON e1.vec_id = s.query_id
+               JOIN embeddings e2 ON e2.vec_id = s.neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rank
+      FROM rr)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(d2, 6) AS d2
+FROM r WHERE rank <= 3"""
+
+    # IVF-PQ oracle: the coarse kmeans (16 full-vector cells, kc*/ka*
+    # CTEs) restricts the ADC scan to each query's 4 probed cells; the
+    # fine quantizer CTEs (sub..qrow) are the trained-PQ program verbatim;
+    # shortlist-32 exact-L2 rerank identical to pq_trained_sql.
+    _sqd64 = ("list_sum(list_transform(range(64), i -> "
+              "(e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1])))")
+    ivfpq_sql = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+kc0 AS (SELECT vec_id AS cell, ev AS cv FROM e ORDER BY vec_id LIMIT 16),
+ka0 AS (
+  SELECT e.vec_id, MIN([{_sqd64}, CAST(c.cell AS DOUBLE)]) AS s
+  FROM e CROSS JOIN kc0 c GROUP BY e.vec_id),
+ka0x AS (SELECT vec_id, CAST(s[2] AS BIGINT) AS cell FROM ka0),
+kc1 AS (
+  SELECT cell, list(mn ORDER BY pos) AS cv FROM (
+    SELECT a.cell, p.pos,
+           SUM(CAST(floor(e.ev[p.pos+1] * 1000000 + 0.5) AS BIGINT))
+           / (1000000.0 * COUNT(*)) AS mn
+    FROM ka0x a JOIN e USING (vec_id)
+    CROSS JOIN (SELECT x AS pos FROM range(64) r(x)) p
+    GROUP BY a.cell, p.pos) GROUP BY cell),
+cells AS (
+  SELECT e.vec_id,
+         CAST(MIN([{_sqd64}, CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell
+  FROM e CROSS JOIN kc1 c GROUP BY e.vec_id),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sqd64}, c.cell) AS rn
+    FROM e CROSS JOIN kc1 c WHERE e.vec_id < 5) WHERE rn <= 4),
+sub AS (SELECT e.vec_id, m.x AS m,
+               list_slice(e.ev, m.x*{_DS}+1, m.x*{_DS}+{_DS}) AS sv
+        FROM e, range({_M}) m(x)),
+seeds AS (SELECT vec_id, ev FROM e ORDER BY vec_id LIMIT {_K}),
+c0 AS (SELECT m.x AS m, s.vec_id AS cell,
+              list_slice(s.ev, m.x*{_DS}+1, m.x*{_DS}+{_DS}) AS cv
+       FROM seeds s, range({_M}) m(x)),
+a0 AS (
+  SELECT s.vec_id, s.m,
+         CAST(MIN([{_sqd}, CAST(c.cell AS DOUBLE)])[2] AS BIGINT) AS cell
+  FROM sub s JOIN c0 c ON s.m = c.m GROUP BY s.vec_id, s.m),
+c1 AS (
+  SELECT m, cell, list(mn ORDER BY pos) AS cv FROM (
+    SELECT a.m, a.cell, p.pos,
+           SUM(CAST(floor(s.sv[p.pos+1] * 1000000 + 0.5) AS BIGINT))
+           / (1000000.0 * COUNT(*)) AS mn
+    FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+    CROSS JOIN (SELECT x AS pos FROM range({_DS}) r(x)) p
+    GROUP BY a.m, a.cell, p.pos) GROUP BY m, cell),
+cb AS (SELECT m, (ROW_NUMBER() OVER (PARTITION BY m ORDER BY cell)) - 1
+              AS code, cv
+       FROM c1),
+codes AS (
+  SELECT s.vec_id, s.m,
+         CAST(MIN([{_sqd}, CAST(c.code AS DOUBLE)])[2] AS BIGINT) AS code
+  FROM sub s JOIN cb c ON s.m = c.m GROUP BY s.vec_id, s.m),
+crow AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM codes
+         GROUP BY vec_id),
+qd AS (
+  SELECT s.vec_id AS query_id, c.m, c.code, {_sqd} AS d
+  FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 5),
+qtab AS (SELECT query_id, m, list(d ORDER BY code) AS t FROM qd
+         GROUP BY query_id, m),
+qrow AS (SELECT query_id, list(t ORDER BY m) AS ts FROM qtab
+         GROUP BY query_id),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_sum(list_transform(range({_M}),
+                                 m -> q.ts[m+1][c.cs[m+1]+1])) AS adist
+  FROM qrow q JOIN probes p ON p.query_id = q.query_id
+       JOIN cells n ON n.cell = p.cell
+       JOIN crow c ON c.vec_id = n.vec_id
+  WHERE q.query_id != n.vec_id),
 short AS (SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY adist, neighbor_id) AS srank
@@ -2591,6 +2699,7 @@ QUALIFY rank <= 3""",
         "pq_ann_topk": pq_sql,
         "pq_ann_topk_trained": pq_trained_sql,
         "ivf_ann_topk_trained": ivf_trained_sql,
+        "ivfpq_ann_topk": ivfpq_sql,
         "l2_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 n AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),

@@ -543,6 +543,24 @@ def main() -> None:
         extras["ivf_trained_recall_at3"] = round(
             len(ann_sets["ivf_t"] & exact) / max(1, len(exact)), 4)
 
+    def ivfpq_ann():
+        q = emb.filter(F.col("vec_id") < 20)
+        ann_sets["ivfpq"] = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivfpq_ann_topk(emb, q, k=3).collect()}
+
+    bench("ivfpq_ann_topk", ivfpq_ann)
+    if "ivfpq" in ann_sets:
+        # IVF-PQ quantizes L2 — metric-matched baseline, like pq_* cells
+        if "exact_l2" not in ann_sets:
+            q = emb.filter(F.col("vec_id") < 20)
+            ann_sets["exact_l2"] = {
+                (r["query_id"], r["neighbor_id"])
+                for r in similarity.l2_topk(emb, q, k=3).collect()}
+        exact_l2 = ann_sets["exact_l2"]
+        extras["ivfpq_recall_at3_l2"] = round(
+            len(ann_sets["ivfpq"] & exact_l2) / max(1, len(exact_l2)), 4)
+
     def pq_ann():
         q = emb.filter(F.col("vec_id") < 20)
         ann_sets["pq"] = {(r["query_id"], r["neighbor_id"])
@@ -694,7 +712,7 @@ def main() -> None:
     for key in ("crawl_scan_urls_per_sec", "crawl_scan_urls",
                 "lsh_ann_recall_at3",
                 "lsh_ann_multiprobe_recall_at3", "ivf_ann_recall_at3",
-                "ivf_trained_recall_at3",
+                "ivf_trained_recall_at3", "ivfpq_recall_at3_l2",
                 "pq_ann_recall_at3_l2", "pq_trained_recall_at3_l2",
                 "pq_twin_recall_at1"):
         if key in extras:

@@ -613,6 +613,128 @@ def pq_ann_topk_trained(embeddings: DataFrame, queries: DataFrame,
                     F.round("d2", 6).alias("d2")))
 
 
+def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                   n_cells: int = 16, nprobe: int = 4, m_sub: int = 16,
+                   k_codes: int = 32, n_iters: int = 2,
+                   rerank: int | None = 32, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """IVF-PQ top-k — the production ANN composition (FAISS ``IVFPQ`` with
+    ``by_residual=False``): a TRAINED coarse quantizer restricts the scan
+    to ``nprobe`` inverted lists, a TRAINED product quantizer scores the
+    survivors by ADC table lookups over their codes (never their vectors),
+    and an exact squared-L2 rerank over the per-query shortlist closes the
+    quantization gap. Output (query_id, neighbor_id, rank, d2); with
+    ``rerank=None`` the ADC order is final and the column is ``adist``.
+
+    Scale shape — the part each piece alone doesn't have: corpus vectors
+    are read by ONE scan that emits (cell, codes) under two broadcast
+    quantizers (k-means centroids + PQ codebooks); the ADC scan is a
+    cell-equi-join against nprobe/n_cells of the code table (the full-PQ
+    path cross-joins every code row); only the rerank's R rows per query
+    ever fetch original vectors back. At 10^10 vectors the code table is
+    ~m_sub bytes/vector and cell-partitioned, so a probe is a
+    partition-pruned scan of compressed codes. Bit-for-bit DuckDB oracle
+    twin in ``__spark_entry__.oracle_sql['ivfpq_ann_topk']``."""
+    from supercrawler_spark.operators.kmeans import _prep, kmeans_centroids
+    assert dim % m_sub == 0
+    ds = dim // m_sub
+    cents = kmeans_centroids(embeddings, n_cells, n_iters, dim,
+                             id_col, vec_col)
+    cents_row = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
+    cb = pq_train_codebooks(embeddings, m_sub, k_codes, n_iters, dim,
+                            id_col, vec_col)
+    cb_row = cb.groupBy().agg(*[
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("m") == m, F.struct("code", "cv")))),
+            lambda s: s["cv"]).alias(f"_cb{m}")
+        for m in range(m_sub)])
+
+    def sub_dists(vec_col_, m):
+        sub = F.slice(vec_col_, m * ds + 1, ds)
+        return F.transform(
+            F.col(f"_cb{m}"),
+            lambda cent: F.aggregate(
+                F.zip_with(sub, cent,
+                           lambda x, cc: (x.cast("double") - cc)
+                           * (x.cast("double") - cc)),
+                F.lit(0.0), lambda acc, v: acc + v))
+
+    def cell_dists(vec_col_):
+        return F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.aggregate(F.zip_with(vec_col_, c["cv"],
+                                       lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+                c["cell"].alias("cell")))
+
+    # ONE corpus scan under both broadcast quantizers -> (cell, codes)
+    e = _prep(embeddings, dim, id_col, vec_col)
+    enc = (e.crossJoin(F.broadcast(cents_row)).crossJoin(F.broadcast(cb_row))
+           .select(F.col("vec_id").alias("neighbor_id"),
+                   F.array_min(cell_dists(F.col("ev")))
+                   .getField("cell").alias("cell"),
+                   *[sub_dists(F.col("ev"), m).alias(f"_d{m}")
+                     for m in range(m_sub)]))
+    codes = F.array(*[
+        (F.array_position(F.col(f"_d{m}"), F.array_min(F.col(f"_d{m}")))
+         - 1).cast("long")
+        for m in range(m_sub)])
+    n = enc.select("neighbor_id", "cell", codes.alias("codes"))
+
+    # queries: probed cells carry the per-query ADC tables (nprobe small
+    # rows per query — broadcast side of the cell join)
+    q = _prep(queries, dim, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"))
+    qx = (q.crossJoin(F.broadcast(cents_row)).crossJoin(F.broadcast(cb_row))
+          .select("query_id",
+                  F.explode(F.slice(F.array_sort(cell_dists(F.col("qv"))),
+                                    1, nprobe)).alias("pc"),
+                  *[sub_dists(F.col("qv"), m).alias(f"_t{m}")
+                    for m in range(m_sub)])
+          .select("query_id", F.col("pc.cell").alias("cell"),
+                  *[f"_t{m}" for m in range(m_sub)]))
+    adist = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.col(f"_t{m}"),
+            (F.element_at(F.col("codes"), m + 1) + 1).cast("int"))
+        adist = term if adist is None else adist + term
+    scored = (F.broadcast(qx).join(n, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("adist", adist))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    if rerank is None:
+        return (scored.withColumn("rank",
+                                  F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "rank",
+                        F.round("adist", 6).alias("adist")))
+    shortlist = (scored.withColumn("_srank", F.row_number().over(w))
+                 .filter(F.col("_srank") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+    nv = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("nv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    rr = (shortlist.join(F.broadcast(qv), "query_id")
+          .join(nv, "neighbor_id")
+          .withColumn("d2", d2))
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"),
+                                                F.asc("neighbor_id"))
+    return (rr.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("d2", 6).alias("d2")))
+
+
 def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query by ascending squared-L2 distance —

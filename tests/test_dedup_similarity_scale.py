@@ -531,3 +531,34 @@ def test_ivf_trained_beats_fixed_quantizer(spark):
              for r in similarity.ivf_ann_topk_trained(emb, q, k=1).collect()}
     for i in range(5):
         assert rank1[(i, 1)] == 1000 + i, "twin not recovered at rank 1"
+
+
+def test_ivfpq_recovers_twins_and_beats_pure_adc(spark):
+    """IVF-PQ composition: (a) planted near-identical twins return at
+    rank 1 (coarse cell + codes + rerank all agree on a twin), (b) the
+    exact-L2 rerank recovers most of what pure ADC order loses at the
+    same probe budget."""
+    import random
+    rng = random.Random(43)
+    rows = [(i, [float(rng.uniform(-0.5, 0.5)) for _ in range(64)])
+            for i in range(80)]
+    twins = [(1000 + i, [float(x + 0.005) for x in v]) for i, v in rows[:5]]
+    emb = spark.createDataFrame(rows + twins,
+                                "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.l2_topk(emb, q, k=3).collect()}
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.ivfpq_ann_topk(
+              emb, q, k=3, m_sub=16, k_codes=32, rerank=16).collect()}
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ivfpq_ann_topk(
+               emb, q, k=3, m_sub=16, k_codes=32, rerank=None).collect()}
+    r_rr = len(rr & exact) / len(exact)
+    r_adc = len(adc & exact) / len(exact)
+    assert r_rr >= r_adc and r_rr >= 0.5, f"rerank {r_rr} vs adc {r_adc}"
+    rank1 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in similarity.ivfpq_ann_topk(
+                 emb, q, k=1, m_sub=16, k_codes=32, rerank=16).collect()}
+    for i in range(5):
+        assert rank1[(i, 1)] == 1000 + i, "twin not recovered at rank 1"
