@@ -107,3 +107,18 @@ def test_dsir_single_bucket_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row totals only
     assert "EvalPython" not in plan
+
+
+def test_trained_ann_plans_no_allpairs(spark):
+    """ivf_ann_topk_trained / ivfpq_ann_topk: the probe must be an
+    equi-join on cell (BroadcastHashJoin), never a corpus-wide nested
+    loop; the only nested loops allowed are the bounded one-row quantizer
+    broadcasts (Cross build); everything stays JVM-side."""
+    for q in (entry_mod.q_ivf_ann_topk_trained, entry_mod.q_ivfpq_ann_topk):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line  # one-row centroid/codebook builds
+        assert "BroadcastHashJoin" in plan
+        assert "EvalPython" not in plan
