@@ -1175,6 +1175,24 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring CUT (operators/spans.remove_duplicate_spans): every
+    token covered by a duplicated 8-token window is excised except in the
+    span's global keeper occurrence (min (doc_id, pos)) — the rewrite stage
+    of Lee et al. substring dedup, downstream of duplicate_spans."""
+    from supercrawler_spark.operators.spans import remove_duplicate_spans
+    return remove_duplicate_spans(_docs(spark, sf_dir), w=8, min_count=2)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/terms.bm25_topk) for a 4-term query
+    with deliberate idf contrast ('dup' is rare, the rest stopword-grade):
+    Lucene idf, k1=1.2 b=0.75 saturation, ties on doc_id."""
+    from supercrawler_spark.operators.terms import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir),
+                     ["dup", "vector", "spark", "batch"], k=10)
+
+
 def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile calibration of the trained classifier's scores against the
     training label (operators/classifier.score_calibration) — the
@@ -1377,6 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "score_calibration": q_score_calibration,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3498,6 +3518,71 @@ SELECT host,
        url, published, title,
        CASE WHEN gid % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt
 FROM d""",
+        # exact-substring cut: keeper = min (doc_id, pos) per duplicated
+        # hash; the oracle ranks occurrences with a window (fine at oracle
+        # scale) where the engine uses min(struct) in one aggregation
+        "remove_duplicate_spans": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+wins AS (
+  SELECT doc_id, s['pos'] AS pos, s['h'] AS span_hash FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(t) - 7),
+             i -> {{'pos': CAST(i - 1 AS BIGINT),
+                   'h': CAST(('0x' || substr(md5(
+                          array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT)}}
+           )) AS s
+    FROM toks WHERE len(t) >= 8)),
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY span_hash) AS n_occ,
+           ROW_NUMBER() OVER (PARTITION BY span_hash
+                              ORDER BY doc_id, pos) AS rk
+    FROM wins)
+  WHERE n_occ >= 2 AND rk > 1),
+removed AS (
+  SELECT DISTINCT doc_id, CAST(rp AS BIGINT) AS rp FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS rp
+    FROM flagged)),
+ragg AS (
+  SELECT doc_id, list_sort(list(rp)) AS rl FROM removed GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r.rl), 0) AS BIGINT) AS removed_tokens,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(generate_series(1, len(t.t)),
+                       i -> NOT list_contains(
+                         COALESCE(r.rl, CAST([] AS BIGINT[])),
+                         CAST(i - 1 AS BIGINT))),
+           i -> t.t[i]), ' '), '') AS clean_text
+FROM toks t LEFT JOIN ragg r USING (doc_id)""",
+        "bm25_topk": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('dup', 'vector', 'spark', 'batch')
+  GROUP BY doc_id, term),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(SUM(ln((tot.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / tot.avgdl))),
+               6) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  GROUP BY tf.doc_id)
+SELECT doc_id, score, n_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
     }
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]

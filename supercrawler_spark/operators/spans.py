@@ -90,6 +90,60 @@ def span_dup_stats(docs: DataFrame, w: int = 8, min_count: int = 2,
                         F.round(F.col("dup_windows") / F.col("n_windows"), 6)))
 
 
+def remove_duplicate_spans(docs: DataFrame, w: int = 8, min_count: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, removed_tokens, clean_text): the exact-substring
+    CUT (Lee et al. 2022) — every token covered by a duplicated ``w``-token
+    window is excised from the text, except in the span's single global
+    keeper occurrence, so one copy of each repeated substring survives the
+    corpus. ``duplicate_spans`` detects; this rewrites.
+
+    Keeper = the occurrence with the smallest (doc_id, pos), chosen with a
+    plain ``min(struct(doc_id, pos))`` inside the SAME hash-keyed
+    aggregation that counts occurrences — one map-side-combinable shuffle,
+    no per-hash window rank (a corpus-wide boilerplate span repeated 10^6
+    times would otherwise serialize its occurrences through one sort
+    partition). Removed positions explode to ``w`` rows per flagged window
+    (bounded by the duplicated tail, not the corpus) and fold back to one
+    sorted per-doc array; the rebuild is a higher-order ``filter`` over the
+    token array — scan-speed, no Python.
+
+    Documents with no flagged window pass through with their text
+    re-joined on single spaces (the tokenizer is whitespace-normalizing,
+    so clean_text is canonical-whitespace for every row)."""
+    wins = _windows(docs, w, text_col, id_col)
+    keep = (wins.groupBy("span_hash")
+            .agg(F.count("*").alias("n_occ"),
+                 F.min(F.struct("doc_id", "pos")).alias("k"))
+            .filter(F.col("n_occ") >= min_count)
+            .select("span_hash", F.col("k.doc_id").alias("k_doc"),
+                    F.col("k.pos").alias("k_pos")))
+    flagged = (wins.join(keep, "span_hash")
+               .filter(~((F.col("doc_id") == F.col("k_doc"))
+                         & (F.col("pos") == F.col("k_pos")))))
+    removed = (flagged
+               .select("doc_id",
+                       F.explode(F.sequence(F.col("pos"),
+                                            F.col("pos") + (w - 1)))
+                       .alias("rp"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list("rp")).alias("rl")))
+    toks = _tokens(text_col)
+    return (docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+            .join(removed, "doc_id", "left")
+            .withColumn("rl", F.coalesce(F.col("rl"),
+                                         F.array().cast("array<long>")))
+            .select("doc_id",
+                    F.size("_t").cast("long").alias("n_tokens"),
+                    F.size("rl").cast("long").alias("removed_tokens"),
+                    F.array_join(
+                        F.filter("_t", lambda x, i: ~F.array_contains(
+                            F.col("rl"), i.cast("long"))), " ")
+                    .alias("clean_text")))
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

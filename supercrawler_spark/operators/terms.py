@@ -100,6 +100,51 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5, k: int = 50,
                     "rank"))
 
 
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, score, n_terms, rank): BM25 top-k retrieval — the ranking
+    function behind the inverted index, used in pipeline curation to pull
+    topic-targeted subsets out of a web corpus (retrieval-based data
+    selection). Lucene-style idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``
+    (always positive), term saturation ``tf*(k1+1)/(tf + k1*(1-b+b*dl/
+    avgdl))``, score = sum over matched query terms; ties break on doc_id.
+
+    Scale shape: the corpus scan filters to the query-term postings FIRST
+    (an ``isin`` over a literal list, pushed below the explode's project),
+    so tf/df aggregate over |postings| rows, not the corpus; doc length and
+    the (N, avgdl) totals are long/double aggregates (map-side combined);
+    totals and the per-term df table broadcast. The final top-k is a
+    ``TakeOrderedAndProject`` — no global sort. The rank window runs over
+    exactly k rows after the limit."""
+    toks = _tokens(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    dl = base.select("doc_id", F.size("_t").cast("long").alias("dl"))
+    tot = dl.agg(F.count("*").cast("long").alias("_n"),
+                 F.avg("dl").alias("_avgdl"))
+    tf = (base.select("doc_id", F.explode("_t").alias("term"))
+          .filter(F.col("term").isin([str(t) for t in query_terms]))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = (tf.join(F.broadcast(dfc), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("_idf", F.log(
+                  (F.col("_n") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+              .withColumn("_s", F.col("_idf") * F.col("tf") * (k1 + 1.0)
+                          / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                                 / F.col("_avgdl"))))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("_s"), 6).alias("score"),
+                   F.count("*").cast("long").alias("n_terms")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("doc_id", "score", "n_terms", "rank"))
+
+
 def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 200,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

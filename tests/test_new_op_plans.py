@@ -122,3 +122,27 @@ def test_trained_ann_plans_no_allpairs(spark):
                 assert "Cross" in line  # one-row centroid/codebook builds
         assert "BroadcastHashJoin" in plan
         assert "EvalPython" not in plan
+
+
+def test_remove_duplicate_spans_no_window_no_python(spark):
+    """The cut must pick keepers with the hash-keyed min(struct)
+    aggregation — a per-hash Window rank would serialize a corpus-wide
+    boilerplate span's occurrences through one sort partition. Pure JVM,
+    equi-joins only."""
+    plan = _plan(entry_mod.q_remove_duplicate_spans(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bm25_broadcasts_small_sides_takeordered(spark):
+    """df table and (N, avgdl) totals broadcast; the only cross-join is the
+    one-row totals broadcast; top-k is TakeOrdered, not a global sort; the
+    rank window runs over the k limited rows only (after the take)."""
+    plan = _plan(entry_mod.q_bm25_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the totals cross-join must be the broadcast form
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -114,3 +114,54 @@ def test_winnow_guarantee_and_density(spark):
     again = {(r["doc_id"], r["pos"], r["fp"])
              for r in winnow_fingerprints(docs, k=4, w=5).collect()}
     assert again == {(r["doc_id"], r["pos"], r["fp"]) for r in rows}
+
+
+def test_remove_duplicate_spans_cuts_all_but_keeper(spark):
+    """The cut keeps exactly one occurrence of each duplicated span — the
+    global (doc_id, pos) minimum — and excises every token the other
+    occurrences cover; untouched docs pass through whitespace-normalized."""
+    from supercrawler_spark.operators.spans import remove_duplicate_spans
+    shared = "one two three four five six seven eight"          # 8 tokens
+    spam = "buy now from our store today please thanks"         # 8 tokens
+    docs = _mk_docs(spark, [
+        (0, "intro words here " + shared + " tail a"),          # keeper @3
+        (1, shared + " completely different ending text"),      # cut @0
+        (2, "unrelated body of  text with nothing shared here"),
+        (3, "tiny doc"),                                        # < w tokens
+        (4, spam + " " + spam),                                 # cut @8
+    ])
+    out = {r["doc_id"]: r
+           for r in remove_duplicate_spans(docs, w=8).collect()}
+    assert len(out) == 5
+    # keeper occurrence survives intact
+    assert out[0]["removed_tokens"] == 0
+    assert out[0]["clean_text"] == "intro words here " + shared + " tail a"
+    # non-keeper cross-doc occurrence excised
+    assert out[1]["removed_tokens"] == 8
+    assert out[1]["clean_text"] == "completely different ending text"
+    # within-doc repeat: first copy kept, second cut
+    assert out[4]["removed_tokens"] == 8
+    assert out[4]["clean_text"] == spam
+    # untouched docs: whitespace-normalized passthrough, nothing removed
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == \
+        "unrelated body of text with nothing shared here"
+    assert out[3]["removed_tokens"] == 0 and out[3]["n_tokens"] == 2
+    # token accounting
+    assert out[1]["n_tokens"] == 12 and out[4]["n_tokens"] == 16
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    """A 9-token shared run produces two overlapping flagged windows in the
+    cut copy; their covered positions union (9 removed, not 16)."""
+    from supercrawler_spark.operators.spans import remove_duplicate_spans
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9"                          # 9 tokens
+    docs = _mk_docs(spark, [
+        (0, run + " unique0 tail0 end0"),
+        (1, "lead1 " + run + " close1"),
+    ])
+    out = {r["doc_id"]: r
+           for r in remove_duplicate_spans(docs, w=8).collect()}
+    assert out[0]["removed_tokens"] == 0                        # keeper doc
+    assert out[1]["removed_tokens"] == 9
+    assert out[1]["clean_text"] == "lead1 close1"

@@ -133,3 +133,36 @@ def test_hll_ignores_null_values(spark):
     with_nulls = hll_distinct(df, ["key"], "v").collect()[0]["hll_distinct"]
     without = hll_distinct(base, ["key"], "v").collect()[0]["hll_distinct"]
     assert with_nulls == without          # countDistinct semantics
+
+
+def test_bm25_hand_computed_scores_and_ranks(spark):
+    from supercrawler_spark.operators.terms import bm25_topk
+    docs = _mk_docs(spark, [
+        (0, "apple banana banana"),
+        (1, "banana banana banana"),
+        (2, "apple apple cherry"),
+        (3, "cherry cherry cherry"),
+    ])
+    out = bm25_topk(docs, ["apple"], k=10).collect()
+    # only docs containing the query term appear
+    assert [r["doc_id"] for r in out] == [2, 0]
+    # N=4, df=2, dl=avgdl=3 -> idf=ln(2), denom = tf + 1.2
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    assert out[1]["score"] == pytest.approx(round(idf * 1 * 2.2 / 2.2, 6))
+    assert out[0]["score"] == pytest.approx(round(idf * 2 * 2.2 / 3.2, 6))
+    assert [r["rank"] for r in out] == [1, 2]
+    assert all(r["n_terms"] == 1 for r in out)
+
+
+def test_bm25_rare_term_outranks_common_and_ties_on_doc_id(spark):
+    from supercrawler_spark.operators.terms import bm25_topk
+    docs = _mk_docs(spark, [
+        (0, "common rare"), (1, "common word"), (2, "common word"),
+        (3, "common word"), (4, "rare common"),
+    ])
+    out = bm25_topk(docs, ["rare", "common"], k=3).collect()
+    # docs 0 and 4 match both terms with identical tf/dl -> tie on score,
+    # broken by doc_id; the rare term dominates the common one
+    assert [r["doc_id"] for r in out] == [0, 4, 1]
+    assert out[0]["score"] == out[1]["score"]
+    assert out[0]["n_terms"] == 2 and out[2]["n_terms"] == 1
