@@ -353,6 +353,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.dedup_clusters(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract resolved by alternating large-star/
+    small-star rounds (clusters.connected_components_star) — O(log
+    diameter) rounds with per-round parquet lineage truncation, the safe
+    path for unknown graph shapes (long mirror chains); shares the
+    transitive-closure oracle with dedup_clusters."""
+    from supercrawler_spark.operators import dedup
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    cc = clusters.connected_components_star(pairs.select("a_id", "b_id"))
+    return cc.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"))
+
+
 def q_resolve_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical pick per near-dup cluster (keeper = argmax
     quality, min-id tie-break); oracle reuses the transitive-closure CTE
@@ -1397,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "bm25_topk": q_bm25_topk,
+        "dedup_clusters_star": q_dedup_clusters_star,
     }
 
 
@@ -3586,4 +3601,6 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
     }
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
+    # star CC is an algorithmic re-plan of the same clustering contract
+    sqls["dedup_clusters_star"] = sqls["dedup_clusters"]
     return sqls

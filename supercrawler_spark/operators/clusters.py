@@ -95,6 +95,106 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     return out
 
 
+def connected_components_star(pairs: DataFrame, max_iters: int = 30,
+                              checkpoint_dir: str | None = None) -> DataFrame:
+    """Same contract as ``connected_components`` — (doc_id, cluster_id)
+    with cluster_id = min reachable id, vertices from at least one pair —
+    via alternating large-star/small-star rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond").
+
+    Min-label propagation moves a component's min one HOP per round, so a
+    path of length L needs L shuffles — a crawl-mirror chain or a
+    boilerplate template lineage can exceed any fixed iteration budget.
+    Star rounds instead rewire every node toward its neighborhood minimum
+    (large-star points larger neighbors at it, small-star collapses the
+    rest), which provably converges in O(log L) rounds to a star forest
+    rooted at each component's min. Near-dup cliques still converge in ~2
+    rounds, so this is strictly safer for unknown graph shapes; the dense
+    default keeps min-label (fewer shuffles per round).
+
+    Every round materializes to parquet under ``checkpoint_dir`` (a fresh
+    temp dir if None) and reads back — per-round LINEAGE TRUNCATION, the
+    same discipline GraphFrames' CC applies. Each star round references
+    its input several times, so an in-memory persist/unpersist loop (the
+    min-label pattern) leaves a plan that multiplies per round and
+    replays the whole loop on the caller's first action — fine for 2-3
+    dense-graph rounds, pathological at O(log n). Rounds alternate
+    between two subdirectories, so disk stays O(2x edge set); the
+    returned DataFrame scans the final round's file (no cached RDDs, no
+    replay). Convergence = the oriented edge set stops changing (count +
+    order-free hash-sum, one scan of the round file)."""
+    import os
+    import tempfile
+
+    spark = pairs.sparkSession
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="cc_star_")
+    e = (pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+
+    def _round_stats(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: exact and overflow-free under ANSI (a
+            # long sum of 64-bit hashes overflows after ~2 rows)
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))
+                  .cast("decimal(38,0)")).alias("h")).collect()[0]
+        return (r["n"], r["h"])
+
+    # both stars are expressed as a min-aggregation JOINED back to the edge
+    # relation — never a collect_set/list of a node's neighborhood, whose
+    # aggregation buffer is NOT reduced map-side and would OOM on a hot hub
+    # (the exact skew class star rounds exist to dismantle)
+    def large_star(df):
+        sym = df.unionByName(df.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.min("v").alias("_mn"))
+                .select("u", F.least(F.col("u"), F.col("_mn")).alias("_m")))
+        return (sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                .distinct())
+
+    def small_star(df):
+        # orient every edge (max, min) so each group's neighbors are < u
+        ori = df.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v")).distinct()
+        mins = ori.groupBy("u").agg(F.min("v").alias("_m"))
+        children = (ori.join(mins, "u")
+                    .filter(F.col("v") != F.col("_m"))
+                    .select(F.col("v").alias("u"), F.col("_m").alias("v")))
+        selfs = mins.select(F.col("u"), F.col("_m").alias("v"))
+        return (children.unionByName(selfs)
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    prev = None
+    converged = False
+    for k in range(max_iters):
+        nxt = small_star(large_star(e))
+        path = os.path.join(checkpoint_dir, f"r{k % 2}")
+        nxt.write.mode("overwrite").parquet(path)
+        e = spark.read.parquet(path)
+        cur = _round_stats(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iters} rounds")
+    # e is now a star forest (child -> component min): children label by
+    # their root, roots label themselves
+    roots = e.select(F.col("v").alias("doc_id")).distinct() \
+        .withColumn("cluster_id", F.col("doc_id"))
+    return (e.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("cluster_id"))
+            .unionByName(roots))
+
+
 def dedup_clusters(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """MinHash-LSH near-dup clustering end-to-end: candidate pairs →

@@ -257,3 +257,53 @@ def test_anchor_corpus_aggregation_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(edges, "a_id long, b_id long")
+
+
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    """large-star/small-star must produce exactly the min-label contract:
+    (doc_id, cluster_id=min reachable id) over pair-participating vertices."""
+    import random
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = _pairs_df(spark, edges)
+        ref = {(r["doc_id"], r["cluster_id"])
+               for r in clusters.connected_components(df).collect()}
+        got = {(r["doc_id"], r["cluster_id"])
+               for r in clusters.connected_components_star(df).collect()}
+        assert got == ref, f"trial {trial}"
+
+
+def test_star_cc_long_chain_beyond_min_label_budget(spark):
+    """A 120-node path has diameter 119 — min-label needs 119 rounds (and
+    its in-memory loop's plan multiplies ~3x per round, so a budget that
+    large is not even expressible); star rounds converge in O(log n).
+    Min-label's fail-loud path is checked at a small budget where its
+    replay lineage is still tractable."""
+    short = _pairs_df(spark, [(i, i + 1) for i in range(29)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        clusters.connected_components(short, max_iters=6)
+    edges = [(i, i + 1) for i in range(119)]
+    out = clusters.connected_components_star(
+        _pairs_df(spark, edges), max_iters=20).collect()
+    assert len(out) == 120
+    assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_star_cc_string_ids_and_cache_release(spark):
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [("url-b", "url-a"), ("url-c", "url-b"), ("url-z", "url-y")],
+        "a_id string, b_id string")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in clusters.connected_components_star(df).collect()}
+    assert out == {"url-a": "url-a", "url-b": "url-a", "url-c": "url-a",
+                   "url-y": "url-y", "url-z": "url-y"}
+    # the checkpointed loop itself caches nothing new
+    assert sc.getPersistentRDDs().size() == before
