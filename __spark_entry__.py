@@ -367,6 +367,14 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"))
 
 
+def q_dedup_clusters_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-free near-dup clustering (clusters.dedup_clusters_blocks):
+    min-label propagation alternating over the bipartite doc↔LSH-block
+    membership relation — rows shuffled per round are docs×bands, never
+    the k² within-block pairs; shares the transitive-closure oracle."""
+    return clusters.dedup_clusters_blocks(_docs(spark, sf_dir))
+
+
 def q_resolve_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical pick per near-dup cluster (keeper = argmax
     quality, min-id tie-break); oracle reuses the transitive-closure CTE
@@ -1412,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "bm25_topk": q_bm25_topk,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_clusters_blocks": q_dedup_clusters_blocks,
     }
 
 
@@ -3603,4 +3612,5 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract
     sqls["dedup_clusters_star"] = sqls["dedup_clusters"]
+    sqls["dedup_clusters_blocks"] = sqls["dedup_clusters"]
     return sqls

@@ -317,6 +317,23 @@ def main() -> None:
 
     bench("span_dup_stats", span_dup_stats_bench)
 
+    def remove_spans_bench():
+        from supercrawler_spark.operators.spans import remove_duplicate_spans
+        out = remove_duplicate_spans(docs, w=8, min_count=2)
+        row = out.agg(F.sum("removed_tokens").alias("r"),
+                      F.sum("n_tokens").alias("n")).collect()[0]
+        extras["cut_token_fraction"] = round(
+            float(row["r"]) / float(row["n"]), 4)
+
+    bench("remove_duplicate_spans", remove_spans_bench)
+
+    def bm25_bench():
+        from supercrawler_spark.operators.terms import bm25_topk
+        return bm25_topk(docs, ["dup", "vector", "spark", "batch"],
+                         k=10).count()
+
+    bench("bm25_topk", bm25_bench)
+
     def trap_signals_bench():
         import __spark_entry__ as entry_mod
         out = entry_mod.q_trap_signals(spark, sf_dir)
@@ -489,7 +506,10 @@ def main() -> None:
     cc_cache = {}
 
     def dedup_clusters_bench():
-        out = clusters.dedup_clusters(docs).persist()
+        # pair-free bipartite path (dedup_clusters_blocks): output verified
+        # identical to the pairwise dedup_clusters (oracle + equality test);
+        # rows shuffled per round are docs x bands, never k^2 block pairs
+        out = clusters.dedup_clusters_blocks(docs).persist()
         extras["dedup_cluster_members"] = out.count()
         cc_cache["cc"] = out
 

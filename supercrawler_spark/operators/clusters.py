@@ -209,6 +209,90 @@ def dedup_clusters(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"))
 
+def dedup_clusters_blocks(docs: DataFrame, num_hashes: int = 8,
+                          band_size: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_iters: int = 50) -> DataFrame:
+    """Same output contract as ``dedup_clusters`` — (doc_id, cluster_id,
+    is_keeper) over MinHash-LSH connectivity — resolved on the BIPARTITE
+    doc↔band-block membership relation instead of the pairwise edge list.
+
+    ``dedup_clusters`` materializes every within-block pair (k members →
+    k² join rows) only for connected components to collapse them right
+    back; at web scale the pair join IS the dominant cost and the k²
+    blowup is why ``max_bucket_size``/salting guards exist. Connectivity
+    through a block is equivalent to connectivity through its pairs, so
+    min-label propagation can alternate over the membership relation
+    directly:
+
+        block_min ← min label of members;  label ← min of member blocks
+
+    Rows shuffled per round = docs × bands (linear), never k² — hot
+    boilerplate blocks cost k rows here, so no cap/salt machinery is
+    needed for the clustering path at all. One bipartite round moves a
+    label TWO pair-graph hops, halving round count on chains. Docs whose
+    every block is singleton have no pairs and are excluded, mirroring
+    the pairwise contract. Per-round persist/unpersist and loud
+    non-convergence as in ``connected_components``."""
+    from supercrawler_spark.operators import dedup as _dedup
+
+    sig = _dedup.minhash_signatures(docs, num_hashes, text_col, id_col)
+    bands = (sig
+             .withColumn("band", (F.col("hash_id") / band_size).cast("long"))
+             .groupBy("doc_id", "band")
+             .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                 F.concat_ws(":", F.col("hash_id"), F.col("min_hash")))))
+                 .alias("band_key")))
+    # blocks keyed by the (band, band_key) composite — NOT a 64-bit hash
+    # of it: a hash collision would silently merge unrelated clusters
+    sized = (bands.groupBy("band", "band_key")
+             .agg(F.count("*").alias("_n"))
+             .filter(F.col("_n") >= 2)
+             .select("band", "band_key"))
+    mem = bands.join(sized, ["band", "band_key"]) \
+        .select("doc_id", "band", "band_key")
+    mem = mem.persist()
+    labels = (mem.select("doc_id").distinct()
+              .withColumn("cluster", F.col("doc_id")))
+    labels = labels.persist()
+    labels.count()
+
+    converged = False
+    for _ in range(max_iters):
+        bmin = (mem.join(labels, "doc_id")
+                .groupBy("band", "band_key")
+                .agg(F.min("cluster").alias("bmin")))
+        nmin = (mem.join(bmin, ["band", "band_key"])
+                .groupBy("doc_id").agg(F.min("bmin").alias("nmin")))
+        nxt = (labels.join(nmin, "doc_id", "left")
+               .select(labels["doc_id"],
+                       F.least(F.col("cluster"),
+                               F.coalesce(F.col("nmin"), F.col("cluster")))
+                       .alias("cluster"),
+                       F.col("cluster").alias("_prev")))
+        nxt = nxt.persist()
+        n_changed = (nxt.agg(F.sum((F.col("cluster") != F.col("_prev"))
+                                   .cast("long")).alias("c"))
+                     .collect()[0]["c"]) or 0
+        labels.unpersist()
+        labels = nxt
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        mem.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters_blocks did not converge within {max_iters} "
+            "iterations")
+    out = labels.select(
+        "doc_id", F.col("cluster").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster")).alias("is_keeper"))
+    mem.unpersist()
+    labels.unpersist()
+    return out
+
+
 def resolve_duplicates(docs: DataFrame, clusters: DataFrame | None = None,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:

@@ -307,3 +307,36 @@ def test_star_cc_string_ids_and_cache_release(spark):
                    "url-y": "url-y", "url-z": "url-y"}
     # the checkpointed loop itself caches nothing new
     assert sc.getPersistentRDDs().size() == before
+
+
+def test_blocks_cc_matches_pairwise_dedup_clusters(spark):
+    """Bipartite block propagation must reproduce the pairwise contract
+    exactly: same members, same min-id clusters, same keepers."""
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(12):
+        rows.append((i, base + f" tail{i % 3}"))       # 3 near-dup groups
+    rows.append((50, "totally unrelated text body one two three four"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {(r["doc_id"], r["cluster_id"], r["is_keeper"])
+           for r in clusters.dedup_clusters(docs).collect()}
+    got = {(r["doc_id"], r["cluster_id"], r["is_keeper"])
+           for r in clusters.dedup_clusters_blocks(docs).collect()}
+    assert got == ref and got
+
+
+def test_blocks_cc_chain_through_shared_blocks(spark):
+    """Transitivity across blocks: A~B via one band, B~C via another —
+    all three land in one cluster even though A,C share no block."""
+    docs = spark.createDataFrame([
+        (0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        (1, "w0 w1 w2 w3 w4 x5 x6 x7 x8 x9"),
+        (2, "y0 y1 y2 y3 y4 x5 x6 x7 x8 x9"),
+    ], "doc_id long, text string")
+    ref = {(r["doc_id"], r["cluster_id"])
+           for r in clusters.dedup_clusters(docs, num_hashes=8,
+                                            band_size=2).collect()}
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in clusters.dedup_clusters_blocks(docs, num_hashes=8,
+                                                   band_size=2).collect()}
+    assert got == ref
