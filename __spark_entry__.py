@@ -1206,6 +1206,23 @@ def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(_docs(spark, sf_dir), w=8, min_count=2)
 
 
+def q_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined segmentation (operators/spans.cdc_segments): token
+    positions whose 4-token window hash is 0 mod 16 bound variable-length
+    segments — insert/delete shifts starts but leaves other segments'
+    hashes intact (the CDC property), unlike fixed-size chunks."""
+    from supercrawler_spark.operators.spans import cdc_segments
+    return cdc_segments(_docs(spark, sf_dir), w=4, divisor=16)
+
+
+def q_cdc_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token fraction at content-defined segment
+    granularity (operators/spans.cdc_dup_stats) — the shift-robust
+    complement to span_dup_stats."""
+    from supercrawler_spark.operators.spans import cdc_dup_stats
+    return cdc_dup_stats(_docs(spark, sf_dir), w=4, divisor=16)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval (operators/terms.bm25_topk) for a 4-term query
     with deliberate idf contrast ('dup' is rare, the rest stopword-grade):
@@ -1421,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_clusters_blocks": q_dedup_clusters_blocks,
+        "cdc_segments": q_cdc_segments,
+        "cdc_dup_stats": q_cdc_dup_stats,
     }
 
 
@@ -3607,6 +3626,66 @@ SELECT doc_id, score, n_terms,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        "cdc_segments": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents),
+b AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 4 THEN
+           list_filter(generate_series(4, len(t)),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i-3:i], ' ')), 1, 15)) AS BIGINT) % 16 = 0)
+         ELSE CAST([] AS BIGINT[]) END AS bp
+  FROM toks),
+st AS (
+  SELECT doc_id, t,
+         list_concat([CAST(1 AS BIGINT)],
+                     list_filter(list_transform(bp, x -> x + 1),
+                                 v -> v <= len(t))) AS s
+  FROM b),
+seg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(s)),
+    j -> {'i': CAST(j - 1 AS BIGINT),
+          'p': CAST(s[j] AS BIGINT),
+          'n': CAST(COALESCE(s[j+1], len(t)+1) - s[j] AS BIGINT),
+          'h': CAST(('0x' || substr(md5(array_to_string(t[s[j]:COALESCE(s[j+1], len(t)+1) - 1], ' ')), 1, 15)) AS BIGINT)})) AS g
+  FROM st)
+SELECT doc_id, g['i'] AS seg_idx, g['p'] AS pos,
+       g['n'] AS n_tokens, g['h'] AS seg_hash
+FROM seg""",
+        "cdc_dup_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents),
+b AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 4 THEN
+           list_filter(generate_series(4, len(t)),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i-3:i], ' ')), 1, 15)) AS BIGINT) % 16 = 0)
+         ELSE CAST([] AS BIGINT[]) END AS bp
+  FROM toks),
+st AS (
+  SELECT doc_id, t,
+         list_concat([CAST(1 AS BIGINT)],
+                     list_filter(list_transform(bp, x -> x + 1),
+                                 v -> v <= len(t))) AS s
+  FROM b),
+seg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(s)),
+    j -> {'i': CAST(j - 1 AS BIGINT),
+          'p': CAST(s[j] AS BIGINT),
+          'n': CAST(COALESCE(s[j+1], len(t)+1) - s[j] AS BIGINT),
+          'h': CAST(('0x' || substr(md5(array_to_string(t[s[j]:COALESCE(s[j+1], len(t)+1) - 1], ' ')), 1, 15)) AS BIGINT)})) AS g
+  FROM st),
+rows_ AS (
+  SELECT doc_id, g['n'] AS n_tokens, g['h'] AS seg_hash FROM seg),
+dup AS (
+  SELECT seg_hash FROM rows_ GROUP BY seg_hash HAVING COUNT(*) >= 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN seg_hash IN (SELECT seg_hash FROM dup)
+                THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
+       round(SUM(CASE WHEN seg_hash IN (SELECT seg_hash FROM dup)
+                 THEN n_tokens ELSE 0 END) / SUM(n_tokens), 6)
+         AS dup_token_fraction
+FROM rows_ GROUP BY doc_id""",
     }
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]

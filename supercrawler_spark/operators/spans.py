@@ -144,6 +144,80 @@ def remove_duplicate_spans(docs: DataFrame, w: int = 8, min_count: int = 2,
                     .alias("clean_text")))
 
 
+def cdc_segments(docs: DataFrame, w: int = 4, divisor: int = 16,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, seg_idx, pos, n_tokens, seg_hash): content-defined
+    segmentation — the CDC idea (gear/Rabin chunking) on token streams. A
+    position i >= w is a segment BOUNDARY when the hash of the w-token
+    window ending at i is ≡ 0 mod ``divisor``; segments run between
+    boundaries. Because the rule depends only on local content, inserting
+    or deleting a sentence shifts segment starts but leaves every other
+    segment's tokens — and hash — intact, so segment-hash dedup catches
+    shifted near-copies that fixed-size ``chunk_documents`` windows break
+    (expected segment length ≈ ``divisor`` tokens).
+
+    Window-hash boundaries rather than a rolling gear hash: byte-rolling
+    state is inherently sequential, but a per-position window hash is the
+    same shift-invariant boundary rule and stays a pure higher-order
+    column program (transform/filter over the token array — scan speed,
+    no shuffle, no Python) with an exact DuckDB twin. Documents shorter
+    than ``w`` tokens yield one whole-document segment."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    # boundary positions (1-based token index of a window END, i.e. the
+    # segment that FOLLOWS starts at pos+1); windows end at i in [w, n]
+    bpos = F.when(n >= w, F.filter(
+        F.sequence(F.lit(w), n),
+        lambda i: md5long(F.concat_ws(" ", F.slice(toks, i - (w - 1), w)))
+        % divisor == 0)).otherwise(F.array().cast("array<int>"))
+    # starts = [1] + boundaries+1 (a boundary at n yields no tail start;
+    # entries are strictly increasing by construction, no dedup needed)
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.filter(F.transform(bpos, lambda b: b + 1), lambda s: s <= n))
+    segs = F.transform(
+        starts,
+        lambda s, j: F.struct(
+            j.cast("long").alias("seg_idx"),
+            s.cast("long").alias("pos"),
+            (F.coalesce(F.try_element_at(starts, j + 2), n + 1) - s)
+            .cast("long").alias("n_tokens"),
+            md5long(F.concat_ws(" ", F.slice(
+                toks, s,
+                F.coalesce(F.try_element_at(starts, j + 2), n + 1) - s)))
+            .alias("seg_hash")))
+    return (docs.filter(n >= 1)
+            .select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("s"))
+            .select("doc_id", "s.seg_idx", "s.pos", "s.n_tokens",
+                    "s.seg_hash"))
+
+
+def cdc_dup_stats(docs: DataFrame, w: int = 4, divisor: int = 16,
+                  min_count: int = 2, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_segments, dup_segments, dup_token_fraction): per-document
+    share of content-defined segments (tokens, not counts) whose hash
+    repeats >= ``min_count`` times corpus-wide — the shift-robust
+    complement to ``span_dup_stats`` (which needs every fixed window to
+    collide). One segment-hash aggregation (longs, map-side combined) and
+    one join back; segment rows are ~1/divisor of token rows."""
+    segs = cdc_segments(docs, w, divisor, text_col, id_col)
+    dup = (segs.groupBy("seg_hash")
+           .agg(F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= min_count)
+           .select("seg_hash", F.lit(1).alias("_hit")))
+    return (segs.join(dup, "seg_hash", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_segments"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                 .alias("dup_segments"),
+                 F.round(F.coalesce(
+                     F.sum(F.when(F.col("_hit").isNotNull(),
+                                  F.col("n_tokens"))), F.lit(0))
+                     / F.sum("n_tokens"), 6).alias("dup_token_fraction")))
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

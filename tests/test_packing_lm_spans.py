@@ -165,3 +165,53 @@ def test_remove_duplicate_spans_overlapping_windows_merge(spark):
     assert out[0]["removed_tokens"] == 0                        # keeper doc
     assert out[1]["removed_tokens"] == 9
     assert out[1]["clean_text"] == "lead1 close1"
+
+
+def test_cdc_segments_shift_robust_and_total(spark):
+    """CDC property: prepending tokens shifts segment starts but leaves
+    every later segment's hash unchanged; segments tile the token stream
+    exactly; short docs yield one whole-doc segment."""
+    from supercrawler_spark.operators.spans import cdc_segments
+    body = " ".join(f"t{i}" for i in range(40))
+    docs = _mk_docs(spark, [
+        (0, body),
+        (1, "INSERTED PREFIX " + body),
+        (2, "tiny"),
+    ])
+    rows = cdc_segments(docs, w=4, divisor=4).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by.items():
+        rs.sort(key=lambda r: r["seg_idx"])
+        # tiling: starts are contiguous and lengths sum to n_tokens
+        assert rs[0]["pos"] == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["pos"] + a["n_tokens"] == b["pos"]
+    n0 = sum(r["n_tokens"] for r in by[0])
+    assert n0 == 40
+    assert len(by[2]) == 1 and by[2][0]["n_tokens"] == 1
+    h0 = {r["seg_hash"] for r in by[0]}
+    h1 = {r["seg_hash"] for r in by[1]}
+    # CDC resync: after the first boundary fully inside shared content,
+    # every later segment hash coincides — the tail is identical and the
+    # divergent head is a small constant number of segments
+    assert [r["seg_hash"] for r in by[0][-3:]] == \
+        [r["seg_hash"] for r in by[1][-3:]]
+    assert len(h1 & h0) >= len(h1) - 3
+
+
+def test_cdc_dup_stats_flags_shifted_copy(spark):
+    from supercrawler_spark.operators.spans import cdc_dup_stats
+    body = " ".join(f"t{i}" for i in range(40))
+    docs = _mk_docs(spark, [
+        (0, body),
+        (1, "X Y Z " + body),
+        (2, "completely unrelated set of words with no overlap at all"),
+    ])
+    out = {r["doc_id"]: r for r in
+           cdc_dup_stats(docs, w=4, divisor=4).collect()}
+    assert out[0]["dup_segments"] > 0
+    assert out[0]["dup_token_fraction"] > 0.5       # most tokens shared
+    assert out[2]["dup_segments"] == 0
+    assert out[2]["dup_token_fraction"] == 0.0
