@@ -1206,6 +1206,19 @@ def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(_docs(spark, sf_dir), w=8, min_count=2)
 
 
+def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→16
+    (operators/embed.random_projection): deterministic md5-parity sign
+    matrix, fixed-order fold per output coordinate, no shuffle; unpivoted
+    to (vec_id, k, val) rows for the order-insensitive value hash."""
+    from supercrawler_spark.operators.embed import random_projection
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = random_projection(emb, out_dim=16)
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("k", "val")) \
+        .select("vec_id", F.col("k").cast("long").alias("k"), "val")
+
+
 def q_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined segmentation (operators/spans.cdc_segments): token
     positions whose 4-token window hash is 0 mod 16 bound variable-length
@@ -1440,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_blocks": q_dedup_clusters_blocks,
         "cdc_segments": q_cdc_segments,
         "cdc_dup_stats": q_cdc_dup_stats,
+        "random_project": q_random_project,
     }
 
 
@@ -3626,6 +3640,16 @@ SELECT doc_id, score, n_terms,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        "random_project": """
+WITH ks AS (SELECT unnest(generate_series(0, 15)) AS k)
+SELECT e.vec_id, CAST(ks.k AS BIGINT) AS k,
+       round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(e.embedding[i] AS DOUBLE)
+              * (1 - 2 * (CAST(('0x' || substr(md5(
+                   'rp-1:' || CAST(ks.k AS VARCHAR) || ':'
+                           || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 2)))) / sqrt(16), 6) AS val
+FROM embeddings e CROSS JOIN ks""",
         "cdc_segments": """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents),

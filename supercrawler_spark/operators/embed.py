@@ -68,3 +68,48 @@ def hash_embed(docs: DataFrame, dim: int = 64, text_col: str = "text",
             .join(emb, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("embedding"), zero).alias("embedding")))
+
+
+def _rp_signs(out_dim: int, in_dim: int, salt: str) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(k, i) = parity of
+    md5("{salt}:{k}:{i}") — reproducible by any engine's md5 (the DuckDB
+    oracle recomputes the same strings), no RNG state anywhere."""
+    import hashlib
+    return [[1 - 2 * (int(hashlib.md5(
+        f"{salt}:{k}:{i}".encode()).hexdigest()[:15], 16) % 2)
+        for i in range(in_dim)] for k in range(out_dim)]
+
+
+def random_projection(emb: DataFrame, out_dim: int = 16,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      salt: str = "rp-1") -> DataFrame:
+    """(vec_id, projected array<double> of length ``out_dim``):
+    Johnson-Lindenstrauss dimensionality reduction with a dense ±1 sign
+    matrix (Achlioptas 2003), y_k = (1/√out_dim)·Σ_i sign(k,i)·x_i — the
+    standard preconditioner before ANN indexing or clustering when the
+    embedding width, not the row count, is the cost driver (distance
+    computations and PQ codebooks shrink by in_dim/out_dim while pairwise
+    distances are preserved within 1±ε w.h.p.).
+
+    The sign matrix is a broadcast-free LITERAL column (out_dim×in_dim
+    ints baked into the plan — ~4 KB at 16×64; for very wide inputs pass
+    it via a broadcast join instead); each output coordinate is one
+    fixed-order fold over the input array, so the whole projection runs
+    at scan speed with no shuffle, no Python, and no nondeterministic
+    float reduction order. Values round to 6 decimals (the repo-wide
+    cross-engine float contract)."""
+    in_dim = len(emb.select(vec_col).first()[0])
+    signs = _rp_signs(out_dim, in_dim, salt)
+    import math
+    inv = 1.0 / math.sqrt(out_dim)
+    srows = F.array(*[
+        F.array(*[F.lit(s) for s in row]) for row in signs])
+    x = F.col(vec_col)
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda k: F.round(F.aggregate(
+            F.zip_with(x, F.element_at(srows, (k + 1).cast("int")),
+                       lambda xi, s: xi.cast("double") * s),
+            F.lit(0.0), lambda a, v: a + v) * inv, 6))
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      proj.alias("projected"))

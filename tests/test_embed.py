@@ -57,3 +57,43 @@ def test_hash_embed_feeds_kmeans_and_partition_invariant(spark):
     assert len({cells[i] for i in range(0, 20, 2)}) == 1
     assert len({cells[i] for i in range(1, 20, 2)}) == 1
     assert cells[0] != cells[1]
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property on the driver testdata: pairwise L2 distances in the
+    16-dim projection correlate strongly with the 64-dim originals, and
+    the projection is bit-deterministic across invocations."""
+    import itertools
+    import math
+
+    from supercrawler_spark.operators.embed import random_projection
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    proj = {r["vec_id"]: r["projected"]
+            for r in random_projection(emb, out_dim=16).collect()}
+    ids = sorted(orig)
+    # JL guarantee is about DISTORTION of squared distances (unbiased,
+    # spread ~sqrt(2/k)) — not rank correlation, which is weak by design
+    # on concentrated high-dim distances
+    ratios = []
+    for a, b in itertools.combinations(ids, 2):
+        d0 = math.dist(orig[a], orig[b]) ** 2
+        d1 = math.dist(proj[a], proj[b]) ** 2
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean                 # unbiased estimator
+    assert all(0.2 < r < 2.6 for r in ratios)       # k=16 tail bound
+    again = {r["vec_id"]: r["projected"]
+             for r in random_projection(emb, out_dim=16).collect()}
+    assert again == proj
+
+
+def test_random_projection_no_shuffle_no_python(spark):
+    from supercrawler_spark.operators.embed import random_projection
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = random_projection(emb, out_dim=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
