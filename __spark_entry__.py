@@ -1326,6 +1326,35 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_sample(w, n=50, salt="isample-1")
 
 
+def _gopher_text(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line text for the Gopher rule gate: the synthetic
+    corpus has no newlines, so inject a 4-line structure (content slice, a
+    doc_id-dependent bullet/ellipsis/plain line, a '#'-symbol heading,
+    second content slice) mirrored exactly by the oracle CTE, exercising
+    every line- and symbol-level rule."""
+    marker = (F.when(F.col("doc_id") % 4 == 0, F.lit("- bullet item one"))
+              .when(F.col("doc_id") % 4 == 1, F.lit("* starred item two"))
+              .when(F.col("doc_id") % 4 == 2, F.lit("trailing thought..."))
+              .otherwise(F.lit("a plain middle line")))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 120),
+            marker,
+            F.concat(F.lit("# section "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.substring("text", 121, 80)).alias("text"))
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags (Rae et al. 2021 table A1) over injected
+    multi-line text — per-rule booleans + conjunction, one scan, pure JVM
+    expressions (operators/textquality.gopher_rules)."""
+    return textquality.gopher_rules(_gopher_text(_docs(spark, sf_dir)),
+                                    min_words=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's coverage policy: the correctness gate
     # evaluates the FIRST 50 entries, so the window below is curated to
@@ -1454,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_segments": q_cdc_segments,
         "cdc_dup_stats": q_cdc_dup_stats,
         "random_project": q_random_project,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -3710,6 +3740,75 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
                  THEN n_tokens ELSE 0 END) / SUM(n_tokens), 6)
          AS dup_token_fraction
 FROM rows_ GROUP BY doc_id""",
+        "gopher_rules": f"""
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 120),
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN '- bullet item one'
+             WHEN 1 THEN '* starred item two'
+             WHEN 2 THEN 'trailing thought...'
+             ELSE 'a plain middle line' END,
+           '# section ' || CAST(doc_id % 7 AS VARCHAR),
+           substr(text, 121, 80)) AS text
+  FROM documents),
+f AS (
+  SELECT doc_id, {_TOKS} AS toks, string_split(text, chr(10)) AS ls,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+         + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                AS BIGINT) AS n_symbols
+  FROM d),
+g AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS word_chars,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+           AS alpha_words,
+         CAST(len(list_filter(toks, t -> t IN {_STOP_EN})) AS BIGINT)
+           AS stop_hits,
+         len(ls) AS n_lines,
+         len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'
+                                  OR l LIKE '•%')) AS bullet_lines,
+         len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))
+           AS ellipsis_lines,
+         n_symbols
+  FROM f),
+r AS (
+  SELECT doc_id, n_words, stop_hits,
+         CASE WHEN n_words > 0
+              THEN round(word_chars / CAST(n_words AS DOUBLE), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN round(n_symbols / CAST(n_words AS DOUBLE), 6)
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN n_lines > 0
+              THEN round(bullet_lines / CAST(n_lines AS DOUBLE), 6)
+              ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN n_lines > 0
+              THEN round(ellipsis_lines / CAST(n_lines AS DOUBLE), 6)
+              ELSE 0.0 END AS ellipsis_ratio,
+         CASE WHEN n_words > 0
+              THEN round(alpha_words / CAST(n_words AS DOUBLE), 6)
+              ELSE 0.0 END AS alpha_ratio
+  FROM g)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_ratio, stop_hits,
+       (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+       (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+       (bullet_ratio <= 0.9) AS ok_bullet_ratio,
+       (ellipsis_ratio <= 0.3) AS ok_ellipsis_ratio,
+       (alpha_ratio >= 0.8) AS ok_alpha_ratio,
+       (stop_hits >= 2) AS ok_stopwords,
+       (n_words >= 30 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        AND stop_hits >= 2) AS gopher_pass
+FROM r""",
     }
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
