@@ -1355,6 +1355,25 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     min_words=30)
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style soft URL blocklist scoring over synthesized URLs
+    (strict segment matches, soft substring matches, exact-host hard list)
+    — the pre-fetch frontier pruning filter (operators/urlfilter)."""
+    from supercrawler_spark.operators import urlfilter
+    docs = _docs(spark, sf_dir)
+    url = F.expr(
+        "concat('https://', "
+        "CASE WHEN doc_id % 17 = 0 THEN 'badco.example.com' "
+        "ELSE source || '.example.com' END, '/', "
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN 'casino/room' "
+        "WHEN 1 THEN 'blog/megacasino-deals' "
+        "WHEN 2 THEN 'news/poker-and-spam' "
+        "WHEN 3 THEN 'docs/clean-page' "
+        "ELSE 'shop/free-money' END, '/', CAST(doc_id AS STRING))")
+    return urlfilter.url_blocklist_score(docs.select(url.alias("url")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's coverage policy: the correctness gate
     # evaluates the FIRST 50 entries, so the window below is curated to
@@ -1484,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_stats": q_cdc_dup_stats,
         "random_project": q_random_project,
         "gopher_rules": q_gopher_rules,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -3810,6 +3830,35 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
         AND stop_hits >= 2) AS gopher_pass
 FROM r""",
     }
+    from supercrawler_spark.operators.urlfilter import (
+        BLOCK_HOSTS as _BH, BLOCK_WORDS as _BW,
+        DEFAULT_THRESHOLD as _BTH)
+    _score_terms = " + ".join(
+        f"(CASE WHEN regexp_matches(low, '(^|[^a-z0-9]){w}([^a-z0-9]|$)') "
+        f"THEN {sw} WHEN low LIKE '%{w}%' THEN {fw} ELSE 0 END)"
+        for w, sw, fw in _BW)
+    _hosts_in = ", ".join(f"'{h}'" for h in _BH)
+    sqls["url_blocklist"] = f"""
+WITH u AS (
+  SELECT 'https://' ||
+         CASE WHEN doc_id % 17 = 0 THEN 'badco.example.com'
+              ELSE source || '.example.com' END || '/' ||
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'casino/room'
+           WHEN 1 THEN 'blog/megacasino-deals'
+           WHEN 2 THEN 'news/poker-and-spam'
+           WHEN 3 THEN 'docs/clean-page'
+           ELSE 'shop/free-money' END || '/' || CAST(doc_id AS VARCHAR)
+           AS url
+  FROM documents),
+l AS (SELECT url, lower(url) AS low FROM u),
+s AS (SELECT url, regexp_extract(low, '^[a-z]+://([^/]+)', 1) AS host,
+             CAST({_score_terms} AS BIGINT) AS block_score
+      FROM l)
+SELECT url, host, block_score,
+       host IN ({_hosts_in}) AS hard_blocked,
+       (host IN ({_hosts_in}) OR block_score >= {_BTH}) AS blocked
+FROM s"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract
