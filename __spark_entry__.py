@@ -1374,6 +1374,27 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.url_blocklist_score(docs.select(url.alias("url")))
 
 
+def q_pld_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) rollup over synthesized multi-suffix
+    hosts — the crawl-budget grouping key upgrade from exact host to PSL
+    eTLD+1 (operators/domains)."""
+    from supercrawler_spark.operators import domains
+    docs = _docs(spark, sf_dir)
+    url = F.expr(
+        "concat('https://', "
+        "CASE CAST(doc_id % 8 AS INT) "
+        "WHEN 0 THEN 'www.' || source || '.co.uk' "
+        "WHEN 1 THEN 'blog.' || source || '.github.io' "
+        "WHEN 2 THEN source || '.com.au' "
+        "WHEN 3 THEN 'a.b.' || source || '.org' "
+        "WHEN 4 THEN source || '.example.com' "
+        "WHEN 5 THEN 'news.' || source || '.co.jp' "
+        "WHEN 6 THEN 'localhost' "
+        "ELSE 'cdn.' || source || '.blogspot.com' END, "
+        "'/p/', CAST(doc_id AS STRING))")
+    return domains.pld_stats(docs.select(url.alias("url")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's coverage policy: the correctness gate
     # evaluates the FIRST 50 entries, so the window below is curated to
@@ -1504,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_project": q_random_project,
         "gopher_rules": q_gopher_rules,
         "url_blocklist": q_url_blocklist,
+        "pld_stats": q_pld_stats,
     }
 
 
@@ -3859,6 +3881,39 @@ SELECT url, host, block_score,
        host IN ({_hosts_in}) AS hard_blocked,
        (host IN ({_hosts_in}) OR block_score >= {_BTH}) AS blocked
 FROM s"""
+    from supercrawler_spark.operators.domains import PUBLIC_SUFFIXES as _PSL
+    _psl_case = "\n    ".join(
+        f"WHEN host LIKE '%.{suf}' THEN "
+        f"regexp_extract(host, '([^.]+\\.{suf.replace('.', chr(92) + '.')})$', 1)"
+        for suf in sorted(_PSL, key=len, reverse=True))
+    sqls["pld_stats"] = f"""
+WITH u AS (
+  SELECT 'https://' ||
+         CASE CAST(doc_id % 8 AS INT)
+           WHEN 0 THEN 'www.' || source || '.co.uk'
+           WHEN 1 THEN 'blog.' || source || '.github.io'
+           WHEN 2 THEN source || '.com.au'
+           WHEN 3 THEN 'a.b.' || source || '.org'
+           WHEN 4 THEN source || '.example.com'
+           WHEN 5 THEN 'news.' || source || '.co.jp'
+           WHEN 6 THEN 'localhost'
+           ELSE 'cdn.' || source || '.blogspot.com' END ||
+         '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (SELECT regexp_extract(lower(url), '^[a-z]+://([^/]+)', 1) AS host
+      FROM u),
+ph AS (SELECT host, COUNT(*) AS n_urls FROM h GROUP BY host),
+p AS (
+  SELECT host, n_urls,
+    CASE
+    {_psl_case}
+    ELSE COALESCE(NULLIF(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), ''),
+                  host)
+    END AS pld
+  FROM ph)
+SELECT pld, CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts
+FROM p GROUP BY pld"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract
