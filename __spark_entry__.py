@@ -1395,6 +1395,28 @@ def q_pld_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domains.pld_stats(docs.select(url.alias("url")))
 
 
+def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host round fetch-budget allocation over a skewed synthetic
+    frontier (one hot host holding a third of the candidates) with
+    crawl-delay-derived quotas for two hosts — frontier fairness between
+    dequeue and fetch (operators/budget)."""
+    from supercrawler_spark.operators.budget import host_budget
+    docs = _docs(spark, sf_dir)
+    host = F.expr("CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com' "
+                  "ELSE source || '.example.com' END")
+    frontier = docs.select(
+        host.alias("host"),
+        F.expr("CAST(doc_id % 50 AS BIGINT)").alias("priority"),
+        F.col("doc_id")).select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "host", "priority")
+    delays = spark.createDataFrame(
+        [("hot.example.com", 10.0), ("src1.example.com", 7.0)],
+        "host string, crawl_delay double")
+    return host_budget(frontier, quota=20, delays=delays, round_seconds=60)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's coverage policy: the correctness gate
     # evaluates the FIRST 50 entries, so the window below is curated to
@@ -1526,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "url_blocklist": q_url_blocklist,
         "pld_stats": q_pld_stats,
+        "host_budget": q_host_budget,
     }
 
 
@@ -3914,6 +3937,33 @@ p AS (
 SELECT pld, CAST(SUM(n_urls) AS BIGINT) AS n_urls,
        CAST(COUNT(*) AS BIGINT) AS n_hosts
 FROM p GROUP BY pld"""
+    sqls["host_budget"] = """
+WITH f AS (
+  SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         host, CAST(doc_id % 50 AS BIGINT) AS priority
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com'
+                    ELSE source || '.example.com' END AS host
+        FROM documents)),
+d AS (SELECT host,
+             LEAST(CAST(20 AS BIGINT),
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(floor(60 / crawl_delay) AS BIGINT)))
+               AS host_quota
+      FROM (VALUES ('hot.example.com', 10.0),
+                   ('src1.example.com', 7.0)) AS t(host, crawl_delay)),
+q AS (
+  SELECT f.url, f.host, f.priority,
+         COALESCE(d.host_quota, CAST(20 AS BIGINT)) AS host_quota
+  FROM f LEFT JOIN d ON f.host = d.host),
+r AS (
+  SELECT *, CAST(row_number() OVER
+                 (PARTITION BY host ORDER BY priority, url) AS BIGINT)
+            AS host_rank
+  FROM q)
+SELECT url, host, priority, host_rank, host_quota,
+       (host_rank <= host_quota) AS kept
+FROM r"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract
