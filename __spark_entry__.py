@@ -1417,6 +1417,41 @@ def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_budget(frontier, quota=20, delays=delays, round_seconds=60)
 
 
+_PPLX_MATERIALIZED: dict = {}
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity head/middle/tail bucketing by distributed
+    dense rank over the corpus-self-fit LM score (operators/lm
+    .perplexity_buckets); materialized through a deterministic temp dir so
+    the attach_dense_seq cache unpersists before the result is handed to
+    the driver (same contract as the CDX index)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from supercrawler_spark.operators.lm import perplexity_buckets
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = None
+    key = (os.path.abspath(sf_dir), 3, fingerprint)
+    if fingerprint is not None and key in _PPLX_MATERIALIZED:
+        return spark.read.parquet(_PPLX_MATERIALIZED[key])
+    slug = hashlib.sha256(repr(key[:2]).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"sc_pplx_{slug}", "buckets")
+    # vocab_size=20 matches the unigram_logprob query/oracle regime (the
+    # synthetic vocab is tiny; K=20 exercises the OOV floor)
+    out, cache = perplexity_buckets(_docs(spark, sf_dir), n_buckets=3,
+                                    vocab_size=20)
+    out.write.mode("overwrite").parquet(path)
+    cache.unpersist()
+    _PPLX_MATERIALIZED[key] = path
+    return spark.read.parquet(path)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's coverage policy: the correctness gate
     # evaluates the FIRST 50 entries, so the window below is curated to
@@ -1549,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "pld_stats": q_pld_stats,
         "host_budget": q_host_budget,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -3964,6 +4000,19 @@ r AS (
 SELECT url, host, priority, host_rank, host_quota,
        (host_rank <= host_quota) AS kept
 FROM r"""
+    sqls["perplexity_buckets"] = f"""
+WITH s AS (SELECT doc_id, avg_nll FROM ({sqls['unigram_logprob']}) u),
+n AS (SELECT COUNT(*) AS n FROM s),
+r AS (SELECT doc_id, avg_nll,
+             CAST(row_number() OVER (ORDER BY avg_nll, doc_id) - 1
+                  AS BIGINT) AS rank
+      FROM s)
+SELECT doc_id, avg_nll, rank,
+       CAST(floor(rank * 3 / n.n) AS BIGINT) AS bucket,
+       CASE WHEN floor(rank * 3 / n.n) = 0 THEN 'head'
+            WHEN floor(rank * 3 / n.n) = 2 THEN 'tail'
+            ELSE 'middle' END AS bucket_label
+FROM r, n"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract

@@ -108,3 +108,35 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.7,
             .agg(F.sum("c").alias("n_bigrams"),
                  F.round(F.sum(F.col("c") * F.col("nll2")) / F.sum("c"), 6)
                  .alias("avg_nll2")))
+
+
+def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
+                       vocab_size: int = 1000, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """CCNet-style perplexity bucketing: rank every document by its
+    corpus-self-fit LM score (``unigram_logprob.avg_nll``, fluent = low)
+    and split the corpus into ``n_buckets`` equal rank slices —
+    (doc_id, avg_nll, rank, bucket, bucket_label) with 'head' (most
+    fluent), 'middle', 'tail' labels. CCNet keeps head+middle for
+    pretraining and routes tail to re-cleaning.
+
+    The global rank is the distributed two-phase dense rank
+    (``crawler.attach_dense_seq``: range repartition -> per-partition
+    row_number -> broadcast offsets) — never a single-task global window —
+    ordered by the unique (avg_nll, doc_id) key so ties are deterministic.
+    ``bucket = floor(rank * n_buckets / total)`` gives equal-size slices
+    (±1). Returns ``(df, cache)``; the caller must ``cache.unpersist()``
+    after materializing (attach_dense_seq contract)."""
+    from supercrawler_spark.crawler import attach_dense_seq
+    scored = unigram_logprob(docs, vocab_size=vocab_size,
+                             text_col=text_col, id_col=id_col) \
+        .select("doc_id", "avg_nll")
+    seqd, total, cache = attach_dense_seq(
+        scored, ["avg_nll", "doc_id"], out_col="rank")
+    bucket = F.floor(F.col("rank") * n_buckets / F.lit(total)).cast("long")
+    label = (F.when(bucket == 0, F.lit("head"))
+             .when(bucket == n_buckets - 1, F.lit("tail"))
+             .otherwise(F.lit("middle")))
+    out = seqd.select("doc_id", "avg_nll", F.col("rank").cast("long").alias("rank"),
+                      bucket.alias("bucket"), label.alias("bucket_label"))
+    return out, cache
