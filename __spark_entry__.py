@@ -1417,6 +1417,27 @@ def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_budget(frontier, quota=20, delays=delays, round_seconds=60)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RealNews-style exact paragraph dedup with keeper semantics (one
+    global occurrence survives per repeated paragraph) over injected
+    paragraph structure — the synthetic text has no blank lines, so the
+    query builds a 5-paragraph layout (global cookie banner, per-source
+    blurb, two content slices, unique contact) mirrored by the oracle
+    (operators/linededup.paragraph_dedup)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("Cookie notice: we use cookies to improve your experience"),
+            F.concat(F.lit("About source "), F.col("source"),
+                     F.lit(" and its mission statement")),
+            F.substring("text", 1, 80),
+            F.substring("text", 81, 80),
+            F.concat(F.lit("contact doc "),
+                     F.col("doc_id").cast("string"))).alias("text"))
+    return linededup.paragraph_dedup(docs, min_chars=6)
+
+
 _PPLX_MATERIALIZED: dict = {}
 
 
@@ -1585,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pld_stats": q_pld_stats,
         "host_budget": q_host_budget,
         "perplexity_buckets": q_perplexity_buckets,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -4013,6 +4035,38 @@ SELECT doc_id, avg_nll, rank,
             WHEN floor(rank * 3 / n.n) = 2 THEN 'tail'
             ELSE 'middle' END AS bucket_label
 FROM r, n"""
+    sqls["paragraph_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10) || chr(10),
+           'Cookie notice: we use cookies to improve your experience',
+           'About source ' || source || ' and its mission statement',
+           substr(text, 1, 80),
+           substr(text, 81, 80),
+           'contact doc ' || CAST(doc_id AS VARCHAR)) AS text
+  FROM documents),
+p AS (
+  SELECT doc_id, unnest(ps) AS para, unnest(range(len(ps))) AS pos
+  FROM (SELECT doc_id,
+               string_split(text, chr(10) || chr(10)) AS ps FROM d)),
+pk AS (SELECT doc_id, pos, para, trim(para) AS pkey FROM p),
+k AS (
+  SELECT doc_id, pos, TRUE AS is_keeper FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id, pos) AS rk
+    FROM pk WHERE length(pkey) >= 6)
+  WHERE rk = 1),
+m AS (
+  SELECT pk.doc_id, pk.pos, pk.para,
+         (length(pk.pkey) >= 6 AND k.is_keeper IS NULL) AS is_drop
+  FROM pk LEFT JOIN k ON pk.doc_id = k.doc_id AND pk.pos = k.pos)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+       CAST(SUM(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN NOT is_drop THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '')
+         AS text_clean
+FROM m GROUP BY doc_id"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract

@@ -53,3 +53,50 @@ def line_dedup(docs: DataFrame, min_df: int = 2, min_chars: int = 6,
                      "\n",
                      F.transform(F.array_sort(F.collect_list(kept_struct)),
                                  lambda s: s["line"])).alias("text_clean")))
+
+
+def paragraph_dedup(docs: DataFrame, min_chars: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide exact paragraph dedup with KEEPER semantics (the
+    C4/RealNews policy, distinct from ``line_dedup``'s drop-everywhere
+    boilerplate rule): every repeated paragraph survives in exactly ONE
+    global occurrence — the lexicographically first (doc_id, pos) — and is
+    removed from all others, so no content is lost corpus-wide while
+    duplicated mass is cut to one copy. Paragraphs shorter than
+    ``min_chars`` after trimming are never deduped (structural separators).
+
+    Returns (doc_id, n_paragraphs, n_dropped, text_clean) with surviving
+    paragraphs re-joined by ``sep`` in original order.
+
+    Scale shape: posexplode scan -> ONE hash aggregation on the paragraph
+    key computing ``min(struct(doc_id, pos))`` (map-side combined — the
+    min-struct is the same trick resolve_duplicates and
+    remove_duplicate_spans use, so no per-hash window rank and no
+    single-task hotspot on a viral paragraph) -> one join back on the key
+    -> one groupBy(doc_id) reassembly. The join ships only (key, keeper)
+    pairs, never paragraph text twice.
+    """
+    paras = (docs
+             .select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("pos", "para"))
+             .withColumn("pkey", F.trim("para")))
+    eligible = paras.filter(F.length("pkey") >= min_chars)
+    keepers = (eligible
+               .groupBy("pkey")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("keep")))
+    marked = (paras.join(keepers, "pkey", "left")
+              .withColumn(
+                  "_drop",
+                  F.col("keep").isNotNull()
+                  & ~((F.col("keep.doc_id") == F.col("doc_id"))
+                      & (F.col("keep.pos") == F.col("pos")))))
+    kept_struct = F.when(~F.col("_drop"), F.struct("pos", "para"))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_paragraphs"),
+                 F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+                 F.concat_ws(
+                     sep,
+                     F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                 lambda s: s["para"])).alias("text_clean")))
