@@ -693,6 +693,47 @@ def main() -> None:
 
     bench("feed_seeds", feeds_bench)
 
+    def gopher_rules_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_gopher_rules(spark, sf_dir)
+        extras["gopher_pass"] = out.filter(F.col("gopher_pass")).count()
+
+    bench("gopher_rules", gopher_rules_bench)
+
+    def url_blocklist_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_url_blocklist(spark, sf_dir)
+        extras["urls_blocked"] = out.filter(F.col("blocked")).count()
+
+    bench("url_blocklist", url_blocklist_bench)
+
+    def pld_stats_bench():
+        import __spark_entry__ as entry_mod
+        return entry_mod.q_pld_stats(spark, sf_dir).count()
+
+    bench("pld_stats", pld_stats_bench)
+
+    def host_budget_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_host_budget(spark, sf_dir)
+        extras["budget_kept"] = out.filter(F.col("kept")).count()
+
+    bench("host_budget", host_budget_bench)
+
+    def paragraph_dedup_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_paragraph_dedup(spark, sf_dir)
+        extras["paragraphs_dropped"] = int(
+            out.agg(F.sum("n_dropped")).collect()[0][0] or 0)
+
+    bench("paragraph_dedup", paragraph_dedup_bench)
+
+    def perplexity_buckets_bench():
+        import __spark_entry__ as entry_mod
+        return entry_mod.q_perplexity_buckets(spark, sf_dir).count()
+
+    bench("perplexity_buckets", perplexity_buckets_bench)
+
     if "crawl_scan" in timings:
         extras["crawl_scan_urls_per_sec"] = round(
             n_pages / timings["crawl_scan"], 1)
