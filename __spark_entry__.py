@@ -1417,6 +1417,14 @@ def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_budget(frontier, quota=20, delays=delays, round_seconds=60)
 
 
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous OPIC crawl-ordering importance (cash + banked history,
+    BIGINT micro-units) after 2 rounds over the deterministic doc graph —
+    the while-you-crawl alternative to pagerank (operators/pagerank.opic)."""
+    docs = _docs(spark, sf_dir)
+    return pagerank.opic(docs, iters=2, n_docs=docs.count())
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RealNews-style exact paragraph dedup with keeper semantics (one
     global occurrence survives per repeated paragraph) over injected
@@ -1607,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget": q_host_budget,
         "perplexity_buckets": q_perplexity_buckets,
         "paragraph_dedup": q_paragraph_dedup,
+        "opic": q_opic,
     }
 
 
@@ -4067,6 +4076,31 @@ SELECT doc_id,
                            chr(10) || chr(10) ORDER BY pos), '')
          AS text_clean
 FROM m GROUP BY doc_id"""
+    sqls["opic"] = """
+WITH p AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src_id, (d.doc_id * 31 + 7 * t.k + 3) % p.n AS dst_id
+  FROM documents d CROSS JOIN p
+       CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+s0 AS (
+  SELECT doc_id AS id, 1000000000000 // p.n AS cash, CAST(0 AS BIGINT) AS hist
+  FROM documents CROSS JOIN p),
+g1 AS (
+  SELECT e.dst_id, CAST(sum(s0.cash // 3) AS BIGINT) AS g
+  FROM e JOIN s0 ON e.src_id = s0.id GROUP BY e.dst_id),
+s1 AS (
+  SELECT s0.id, coalesce(g1.g, 0) AS cash, s0.hist + s0.cash AS hist
+  FROM s0 LEFT JOIN g1 ON s0.id = g1.dst_id),
+g2 AS (
+  SELECT e.dst_id, CAST(sum(s1.cash // 3) AS BIGINT) AS g
+  FROM e JOIN s1 ON e.src_id = s1.id GROUP BY e.dst_id),
+s2 AS (
+  SELECT s1.id, coalesce(g2.g, 0) AS cash, s1.hist + s1.cash AS hist
+  FROM s1 LEFT JOIN g2 ON s1.id = g2.dst_id)
+SELECT id AS doc_id, CAST(cash AS BIGINT) AS cash,
+       CAST(hist AS BIGINT) AS history,
+       CAST(cash + hist AS BIGINT) AS importance
+FROM s2"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract

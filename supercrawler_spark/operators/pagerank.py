@@ -123,3 +123,44 @@ def hits(docs: DataFrame, iters: int = 2, n_docs: int | None = None,
             .join(h.withColumnRenamed("s", "hub"), "id")
             .join(a.withColumnRenamed("s", "auth"), "id")
             .select(F.col("id").alias("doc_id"), "hub", "auth"))
+
+
+def opic(docs: DataFrame, iters: int = 2, n_docs: int | None = None
+         ) -> DataFrame:
+    """(doc_id, cash, history, importance): synchronous OPIC — Abiteboul's
+    On-line Page Importance Computation (WWW'03), the crawl-ordering signal
+    designed to be computed WHILE crawling (unlike PageRank it needs no
+    materialized converged fixpoint: page importance ~ cash accumulated so
+    far, so the frontier can be re-prioritized after every round).
+
+    Each round: every node banks its cash into history and distributes it
+    equally over its out-edges (integral ``div`` — truncation dust is
+    dropped, the documented deviation from the paper's virtual node);
+    ``importance = history + cash`` after ``iters`` rounds. Same
+    determinism discipline as :func:`pagerank`: BIGINT micro-units of
+    SCALE, commutative integer sums, bit-identical across partitionings
+    and engines. Scale shape per round: one edges-x-state shuffle join on
+    the 8-byte id + one map-side-combinable groupBy(dst) sum + one left
+    join back — state rows are 24 bytes, the graph never rebuilds."""
+    if n_docs is None:
+        n_docs = docs.count()
+    e = graph.edges(docs, n_docs).select("src_id", "dst_id")
+    out_deg = graph.N_EDGES
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    state = nodes.select(
+        "id", F.lit(SCALE // n_docs).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"))
+    for _ in range(iters):
+        give = (e.join(state, e.src_id == state.id)
+                .select("dst_id",
+                        F.expr(f"cash div {out_deg}").alias("g"))
+                .groupBy("dst_id").agg(F.sum("g").alias("g")))
+        state = (state.join(give, state.id == give.dst_id, "left")
+                 .select("id",
+                         F.coalesce("g", F.lit(0).cast("long"))
+                         .alias("cash"),
+                         (F.col("hist") + F.col("cash")).alias("hist")))
+    return state.select(
+        F.col("id").alias("doc_id"), "cash",
+        F.col("hist").alias("history"),
+        (F.col("cash") + F.col("hist")).alias("importance"))

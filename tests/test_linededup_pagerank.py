@@ -123,3 +123,25 @@ def test_hits_rejects_zero_iters(spark):
     docs, edges = _hits_fixture(spark)
     with pytest.raises(ValueError, match="iters"):
         pagerank.hits(docs, iters=0, n_docs=6, edges=edges)
+
+
+def test_opic_conservation_and_uniformity(spark):
+    from supercrawler_spark.operators.pagerank import SCALE, opic
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    rows = opic(docs, iters=2, n_docs=n).collect()
+    assert len(rows) == n
+    # the synthetic graph is 3-regular in both directions and the start is
+    # uniform, so cash stays uniform (up to div-truncation, which is
+    # identical per node here) -> every node has identical importance
+    vals = {r["importance"] for r in rows}
+    assert len(vals) == 1
+    # conservation: per round each node leaks < out_deg units of dust, so
+    # total importance = 3*SCALE - (dust over 2 rounds), bounded below
+    total = sum(r["importance"] for r in rows)
+    assert total <= 3 * SCALE
+    assert total >= 3 * SCALE - 3 * 2 * 3 * n - 3 * n  # init floor + 2 rounds
+    # history equals the two banked cash rounds, cash is the live residue
+    r0 = rows[0]
+    assert r0["history"] > 0 and r0["cash"] > 0
+    assert r0["importance"] == r0["history"] + r0["cash"]
