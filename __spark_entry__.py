@@ -1417,6 +1417,19 @@ def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_budget(frontier, quota=20, delays=delays, round_seconds=60)
 
 
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over a deliberately skewed host key
+    (one hot host holds a third of the rows): count distribution, heavy-key
+    census, and the salt factor that caps the hottest key's task input
+    (operators/skew)."""
+    from supercrawler_spark.operators.skew import key_skew_stats
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        F.expr("CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com' "
+               "ELSE source || '.example.com' END").alias("host"))
+    return key_skew_stats(keyed, "host", target_rows=50, heavy_factor=2.0)
+
+
 def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous OPIC crawl-ordering importance (cash + banked history,
     BIGINT micro-units) after 2 rounds over the deterministic doc graph —
@@ -1616,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "paragraph_dedup": q_paragraph_dedup,
         "opic": q_opic,
+        "key_skew_stats": q_key_skew_stats,
     }
 
 
@@ -4101,6 +4115,28 @@ SELECT id AS doc_id, CAST(cash AS BIGINT) AS cash,
        CAST(hist AS BIGINT) AS history,
        CAST(cash + hist AS BIGINT) AS importance
 FROM s2"""
+    sqls["key_skew_stats"] = """
+WITH u AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com'
+              ELSE source || '.example.com' END AS k
+  FROM documents),
+c AS (SELECT k, COUNT(*) AS c FROM u GROUP BY k),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_count,
+             round(quantile_cont(c, 0.99), 6) AS p99_count
+      FROM c)
+SELECT s.n_rows, s.n_keys, s.max_count,
+       round(s.n_rows / CAST(s.n_keys AS DOUBLE), 6) AS mean_count,
+       s.p99_count,
+       round(s.max_count / (s.n_rows / CAST(s.n_keys AS DOUBLE)), 6)
+         AS skew_ratio,
+       CAST(SUM(CASE WHEN c.c > 2.0 * (s.n_rows / CAST(s.n_keys AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+       GREATEST(CAST(1 AS BIGINT),
+                CAST(ceil(s.max_count / 50.0) AS BIGINT)) AS suggested_salt
+FROM c CROSS JOIN s
+GROUP BY s.n_rows, s.n_keys, s.max_count, s.p99_count"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract
