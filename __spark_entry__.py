@@ -1438,6 +1438,47 @@ def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank.opic(docs, iters=2, n_docs=docs.count())
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (seed-whitelist-personalized PageRank, BIGINT micro-units)
+    plus Gyongyi spam mass in integer ppm after 2 rounds over the
+    deterministic doc graph — the frontier spam-demotion signal
+    (operators/trust)."""
+    from supercrawler_spark.operators.trust import spam_mass
+    docs = _docs(spark, sf_dir)
+    return spam_mass(docs, iters=2, n_docs=docs.count())
+
+
+def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus mix plus source
+    entropy and cross-entropy (bits/token, 6 dp) — the DoReMi-style
+    domain-reweighting signal (operators/trainmix.domain_kl)."""
+    from supercrawler_spark.operators.trainmix import domain_kl
+    return domain_kl(_docs(spark, sf_dir))
+
+
+def q_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness dispatch schedule (wave/slot/eta_ms per url at 4
+    connections per host, crawl-delay-paced waves) over the same skewed
+    synthetic frontier as host_budget — WHEN each kept url may launch
+    (operators/budget.fetch_waves)."""
+    from supercrawler_spark.operators.budget import fetch_waves
+    docs = _docs(spark, sf_dir)
+    host = F.expr("CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com' "
+                  "ELSE source || '.example.com' END")
+    frontier = docs.select(
+        host.alias("host"),
+        F.expr("CAST(doc_id % 50 AS BIGINT)").alias("priority"),
+        F.col("doc_id")).select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "host", "priority")
+    delays = spark.createDataFrame(
+        [("hot.example.com", 10.0), ("src1.example.com", 7.0)],
+        "host string, crawl_delay double")
+    return fetch_waves(frontier, slots_per_host=4, delays=delays,
+                       default_delay_ms=1000)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RealNews-style exact paragraph dedup with keeper semantics (one
     global occurrence survives per repeated paragraph) over injected
@@ -1630,6 +1671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "opic": q_opic,
         "key_skew_stats": q_key_skew_stats,
+        "trustrank": q_trustrank,
+        "domain_kl": q_domain_kl,
+        "fetch_waves": q_fetch_waves,
     }
 
 
@@ -4137,6 +4181,112 @@ SELECT s.n_rows, s.n_keys, s.max_count,
                 CAST(ceil(s.max_count / 50.0) AS BIGINT)) AS suggested_salt
 FROM c CROSS JOIN s
 GROUP BY s.n_rows, s.n_keys, s.max_count, s.p99_count"""
+    sqls["trustrank"] = """
+WITH p AS (SELECT count(*) AS n,
+                  count(*) FILTER (WHERE doc_id % 17 = 0) AS ns
+           FROM documents),
+e AS (
+  SELECT d.doc_id AS src_id, (d.doc_id * 31 + 7 * t.k + 3) % p.n AS dst_id
+  FROM documents d CROSS JOIN p
+       CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) t),
+r0 AS (
+  SELECT doc_id AS id, 1000000000000 // p.n AS r
+  FROM documents CROSS JOIN p),
+c1 AS (
+  SELECT e.dst_id, CAST(sum((r0.r * 85) // 300) AS BIGINT) AS c
+  FROM e JOIN r0 ON e.src_id = r0.id GROUP BY e.dst_id),
+r1 AS (
+  SELECT d.doc_id AS id,
+         ((1000000000000 * 15) // (100 * p.n)) + coalesce(c1.c, 0) AS r
+  FROM documents d CROSS JOIN p LEFT JOIN c1 ON d.doc_id = c1.dst_id),
+c2 AS (
+  SELECT e.dst_id, CAST(sum((r1.r * 85) // 300) AS BIGINT) AS c
+  FROM e JOIN r1 ON e.src_id = r1.id GROUP BY e.dst_id),
+r2 AS (
+  SELECT d.doc_id AS id,
+         ((1000000000000 * 15) // (100 * p.n)) + coalesce(c2.c, 0) AS r
+  FROM documents d CROSS JOIN p LEFT JOIN c2 ON d.doc_id = c2.dst_id),
+t0 AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 17 = 0 THEN 1000000000000 // p.ns
+              ELSE 0 END AS t
+  FROM documents CROSS JOIN p),
+tc1 AS (
+  SELECT e.dst_id, CAST(sum((t0.t * 85) // 300) AS BIGINT) AS c
+  FROM e JOIN t0 ON e.src_id = t0.id GROUP BY e.dst_id),
+t1 AS (
+  SELECT d.doc_id AS id,
+         CASE WHEN d.doc_id % 17 = 0
+              THEN (1000000000000 * 15) // (100 * p.ns) ELSE 0 END
+           + coalesce(tc1.c, 0) AS t
+  FROM documents d CROSS JOIN p LEFT JOIN tc1 ON d.doc_id = tc1.dst_id),
+tc2 AS (
+  SELECT e.dst_id, CAST(sum((t1.t * 85) // 300) AS BIGINT) AS c
+  FROM e JOIN t1 ON e.src_id = t1.id GROUP BY e.dst_id),
+t2 AS (
+  SELECT d.doc_id AS id,
+         CASE WHEN d.doc_id % 17 = 0
+              THEN (1000000000000 * 15) // (100 * p.ns) ELSE 0 END
+           + coalesce(tc2.c, 0) AS t
+  FROM documents d CROSS JOIN p LEFT JOIN tc2 ON d.doc_id = tc2.dst_id)
+SELECT r2.id AS doc_id, CAST(r2.r AS BIGINT) AS "rank",
+       CAST(t2.t AS BIGINT) AS trust,
+       CAST((GREATEST(0, r2.r - t2.t) * 1000000) // r2.r AS BIGINT)
+         AS spam_mass_ppm
+FROM r2 JOIN t2 ON r2.id = t2.id"""
+    sqls["domain_kl"] = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token
+  FROM documents),
+st AS (SELECT source, token, COUNT(*) AS cnt_st
+       FROM tok GROUP BY source, token),
+corpus AS (SELECT token, SUM(cnt_st) AS cnt_t FROM st GROUP BY token),
+totals AS (SELECT source, SUM(cnt_st) AS n_s, COUNT(*) AS vocab
+           FROM st GROUP BY source),
+grand AS (SELECT SUM(cnt_t) AS n_all FROM corpus),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+terms AS (
+  SELECT st.source, totals.n_s, totals.vocab,
+         (st.cnt_st / CAST(totals.n_s AS DOUBLE))
+           * log2((st.cnt_st / CAST(totals.n_s AS DOUBLE))
+                  / (corpus.cnt_t / CAST(grand.n_all AS DOUBLE))) AS klt,
+         -(st.cnt_st / CAST(totals.n_s AS DOUBLE))
+           * log2(st.cnt_st / CAST(totals.n_s AS DOUBLE)) AS hst,
+         -(st.cnt_st / CAST(totals.n_s AS DOUBLE))
+           * log2(corpus.cnt_t / CAST(grand.n_all AS DOUBLE)) AS hxt
+  FROM st JOIN corpus USING (token)
+       JOIN totals USING (source) CROSS JOIN grand)
+SELECT t.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(t.n_s AS BIGINT) AS n_tokens,
+       CAST(t.vocab AS BIGINT) AS vocab,
+       round(SUM(klt), 6) AS kl_bits,
+       round(SUM(hst), 6) AS h_source_bits,
+       round(SUM(hxt), 6) AS h_cross_bits
+FROM terms t JOIN nd ON t.source = nd.source
+GROUP BY t.source, nd.n_docs, t.n_s, t.vocab"""
+    sqls["fetch_waves"] = """
+WITH f AS (
+  SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         host, CAST(doc_id % 50 AS BIGINT) AS priority
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'hot.example.com'
+                    ELSE source || '.example.com' END AS host
+        FROM documents)),
+d AS (SELECT host, CAST(crawl_delay * 1000 AS BIGINT) AS delay_ms
+      FROM (VALUES ('hot.example.com', 10.0),
+                   ('src1.example.com', 7.0)) AS t(host, crawl_delay)),
+r AS (
+  SELECT f.url, f.host, f.priority,
+         CAST(row_number() OVER
+              (PARTITION BY f.host ORDER BY f.priority, f.url) AS BIGINT)
+           AS host_rank,
+         COALESCE(d.delay_ms, 1000) AS delay_ms
+  FROM f LEFT JOIN d ON f.host = d.host)
+SELECT url, host, priority, host_rank,
+       CAST((host_rank - 1) // 4 AS BIGINT) AS wave,
+       CAST((host_rank - 1) % 4 AS BIGINT) AS slot,
+       CAST(((host_rank - 1) // 4) * delay_ms AS BIGINT) AS eta_ms
+FROM r"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract

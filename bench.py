@@ -734,6 +734,28 @@ def main() -> None:
 
     bench("perplexity_buckets", perplexity_buckets_bench)
 
+    def trustrank_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_trustrank(spark, sf_dir)
+        extras["spam_suspects"] = out.filter(
+            F.col("spam_mass_ppm") > 900_000).count()
+
+    bench("trustrank", trustrank_bench)
+
+    def domain_kl_bench():
+        import __spark_entry__ as entry_mod
+        return entry_mod.q_domain_kl(spark, sf_dir).count()
+
+    bench("domain_kl", domain_kl_bench)
+
+    def fetch_waves_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_fetch_waves(spark, sf_dir)
+        extras["max_wave"] = int(
+            out.agg(F.max("wave")).collect()[0][0] or 0)
+
+    bench("fetch_waves", fetch_waves_bench)
+
     if "crawl_scan" in timings:
         extras["crawl_scan_urls_per_sec"] = round(
             n_pages / timings["crawl_scan"], 1)

@@ -70,3 +70,58 @@ def host_budget(frontier: DataFrame, quota: int = 100,
                            F.col("host_rank") <= F.col("host_quota"))
             .select("url", "host", "priority", "host_rank",
                     "host_quota", "kept"))
+
+
+def fetch_waves(frontier: DataFrame, slots_per_host: int = 4,
+                delays: DataFrame | None = None,
+                default_delay_ms: int = 1000,
+                url_col: str = "url", host_col: str = "host",
+                priority_col: str = "priority") -> DataFrame:
+    """(url, host, priority, host_rank, wave, slot, eta_ms): politeness
+    DISPATCH schedule for a round's (already quota-capped) fetch batch.
+
+    :func:`host_budget` decides WHICH urls a host gets this round; this
+    decides WHEN each one may launch: a host runs ``slots_per_host``
+    concurrent connections, so its urls are dispatched in waves of that
+    size ordered by (priority asc, url asc) — ``wave = (rank-1) div
+    slots``, ``slot = (rank-1) mod slots`` — and wave w may not start
+    before ``eta_ms = w * crawl_delay_ms`` into the round (hosts absent
+    from ``delays`` use ``default_delay_ms``). The executor fetching a
+    partition replays this schedule locally with no coordination: ETAs
+    are a pure function of the row, so the per-host pacing the reference
+    enforces with a process-global semaphore (src/main.rs:1014) falls out
+    of the plan itself on 1000 executors.
+
+    Scale shape: ONE hash shuffle on host + in-partition rank (same
+    window family as host_budget — per-host rows are the post-quota
+    batch, bounded); the delay table is broadcast host metadata.
+    """
+    w = (Window.partitionBy(host_col)
+         .orderBy(F.col(priority_col).asc(), F.col(url_col).asc()))
+    out = frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.col(priority_col).alias("priority"))
+    if delays is not None:
+        d = delays.select(
+            "host",
+            (F.col("crawl_delay") * 1000).cast("long").alias("_delay_ms"))
+        out = (out.join(F.broadcast(d), "host", "left")
+               .withColumn("_delay_ms",
+                           F.coalesce(F.col("_delay_ms"),
+                                      F.lit(default_delay_ms).cast("long"))))
+    else:
+        out = out.withColumn("_delay_ms",
+                             F.lit(default_delay_ms).cast("long"))
+    out = out.withColumn("host_rank", F.row_number().over(w).cast("long"))
+    return (out
+            .withColumn("wave",
+                        F.expr(f"(host_rank - 1) div {slots_per_host}")
+                        .cast("long"))
+            .withColumn("slot",
+                        ((F.col("host_rank") - 1) % slots_per_host)
+                        .cast("long"))
+            .withColumn("eta_ms", (F.col("wave") * F.col("_delay_ms"))
+                        .cast("long"))
+            .select("url", "host", "priority", "host_rank",
+                    "wave", "slot", "eta_ms"))

@@ -231,3 +231,55 @@ def importance_sample(weights: DataFrame, n: int, salt: str = "isample-1",
                     < F.lit(n) * F.col("w6") * F.lit(scale))
             .select("doc_id",
                     F.round(F.col("w6") / scale, 6).alias("weight"), "u"))
+
+
+def domain_kl(docs: DataFrame, text_col: str = "text",
+              source_col: str = "source") -> DataFrame:
+    """(source, n_docs, n_tokens, vocab, kl_bits, h_source_bits,
+    h_cross_bits): per-source unigram divergence from the corpus — the
+    DoReMi / domain-reweighting signal (Xie et al. 2023): a source whose
+    token distribution sits far from the mix (high KL) is the one whose
+    sampling weight most changes what the model sees, and cross-entropy
+    H(p_s, q) = H(p_s) + KL(p_s || q) is its per-token coding cost under
+    the corpus-mix model.
+
+    KL(p_s || q) = sum_t p_s(t) * log2(p_s(t) / q(t)) needs no smoothing:
+    every source token is in the corpus by construction, so q(t) > 0
+    wherever p_s(t) > 0.
+
+    Scale shape: one (source, token) partial-aggregated count shuffle; the
+    corpus-wide token counts are DERIVED from those per-source counts by a
+    second token-keyed aggregation (the raw token stream shuffles once,
+    not twice), then joined back token-keyed; per-source totals are a
+    few-row broadcast. Per-term float work is a pure projection; the
+    per-source sum is rounded to 6 dp (the repo's float-agg convention —
+    terms.py bm25)."""
+    from supercrawler_spark.operators.textquality import _tokens
+
+    occ = docs.select(F.col(source_col).alias("source"),
+                      F.explode(_tokens(text_col)).alias("token"))
+    st = occ.groupBy("source", "token").agg(F.count("*").alias("cnt_st"))
+    corpus = st.groupBy("token").agg(F.sum("cnt_st").alias("cnt_t"))
+    totals = st.groupBy("source").agg(F.sum("cnt_st").alias("n_s"),
+                                      F.count("*").alias("vocab"))
+    grand = corpus.agg(F.sum("cnt_t").alias("n_all"))
+    ndocs = (docs.groupBy(F.col(source_col).alias("source"))
+             .agg(F.count("*").alias("n_docs")))
+    p = F.col("cnt_st") / F.col("n_s")
+    q = F.col("cnt_t") / F.col("n_all")
+    terms = (st.join(corpus, "token")
+             .join(F.broadcast(totals), "source")
+             .crossJoin(F.broadcast(grand))
+             .select("source", "n_s", "vocab",
+                     (p * F.log2(p / q)).alias("_kl"),
+                     (-p * F.log2(p)).alias("_hs"),
+                     (-p * F.log2(q)).alias("_hx")))
+    agg = (terms.groupBy("source", "n_s", "vocab")
+           .agg(F.round(F.sum("_kl"), 6).alias("kl_bits"),
+                F.round(F.sum("_hs"), 6).alias("h_source_bits"),
+                F.round(F.sum("_hx"), 6).alias("h_cross_bits")))
+    return (agg.join(F.broadcast(ndocs), "source")
+            .select("source", "n_docs",
+                    F.col("n_s").cast("long").alias("n_tokens"),
+                    F.col("vocab").cast("long").alias("vocab"),
+                    "kl_bits", "h_source_bits", "h_cross_bits"))
