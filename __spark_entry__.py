@@ -1479,6 +1479,48 @@ def q_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
                        default_delay_ms=1000)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling rates (alpha=0.5; rate ∝
+    share^alpha normalized) with per-stratum epoch factors — the T5/mT5
+    mixture-balancing stage (operators/trainmix.temperature_mix)."""
+    from supercrawler_spark.operators.trainmix import temperature_mix
+    return temperature_mix(_docs(spark, sf_dir), alpha=0.5)
+
+
+_TBS_MATERIALIZED: dict = {}
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-quality-first selection under a 10k-token global
+    budget: full (quality desc, doc_id) ranking with the distributed
+    two-phase running token total and the kept-prefix flag
+    (operators/trainmix.token_budget_select). Materialized through a
+    deterministic temp parquet dir (cdx pattern) so the range-partition
+    cache is unpersisted before the result reaches the driver."""
+    import hashlib
+    import os
+    import tempfile
+
+    from supercrawler_spark.operators.trainmix import token_budget_select
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = None
+    key = (os.path.abspath(sf_dir), 10_000, fingerprint)
+    if fingerprint is not None and key in _TBS_MATERIALIZED:
+        return spark.read.parquet(_TBS_MATERIALIZED[key])
+    slug = hashlib.sha256(repr(key[:2]).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"sc_tbs_{slug}", "select")
+    out, cache = token_budget_select(_docs(spark, sf_dir),
+                                     budget_tokens=10_000)
+    out.write.mode("overwrite").parquet(path)
+    cache.unpersist()
+    _TBS_MATERIALIZED[key] = path
+    return spark.read.parquet(path)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RealNews-style exact paragraph dedup with keeper semantics (one
     global occurrence survives per repeated paragraph) over injected
@@ -1674,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "domain_kl": q_domain_kl,
         "fetch_waves": q_fetch_waves,
+        "temperature_mix": q_temperature_mix,
+        "token_budget_select": q_token_budget_select,
     }
 
 
@@ -4287,6 +4331,30 @@ SELECT url, host, priority, host_rank,
        CAST((host_rank - 1) % 4 AS BIGINT) AS slot,
        CAST(((host_rank - 1) // 4) * delay_ms AS BIGINT) AS eta_ms
 FROM r"""
+    sqls["temperature_mix"] = """
+WITH c AS (SELECT source AS stratum, COUNT(*) AS n_docs
+           FROM documents GROUP BY source),
+t AS (SELECT SUM(n_docs) AS n_all FROM c),
+s AS (SELECT stratum, n_docs,
+             n_docs / CAST(t.n_all AS DOUBLE) AS share,
+             pow(n_docs / CAST(t.n_all AS DOUBLE), 0.5) AS pw
+      FROM c CROSS JOIN t),
+z AS (SELECT SUM(pw) AS z FROM s)
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+       round(share, 6) AS share,
+       round(pw / z.z, 6) AS temp_weight,
+       round((pw / z.z) / share, 6) AS epochs
+FROM s CROSS JOIN z"""
+    sqls["token_budget_select"] = f"""
+WITH q AS (SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+           FROM ({sqls['quality_score']}) t),
+c AS (SELECT doc_id, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM q)
+SELECT doc_id, quality, n_tokens, cum_tokens,
+       (cum_tokens <= 10000) AS kept
+FROM c"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract

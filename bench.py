@@ -756,6 +756,19 @@ def main() -> None:
 
     bench("fetch_waves", fetch_waves_bench)
 
+    def temperature_mix_bench():
+        import __spark_entry__ as entry_mod
+        return entry_mod.q_temperature_mix(spark, sf_dir).count()
+
+    bench("temperature_mix", temperature_mix_bench)
+
+    def token_budget_select_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_token_budget_select(spark, sf_dir)
+        extras["budget_kept_docs"] = out.filter(F.col("kept")).count()
+
+    bench("token_budget_select", token_budget_select_bench)
+
     if "crawl_scan" in timings:
         extras["crawl_scan_urls_per_sec"] = round(
             n_pages / timings["crawl_scan"], 1)

@@ -283,3 +283,81 @@ def domain_kl(docs: DataFrame, text_col: str = "text",
                     F.col("n_s").cast("long").alias("n_tokens"),
                     F.col("vocab").cast("long").alias("vocab"),
                     "kl_bits", "h_source_bits", "h_cross_bits"))
+
+
+def temperature_mix(docs: DataFrame, alpha: float = 0.5,
+                    stratum_col: str = "source") -> DataFrame:
+    """(stratum, n_docs, share, temp_weight, epochs): temperature-scaled
+    source sampling rates (T5/mT5 practice: rate_s ∝ share_s^alpha,
+    alpha < 1 upweights low-resource strata). ``epochs`` =
+    temp_weight / share is how many passes over stratum s a
+    target-mix training run makes relative to natural sampling — the
+    per-source repetition factor that pairs with :func:`weighted_epochs`
+    to realize the mix.
+
+    Scale shape: one map-side-combinable groupBy(stratum) count; every
+    later step runs on the few-row stratum table (one-row totals
+    broadcast). Float outputs are 6-dp rounded per the repo convention."""
+    counts = (docs.groupBy(F.col(stratum_col).alias("stratum"))
+              .agg(F.count("*").alias("n_docs")))
+    tot = counts.agg(F.sum("n_docs").alias("n_all"))
+    s = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("share", F.col("n_docs") / F.col("n_all"))
+         .withColumn("_pw", F.pow(F.col("share"), F.lit(float(alpha)))))
+    z = s.agg(F.sum("_pw").alias("z"))
+    return (s.crossJoin(F.broadcast(z))
+            .select("stratum", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round("share", 6).alias("share"),
+                    F.round(F.col("_pw") / F.col("z"), 6)
+                    .alias("temp_weight"),
+                    F.round((F.col("_pw") / F.col("z")) / F.col("share"), 6)
+                    .alias("epochs")))
+
+
+def token_budget_select(docs: DataFrame, budget_tokens: int,
+                        text_col: str = "text", id_col: str = "doc_id"
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Greedy best-quality-first corpus selection under a global token
+    budget: order every document by (quality desc, doc_id asc), keep the
+    prefix whose running token total stays within ``budget_tokens`` —
+    the "give me the best N tokens" stage between scoring and training.
+
+    Output (doc_id, quality, n_tokens, cum_tokens, kept); the full
+    ranking is returned (not just the kept prefix) so the budget can be
+    re-cut without recomputing scores.
+
+    The global running sum is the two-phase pattern (attach_dense_seq
+    family): range-repartition on the order key, windowed sum WITHIN each
+    partition, then add per-partition token offsets (driver collect of
+    one row per partition — bounded by partition count, not data). No
+    single-task global window. Returns ``(out, cache)``; the CALLER MUST
+    ``unpersist()`` the cache once the result is materialized (the
+    persist pins the sampled range bounds so the offsets job and the
+    output job see the same partitioning)."""
+    from supercrawler_spark.operators.textquality import quality_score
+
+    q = quality_score(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id"), F.col("quality"),
+        F.col("n_tokens").cast("long").alias("n_tokens"))
+    d = q.repartitionByRange(F.col("quality").desc(), F.col("doc_id").asc())
+    d = d.withColumn("_pid", F.spark_partition_id()).persist()
+    parts = {r["_pid"]: r["t"]
+             for r in d.groupBy("_pid")
+             .agg(F.sum("n_tokens").alias("t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(parts):
+        offsets[pid] = acc
+        acc += parts[pid]
+    off_df = docs.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid INT, _offset BIGINT")
+    w = (Window.partitionBy("_pid")
+         .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (d.join(F.broadcast(off_df), "_pid")
+           .withColumn("cum_tokens",
+                       (F.col("_offset") + F.sum("n_tokens").over(w))
+                       .cast("long"))
+           .withColumn("kept", F.col("cum_tokens") <= budget_tokens)
+           .select("doc_id", "quality", "n_tokens", "cum_tokens", "kept"))
+    return out, d
