@@ -4284,30 +4284,29 @@ WITH tok AS (
   FROM documents),
 st AS (SELECT source, token, COUNT(*) AS cnt_st
        FROM tok GROUP BY source, token),
-corpus AS (SELECT token, SUM(cnt_st) AS cnt_t FROM st GROUP BY token),
-totals AS (SELECT source, SUM(cnt_st) AS n_s, COUNT(*) AS vocab
-           FROM st GROUP BY source),
-grand AS (SELECT SUM(cnt_t) AS n_all FROM corpus),
+en AS (SELECT source, token, cnt_st,
+              SUM(cnt_st) OVER (PARTITION BY token) AS cnt_t,
+              SUM(cnt_st) OVER (PARTITION BY source) AS n_s,
+              COUNT(*) OVER (PARTITION BY source) AS vocab
+       FROM st),
+grand AS (SELECT SUM(len({_TOKS})) AS n_all FROM documents),
 nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-terms AS (
-  SELECT st.source, totals.n_s, totals.vocab,
-         (st.cnt_st / CAST(totals.n_s AS DOUBLE))
-           * log2((st.cnt_st / CAST(totals.n_s AS DOUBLE))
-                  / (corpus.cnt_t / CAST(grand.n_all AS DOUBLE))) AS klt,
-         -(st.cnt_st / CAST(totals.n_s AS DOUBLE))
-           * log2(st.cnt_st / CAST(totals.n_s AS DOUBLE)) AS hst,
-         -(st.cnt_st / CAST(totals.n_s AS DOUBLE))
-           * log2(corpus.cnt_t / CAST(grand.n_all AS DOUBLE)) AS hxt
-  FROM st JOIN corpus USING (token)
-       JOIN totals USING (source) CROSS JOIN grand)
-SELECT t.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
-       CAST(t.n_s AS BIGINT) AS n_tokens,
-       CAST(t.vocab AS BIGINT) AS vocab,
-       round(SUM(klt), 6) AS kl_bits,
-       round(SUM(hst), 6) AS h_source_bits,
-       round(SUM(hxt), 6) AS h_cross_bits
-FROM terms t JOIN nd ON t.source = nd.source
-GROUP BY t.source, nd.n_docs, t.n_s, t.vocab"""
+agg AS (
+  SELECT source, n_s, vocab,
+         SUM((cnt_st / CAST(n_s AS DOUBLE))
+             * log2(cnt_st / (CAST(n_s AS DOUBLE) * cnt_t))) AS klp,
+         SUM(-(cnt_st / CAST(n_s AS DOUBLE))
+             * log2(cnt_st / CAST(n_s AS DOUBLE))) AS hs,
+         SUM(-(cnt_st / CAST(n_s AS DOUBLE))
+             * log2(CAST(cnt_t AS DOUBLE))) AS hxp
+  FROM en GROUP BY source, n_s, vocab)
+SELECT a.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(a.n_s AS BIGINT) AS n_tokens,
+       CAST(a.vocab AS BIGINT) AS vocab,
+       round(a.klp + log2(grand.n_all), 6) AS kl_bits,
+       round(a.hs, 6) AS h_source_bits,
+       round(a.hxp + log2(grand.n_all), 6) AS h_cross_bits
+FROM agg a CROSS JOIN grand JOIN nd ON a.source = nd.source"""
     sqls["fetch_waves"] = """
 WITH f AS (
   SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,

@@ -247,42 +247,54 @@ def domain_kl(docs: DataFrame, text_col: str = "text",
     every source token is in the corpus by construction, so q(t) > 0
     wherever p_s(t) > 0.
 
-    Scale shape: one (source, token) partial-aggregated count shuffle; the
-    corpus-wide token counts are DERIVED from those per-source counts by a
-    second token-keyed aggregation (the raw token stream shuffles once,
-    not twice), then joined back token-keyed; per-source totals are a
-    few-row broadcast. Per-term float work is a pure projection; the
-    per-source sum is rounded to 6 dp (the repo's float-agg convention —
-    terms.py bm25)."""
+    Scale shape — the exploded token stream is aggregated EXACTLY ONCE
+    (plan-audited: one (source, token) count shuffle). Corpus token
+    counts, per-source totals, and per-source vocab all come from
+    windows OVER that small count table (token-keyed and source-keyed
+    window shuffles of vocab-sized rows, never the raw stream again).
+    The one global quantity, n_all, never touches the exploded stream:
+    it is a column-pruned explode-free sum of per-doc token-array sizes
+    (one-row broadcast), injected algebraically after aggregation —
+    log2 factors: p*log2(p/q) = p*log2(cnt_st/(n_s*cnt_t)) +
+    p*log2(n_all), and sum_t p = 1 exactly, so kl = partial +
+    log2(n_all) (same regrouped form mirrored in the oracle, so float
+    results stay engine-identical). Per-source sums are rounded to 6 dp
+    (the repo's float-agg convention — terms.py bm25)."""
     from supercrawler_spark.operators.textquality import _tokens
 
     occ = docs.select(F.col(source_col).alias("source"),
                       F.explode(_tokens(text_col)).alias("token"))
     st = occ.groupBy("source", "token").agg(F.count("*").alias("cnt_st"))
-    corpus = st.groupBy("token").agg(F.sum("cnt_st").alias("cnt_t"))
-    totals = st.groupBy("source").agg(F.sum("cnt_st").alias("n_s"),
-                                      F.count("*").alias("vocab"))
-    grand = corpus.agg(F.sum("cnt_t").alias("n_all"))
+    w_tok = Window.partitionBy("token")
+    w_src = Window.partitionBy("source")
+    en = (st.withColumn("cnt_t", F.sum("cnt_st").over(w_tok))
+          .withColumn("n_s", F.sum("cnt_st").over(w_src))
+          .withColumn("vocab", F.count(F.lit(1)).over(w_src)))
+    grand = docs.agg(F.sum(F.size(_tokens(text_col))).alias("n_all"))
     ndocs = (docs.groupBy(F.col(source_col).alias("source"))
              .agg(F.count("*").alias("n_docs")))
     p = F.col("cnt_st") / F.col("n_s")
-    q = F.col("cnt_t") / F.col("n_all")
-    terms = (st.join(corpus, "token")
-             .join(F.broadcast(totals), "source")
-             .crossJoin(F.broadcast(grand))
-             .select("source", "n_s", "vocab",
-                     (p * F.log2(p / q)).alias("_kl"),
-                     (-p * F.log2(p)).alias("_hs"),
-                     (-p * F.log2(q)).alias("_hx")))
-    agg = (terms.groupBy("source", "n_s", "vocab")
-           .agg(F.round(F.sum("_kl"), 6).alias("kl_bits"),
-                F.round(F.sum("_hs"), 6).alias("h_source_bits"),
-                F.round(F.sum("_hx"), 6).alias("h_cross_bits")))
-    return (agg.join(F.broadcast(ndocs), "source")
+    agg = (en.select(
+            "source", "n_s", "vocab",
+            (p * F.log2(F.col("cnt_st")
+                        / (F.col("n_s").cast("double") * F.col("cnt_t"))))
+            .alias("_klp"),
+            (-p * F.log2(F.col("cnt_st") / F.col("n_s").cast("double")))
+            .alias("_hs"),
+            (-p * F.log2(F.col("cnt_t").cast("double"))).alias("_hxp"))
+           .groupBy("source", "n_s", "vocab")
+           .agg(F.sum("_klp").alias("_klp"), F.sum("_hs").alias("_hs"),
+                F.sum("_hxp").alias("_hxp")))
+    return (agg.crossJoin(F.broadcast(grand))
+            .join(F.broadcast(ndocs), "source")
             .select("source", "n_docs",
                     F.col("n_s").cast("long").alias("n_tokens"),
                     F.col("vocab").cast("long").alias("vocab"),
-                    "kl_bits", "h_source_bits", "h_cross_bits"))
+                    F.round(F.col("_klp") + F.log2("n_all"), 6)
+                    .alias("kl_bits"),
+                    F.round("_hs", 6).alias("h_source_bits"),
+                    F.round(F.col("_hxp") + F.log2("n_all"), 6)
+                    .alias("h_cross_bits")))
 
 
 def temperature_mix(docs: DataFrame, alpha: float = 0.5,

@@ -146,3 +146,57 @@ def test_bm25_broadcasts_small_sides_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     # the totals cross-join must be the broadcast form
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_trustrank_equijoins_only(spark):
+    """TrustRank's per-round plan is the pagerank family: edge x score
+    equi-joins and map-side-combinable sums — the only nested loops are
+    the edges() fixture's deliberate 3-row k-range broadcasts."""
+    plan = _plan(entry_mod.q_trustrank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line  # edges() fixture k-range only
+    assert "EvalPython" not in plan
+
+
+def test_domain_kl_single_pass_over_token_stream(spark):
+    """The exploded token stream must be aggregated EXACTLY ONCE: one
+    Generate (explode) feeding one (source, token) exchange; corpus and
+    per-source totals ride windows over the small count table, and the
+    n_all scalar comes from an explode-free size scan. Everything stays
+    JVM-side; the only nested loop is the one-row grand-total
+    broadcast."""
+    plan = _plan(entry_mod.q_domain_kl(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 1
+    st_exchanges = [l for l in plan.splitlines()
+                    if "Exchange hashpartitioning" in l
+                    and "token" in l and "source" in l]
+    assert len(st_exchanges) == 1  # the count shuffle (partial agg above)
+
+
+def test_token_budget_select_no_global_window(spark):
+    """The running token total must ride the range partition id — a
+    single-partition global window would serialize the corpus ranking
+    through one task."""
+    from supercrawler_spark.operators.trainmix import token_budget_select
+    docs = entry_mod._docs(spark, SF_DIR)
+    out, cache = token_budget_select(docs, budget_tokens=10_000)
+    try:
+        plan = _plan(out)
+        for line in plan.splitlines():
+            if line.lstrip().startswith("Window"):
+                assert "_pid" in line, f"unpartitioned window: {line}"
+        assert "EvalPython" not in plan
+    finally:
+        cache.unpersist()
+
+
+def test_fetch_waves_single_host_shuffle(spark):
+    """One hash shuffle on host; the delay table arrives by broadcast."""
+    plan = _plan(entry_mod.q_fetch_waves(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
