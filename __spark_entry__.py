@@ -1479,6 +1479,23 @@ def q_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
                        default_delay_ms=1000)
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (operators/mojibake.fix_mojibake): every doc_id % 3
+    == 0 document is corrupted with one instance of EVERY UTF-8-as-cp1252
+    image in the repair map, then repaired — exercising the full chained-
+    replace codegen path end-to-end; clean documents must pass through
+    untouched (changed = false)."""
+    from supercrawler_spark.operators.mojibake import (MOJIBAKE_SNIPPET,
+                                                       fix_mojibake)
+    docs = _docs(spark, sf_dir)
+    corrupted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(MOJIBAKE_SNIPPET)))
+        .otherwise(F.col("text")))
+    return fix_mojibake(corrupted)
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling rates (alpha=0.5; rate ∝
     share^alpha normalized) with per-stratum epoch factors — the T5/mT5
@@ -1718,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_waves": q_fetch_waves,
         "temperature_mix": q_temperature_mix,
         "token_budget_select": q_token_budget_select,
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -4354,6 +4372,22 @@ c AS (SELECT doc_id, quality, n_tokens,
 SELECT doc_id, quality, n_tokens, cum_tokens,
        (cum_tokens <= 10000) AS kept
 FROM c"""
+    from supercrawler_spark.operators.mojibake import (
+        MOJIBAKE_SNIPPET as _moji_snip, SUSPECT_RE as _moji_sus,
+        oracle_repair_sql as _moji_chain)
+    _snip = _moji_snip.replace("'", "''")
+    _sus = _moji_sus.replace("'", "''")
+    sqls["fix_mojibake"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{_snip}' ELSE text END AS text
+  FROM documents),
+f AS (SELECT doc_id, text, {_moji_chain('text')} AS fixed_text FROM c)
+SELECT doc_id, fixed_text, (fixed_text <> text) AS changed,
+       CAST(length(text) - length(fixed_text) AS BIGINT) AS chars_saved,
+       CAST(len(regexp_extract_all(text, '{_sus}')) AS BIGINT)
+         AS n_suspect_before
+FROM f"""
     # salted LSH is a pure physical re-plan: identical pairs, same oracle
     sqls["minhash_lsh_pairs_salted"] = sqls["minhash_lsh_pairs"]
     # star CC is an algorithmic re-plan of the same clustering contract

@@ -769,6 +769,13 @@ def main() -> None:
 
     bench("token_budget_select", token_budget_select_bench)
 
+    def fix_mojibake_bench():
+        import __spark_entry__ as entry_mod
+        out = entry_mod.q_fix_mojibake(spark, sf_dir)
+        extras["mojibake_repaired"] = out.filter(F.col("changed")).count()
+
+    bench("fix_mojibake", fix_mojibake_bench)
+
     if "crawl_scan" in timings:
         extras["crawl_scan_urls_per_sec"] = round(
             n_pages / timings["crawl_scan"], 1)
