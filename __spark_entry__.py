@@ -387,6 +387,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negatives): per query, top-3 most-similar neighbors with cosine
+    in [0.1, 0.9) — near-duplicates excluded as positives, low-sim
+    easy negatives dropped."""
+    emb = _emb(spark, sf_dir)
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 5),
+                                     k=3, lo=0.1, hi=0.9)
+
+
 def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared-L2 top-k — the metric-matched baseline pq_ann_topk's
     recall is measured against."""
@@ -1736,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "token_budget_select": q_token_budget_select,
         "fix_mojibake": q_fix_mojibake,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -3046,6 +3057,15 @@ SELECT query_id, neighbor_id,
                                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
        round(sim, 6) AS sim
 FROM scored
+QUALIFY rank <= 3""",
+        "hard_negatives": cosine_cte + """
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(sim, 6) DESC, neighbor_id)
+            AS BIGINT) AS rank,
+       round(sim, 6) AS sim
+FROM scored
+WHERE round(sim, 6) >= 0.1 AND round(sim, 6) < 0.9
 QUALIFY rank <= 3""",
         "lsh_ann_topk": lsh_cte + """
 SELECT query_id, neighbor_id,

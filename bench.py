@@ -769,6 +769,12 @@ def main() -> None:
 
     bench("token_budget_select", token_budget_select_bench)
 
+    def hard_negatives_bench():
+        import __spark_entry__ as entry_mod
+        return entry_mod.q_hard_negatives(spark, sf_dir).count()
+
+    bench("hard_negatives", hard_negatives_bench)
+
     def fix_mojibake_bench():
         import __spark_entry__ as entry_mod
         out = entry_mod.q_fix_mojibake(spark, sf_dir)

@@ -759,3 +759,51 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("d2", 6).alias("d2")))
+
+
+def hard_negatives(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                   lo: float = 0.1, hi: float = 0.9,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Contrastive-training hard-negative mining: per query, the top-k
+    MOST similar neighbors whose cosine falls in the band [lo, hi) —
+    above ``hi`` is a near-duplicate/positive (excluded so the miner never
+    labels a paraphrase as a negative), below ``lo`` is an easy negative
+    the loss learns nothing from. Output (query_id, neighbor_id, rank,
+    sim), rank over the banded candidates.
+
+    The band test uses the 6-decimal ROUNDED sim (same rounding as the
+    output column and the DuckDB oracle), so boundary vectors land on the
+    same side in both engines regardless of double-accumulation order.
+
+    Scale: queries broadcast (the mining batch is small per job); the
+    candidate scan is embarrassingly parallel over the embeddings
+    partitions and the per-query window ranks only banded survivors. For
+    whole-corpus mining (every doc needs negatives), generate candidates
+    with the banded-LSH shortlist instead and feed it through
+    ``rerank_negatives`` — same band/rank contract applied to any
+    (query_id, neighbor_id, sim) candidate table.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nv"))
+    scored = (F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+              .select("query_id", "neighbor_id", "sim"))
+    return rerank_negatives(scored, k=k, lo=lo, hi=hi)
+
+
+def rerank_negatives(candidates: DataFrame, k: int = 3, lo: float = 0.1,
+                     hi: float = 0.9) -> DataFrame:
+    """Band-filter + rerank any (query_id, neighbor_id, sim) candidate
+    table into hard negatives — the composition point for ANN shortlists
+    (``lsh_ann_topk``/``ivf_ann_topk`` with a larger k) at corpus scale.
+    The window ranks at most the banded shortlist per query, never the
+    corpus."""
+    banded = candidates.filter((F.col("sim") >= lo) & (F.col("sim") < hi))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (banded.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.col("sim")))

@@ -562,3 +562,44 @@ def test_ivfpq_recovers_twins_and_beats_pure_adc(spark):
                  emb, q, k=1, m_sub=16, k_codes=32, rerank=16).collect()}
     for i in range(5):
         assert rank1[(i, 1)] == 1000 + i, "twin not recovered at rank 1"
+
+
+def test_hard_negatives_band_and_rank(spark):
+    """Positives (sim >= hi) and easy negatives (sim < lo) are excluded;
+    survivors rank by descending sim — checked against a tiny hand-built
+    geometry: q's duplicate (sim 1.0) out, orthogonal (0.0) out, two
+    mid-band vectors kept in similarity order."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # query
+        (1, [1.0, 0.0, 0.0, 0.0]),   # duplicate -> positive, excluded
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> easy negative, excluded
+        (3, [1.0, 1.0, 0.0, 0.0]),   # sim ~0.7071 -> hard negative
+        (4, [1.0, 2.0, 0.0, 0.0]),   # sim ~0.4472 -> hard negative
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 0), k=3, lo=0.1, hi=0.9).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(3, 1), (4, 2)]
+    assert abs(out[0]["sim"] - 0.707107) < 1e-6
+    assert abs(out[1]["sim"] - 0.447214) < 1e-6
+
+
+def test_rerank_negatives_composes_with_ann_shortlist(spark):
+    """The corpus-scale path: rerank an exact-cosine candidate table ==
+    hard_negatives run end-to-end (same band, same ranking contract)."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = emb.filter(F.col("vec_id") < 3)
+    direct = similarity.hard_negatives(emb, q, k=3, lo=0.2, hi=0.95)
+    # candidate table built separately (what an ANN shortlist would feed)
+    qd = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    nd = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    cand = (qd.join(nd, F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.round(similarity.cosine(F.col("qv"), F.col("nv")), 6))
+            .select("query_id", "neighbor_id", "sim"))
+    via_rerank = similarity.rerank_negatives(cand, k=3, lo=0.2, hi=0.95)
+    assert sorted(map(tuple, direct.collect())) \
+        == sorted(map(tuple, via_rerank.collect()))
