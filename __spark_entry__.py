@@ -601,6 +601,13 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.top_tokens(_docs(spark, sf_dir), k=50)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency power-law fit over the top-100 tokens
+    (operators/terms.zipf_fit) — the corpus-health smoke alarm."""
+    from supercrawler_spark.operators.terms import zipf_fit
+    return zipf_fit(_docs(spark, sf_dir), top_n=100)
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level link matrix (src_host -> dst_host counts + distinct
     linking pages + internal flag) over the deterministic doc graph."""
@@ -1747,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         "fix_mojibake": q_fix_mojibake,
         "hard_negatives": q_hard_negatives,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -4392,6 +4400,27 @@ c AS (SELECT doc_id, quality, n_tokens,
 SELECT doc_id, quality, n_tokens, cum_tokens,
        (cum_tokens <= 10000) AS kept
 FROM c"""
+    sqls["zipf_fit"] = f"""
+WITH occ AS (SELECT unnest({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+top AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)
+                 AS x_rank,
+               CAST(cnt AS DOUBLE) AS y_cnt
+        FROM counts ORDER BY cnt DESC, token LIMIT 100),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(ln(x_rank)) AS sx, SUM(ln(y_cnt)) AS sy,
+             SUM(ln(x_rank) * ln(x_rank)) AS sxx,
+             SUM(ln(x_rank) * ln(y_cnt)) AS sxy,
+             SUM(ln(y_cnt) * ln(y_cnt)) AS syy
+      FROM top)
+SELECT n_ranks,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM s"""
     from supercrawler_spark.operators.mojibake import (
         MOJIBAKE_SNIPPET as _moji_snip, SUSPECT_RE as _moji_sus,
         oracle_repair_sql as _moji_chain)

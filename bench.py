@@ -769,6 +769,13 @@ def main() -> None:
 
     bench("token_budget_select", token_budget_select_bench)
 
+    def zipf_fit_bench():
+        import __spark_entry__ as entry_mod
+        row = entry_mod.q_zipf_fit(spark, sf_dir).collect()[0]
+        extras["zipf_slope"] = float(row["slope"])
+
+    bench("zipf_fit", zipf_fit_bench)
+
     def hard_negatives_bench():
         import __spark_entry__ as entry_mod
         return entry_mod.q_hard_negatives(spark, sf_dir).count()

@@ -184,3 +184,48 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 200,
                             lambda x: x.cast("string")), ",")
                 .alias("postings"))
             .select("term", "df", "postings"))
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 100, skip_ranks: int = 0,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus diagnostic: least-squares fit of ln(freq) against
+    ln(rank) over the ``top_n`` most frequent tokens (optionally skipping
+    the first ``skip_ranks`` — function words flatten the head). A healthy
+    natural-language corpus sits near slope -1 (Zipf's law); a corpus
+    poisoned by boilerplate, templates, or a broken tokenizer drifts far
+    from it, so this is the cheap smoke alarm a 100 TB ingest runs per
+    batch. Output (n_ranks, slope, intercept, r2).
+
+    Scale shape: ONE token-keyed count shuffle (map-side partial
+    aggregation), then the top-n selection is a TakeOrderedAndProject —
+    the regression itself runs over ``top_n`` rows on a one-row aggregate,
+    never a corpus-sized window. The fit uses the explicit closed form
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) so the DuckDB oracle states the SAME
+    arithmetic rather than an engine-specific regr_* implementation.
+    """
+    tok = docs.select(F.explode(_tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")) \
+        .limit(top_n + skip_ranks)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = (top.withColumn("rank", F.row_number().over(w).cast("long"))
+              .filter(F.col("rank") > skip_ranks))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"))
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / (varx * vary)
+    return agg.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"))

@@ -166,3 +166,41 @@ def test_bm25_rare_term_outranks_common_and_ties_on_doc_id(spark):
     assert [r["doc_id"] for r in out] == [0, 4, 1]
     assert out[0]["score"] == out[1]["score"]
     assert out[0]["n_terms"] == 2 and out[2]["n_terms"] == 1
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """Exact Zipf corpus (token i appears floor(600/i) times) must fit
+    slope ~ -1 with r2 ~ 1; a uniform corpus must fit slope ~ 0."""
+    words = []
+    for i in range(1, 41):
+        words += [f"tok{i:02d}"] * (600 // i)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id LONG, text STRING")
+    from supercrawler_spark.operators.terms import zipf_fit
+    r = zipf_fit(docs, top_n=40).collect()[0]
+    assert r["n_ranks"] == 40
+    assert abs(r["slope"] + 1.0) < 0.05, r
+    assert r["r2"] > 0.99
+    uni = spark.createDataFrame(
+        [(0, " ".join([f"u{i}" for i in range(50)] * 3))],
+        "doc_id LONG, text STRING")
+    r = zipf_fit(uni, top_n=50).collect()[0]
+    assert abs(r["slope"]) < 1e-6
+
+
+def test_zipf_fit_skip_ranks_drops_head(spark):
+    """skip_ranks removes the flat function-word head from the fit: a
+    corpus with 5 equally-hot stopwords atop a Zipf tail fits closer to
+    -1 with the head skipped."""
+    # flat 5-stopword head (600 each) atop a tail that is exactly Zipf in
+    # GLOBAL rank: token at rank i (6..35) appears 600//i times
+    words = ["the", "of", "and", "to", "a"] * 600
+    for i in range(6, 36):
+        words += [f"tok{i:02d}"] * (600 // i)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id LONG, text STRING")
+    from supercrawler_spark.operators.terms import zipf_fit
+    full = zipf_fit(docs, top_n=35).collect()[0]
+    tail = zipf_fit(docs, top_n=30, skip_ranks=5).collect()[0]
+    assert tail["r2"] > full["r2"]
+    assert abs(tail["slope"] + 1.0) < abs(full["slope"] + 1.0)
