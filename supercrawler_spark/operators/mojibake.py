@@ -93,6 +93,23 @@ SUSPECT_RE = "[" + _LEAD + "][" + _CONT.replace("\\", "\\\\")
 SUSPECT_RE += "]"
 
 
+_GOOD_SET = frozenset(GOOD_CHARS)
+
+
+def corrupt_str(s: str) -> str:
+    """Simulate the upstream bug: every repairable character becomes its
+    UTF-8-as-cp1252 image (single left-to-right scan, so already-present
+    image sequences in ``s`` are corrupted char-by-char too — exactly what
+    a real double-decode does). ``repair_str(corrupt_str(s)) == s`` for
+    any string that contains no mojibake image itself (hypothesis-tested).
+    That precondition is fundamental, not an implementation limit: a
+    string that already reads "Ã¡" is byte-identical to the single
+    encoding of "á", so NO repairer can both fix the latter and preserve
+    the former — the inherent ambiguity ftfy resolves with plausibility
+    heuristics, which this exact chain deliberately does not."""
+    return "".join(mojibake_image(c) if c in _GOOD_SET else c for c in s)
+
+
 def repair_str(s: str, passes: int = 1) -> str:
     """Pure-Python kernel (unit-testable without Spark)."""
     for _ in range(passes):

@@ -78,3 +78,39 @@ def test_spark_matches_kernel(spark):
     assert got[1]["n_suspect_before"] == 0
     assert got[0]["n_suspect_before"] == 4  # Ã© ×3 + â€ (of â€”)
     assert got[3]["n_suspect_before"] >= len(MOJIBAKE_MAP)
+
+
+def test_corrupt_then_repair_roundtrip_property():
+    """repair ∘ corrupt == identity on image-free text. The image-free
+    assumption is fundamental: 'Ã¡' is byte-identical to the single
+    encoding of 'á', so no repairer can fix the latter and preserve the
+    former (hypothesis found exactly that counterexample)."""
+    from hypothesis import assume, given, settings, strategies as st
+    from supercrawler_spark.operators.mojibake import corrupt_str
+
+    alphabet = st.sampled_from(
+        list("abc XYZ 019 .,!?'\"<>&-_/\n\t") + list(GOOD_CHARS))
+
+    @given(st.text(alphabet=alphabet, max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def prop(s):
+        assume(all(bad not in s for bad, _ in MOJIBAKE_MAP))
+        assert repair_str(corrupt_str(s)) == s
+
+    prop()
+
+
+def test_ambiguous_text_repairs_to_plausible_reading():
+    """The documented behavior on already-mojibake-looking text: it is
+    read as mojibake and repaired one layer deeper."""
+    from supercrawler_spark.operators.mojibake import corrupt_str
+    assert repair_str(corrupt_str("Ã¡")) == "á"
+
+
+def test_corrupt_str_is_the_real_double_decode():
+    """corrupt_str must equal encode('utf-8') -> decode(sloppy cp1252) —
+    the actual failure being modeled, byte for byte."""
+    from supercrawler_spark.operators.mojibake import _sloppy_cp1252, corrupt_str
+    for s in ("café — “fine” €9.99", "São ¡hola! Œuvre ˜", "ascii only"):
+        real = "".join(_sloppy_cp1252(b) for b in s.encode("utf-8"))
+        assert corrupt_str(s) == real
