@@ -769,6 +769,49 @@ def main() -> None:
 
     bench("token_budget_select", token_budget_select_bench)
 
+    def frontier_rehearsal_bench():
+        """Frontier-core rehearsal at 10M URLs (200x the bench corpus,
+        the 10^10-frontier data path scaled to one host): url synthesis ->
+        xxhash64 url_hash -> seen ANTI-JOIN against a 5M-row seen set (too
+        big to broadcast: exercises the shuffled-hash/sort-merge path the
+        cluster uses) -> multi-parent frontier dedup (min-depth winner per
+        url_hash) -> dense-seq ordering via the engine's own
+        attach_dense_seq (range partition + per-partition offsets, no
+        single-task window). All JVM expressions; no text payload, so this
+        isolates the FRONTIER machinery's per-url cost."""
+        from supercrawler_spark.crawler import attach_dense_seq
+        n = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "10000000"))
+
+        def mk_urls(ids):
+            return ids.withColumn(
+                "url", F.concat(F.lit("https://h"),
+                                (F.col("id") % 100_000).cast("string"),
+                                F.lit(".example.com/p/"),
+                                F.col("id").cast("string")))
+
+        cand = (mk_urls(spark.range(n))
+                .withColumn("depth", (F.col("id") % 4).cast("int"))
+                .withColumn("url_hash", F.xxhash64("url")))
+        # 20% of urls re-discovered by a second parent at depth+1 — the
+        # dedup must keep the min-depth copy
+        dups = (cand.filter(F.col("id") % 5 == 0)
+                .withColumn("depth", F.col("depth") + 1))
+        seen = (mk_urls(spark.range(0, n, 2))
+                .select(F.xxhash64("url").alias("url_hash")))
+        fresh = (cand.unionByName(dups)
+                 .join(seen, "url_hash", "left_anti")
+                 .groupBy("url_hash")
+                 .agg(F.min(F.struct("depth", "id")).alias("m"))
+                 .select("url_hash", F.col("m.depth").alias("depth")))
+        out, total, cache = attach_dense_seq(
+            fresh, ["depth", "url_hash"], out_col="seq")
+        n_out = out.count()
+        cache.unpersist()
+        assert n_out == total == n // 2
+        extras["frontier_rehearsal_urls"] = n
+
+    bench("frontier_rehearsal", frontier_rehearsal_bench)
+
     def zipf_fit_bench():
         import __spark_entry__ as entry_mod
         row = entry_mod.q_zipf_fit(spark, sf_dir).collect()[0]
@@ -792,6 +835,10 @@ def main() -> None:
     if "crawl_scan" in timings:
         extras["crawl_scan_urls_per_sec"] = round(
             n_pages / timings["crawl_scan"], 1)
+    if "frontier_rehearsal" in timings:
+        extras["frontier_rehearsal_urls_per_sec"] = round(
+            extras["frontier_rehearsal_urls"]
+            / timings["frontier_rehearsal"], 1)
 
     total = round(sum(timings.values()), 3)
     full = {
