@@ -373,19 +373,23 @@ class Crawler:
         if cfg.politeness and self.robots is not None:
             rob = F.broadcast(self.robots)
             has_allow = "allow_prefixes" in self.robots.columns
-            # RFC 9309 precedence: longest matching prefix wins, Allow beats
-            # Disallow on ties — computed as two JVM array folds (max length
-            # of matching prefixes), no UDF. Tables without an
-            # allow_prefixes column behave as before (disallow-only).
-            def _best(col):
-                return F.aggregate(
-                    F.coalesce(col, F.array().cast("array<string>")),
-                    F.lit(0),
-                    lambda acc, p: F.when(
-                        _path_col().startswith(p) & (F.length(p) > acc),
-                        F.length(p)).otherwise(acc))
-            best_dis = _best(F.col("disallow_prefixes"))
-            best_alw = _best(F.col("allow_prefixes")) if has_allow else F.lit(0)
+            # RFC 9309 precedence: longest matching RULE wins, Allow beats
+            # Disallow on ties — JVM folds (robots.best_match_len): plain
+            # prefixes via startswith, *-/$-wildcard rules via their
+            # parse-time regexes, no UDF. Tables without an allow_prefixes
+            # column behave as before (disallow-only); tables without the
+            # wild columns (pre-wildcard checkpoints/fixtures) match
+            # prefixes only.
+            from supercrawler_spark.operators.robots import best_match_len
+            has_wild = "disallow_wild_rx" in self.robots.columns
+
+            def _best(kind):
+                return best_match_len(
+                    _path_col(), F.col(f"{kind}_prefixes"),
+                    F.col(f"{kind}_wild_rx") if has_wild else None,
+                    F.col(f"{kind}_wild_len") if has_wild else None)
+            best_dis = _best("disallow")
+            best_alw = _best("allow") if has_allow else F.lit(0).cast("long")
             work = (work.join(rob, "host", "left")
                     .withColumn("robots_blocked", best_dis > best_alw))
             # crawl-delay budget: a host with delay D gets ≤ round_budget/D
@@ -408,7 +412,9 @@ class Crawler:
                                 & F.col("_cap").isNotNull()
                                 & (F.col("_rk") > F.col("_cap")))
                     .drop("_rk", "_cap", "disallow_prefixes",
-                          "allow_prefixes", "crawl_delay_ms"))
+                          "allow_prefixes", "crawl_delay_ms",
+                          "disallow_wild_rx", "disallow_wild_len",
+                          "allow_wild_rx", "allow_wild_len"))
         else:
             work = (work.withColumn("robots_blocked", F.lit(False))
                     .withColumn("deferred", F.lit(False)))

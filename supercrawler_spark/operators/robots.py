@@ -5,10 +5,14 @@ Common-Crawl-style pages table, instead of arriving out-of-band.
 
 The reference has no robots support at all (politeness is a north-rule
 extension); the parser grammar is the original robots.txt de-facto standard
-(Koster) as codified by RFC 9309: ``User-agent`` groups, ``Disallow``
-prefixes, the de-facto ``Crawl-delay`` extension, ``#`` comments, blank-line
-group separation, case-insensitive field names, most-specific-agent-wins
-(exact agent name beats ``*``).
+(Koster) as codified by RFC 9309: ``User-agent`` groups, ``Disallow``/
+``Allow`` rules including the §2.2.3 special characters (``*`` any-run and
+trailing ``$`` end anchor, translated to portable regexes at parse time so
+the per-URL match stays a JVM fold), the de-facto ``Crawl-delay``
+extension, ``#`` comments, blank-line group separation, case-insensitive
+field names, most-specific-agent-wins (exact agent name beats ``*``).
+Precedence is longest-RULE-wins with Allow beating Disallow on ties, for
+plain and wildcard rules uniformly.
 
 The parse runs as an Arrow-vectorized pandas UDF (one robots body per row,
 host-count rows total — robots bodies are tiny and per-host, so this is a
@@ -16,17 +20,57 @@ droplet next to the page extraction kernel)."""
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
                                StructType)
 
+# Plain rules stay string prefixes (the fast path: a startswith fold).
+# RFC 9309 §2.2.3 special characters — ``*`` (any char run) and a trailing
+# ``$`` (end anchor) — ride as pre-translated regexes plus the ORIGINAL
+# rule octet length, because precedence is decided by the raw rule length
+# for both kinds (longest rule wins, Allow beats Disallow on ties).
 ROBOTS_STRUCT = StructType([
     StructField("disallow_prefixes", ArrayType(StringType())),
     StructField("allow_prefixes", ArrayType(StringType())),
     StructField("crawl_delay_ms", LongType()),
+    StructField("disallow_wild_rx", ArrayType(StringType())),
+    StructField("disallow_wild_len", ArrayType(LongType())),
+    StructField("allow_wild_rx", ArrayType(StringType())),
+    StructField("allow_wild_len", ArrayType(LongType())),
 ])
+
+WILD_COLS = ["disallow_wild_rx", "disallow_wild_len",
+             "allow_wild_rx", "allow_wild_len"]
+
+_RX_SPECIALS = set(".^$*+?()[]{}|\\")
+
+
+def is_wildcard_rule(rule: str) -> bool:
+    return "*" in rule or rule.endswith("$")
+
+
+def glob_to_regex(rule: str) -> str:
+    """RFC 9309 rule -> anchored regex, portable across java.util.regex,
+    RE2, and Python ``re`` (only ``\\<punct>`` escapes and ``.*``; ``(?s)``
+    so a stray newline in a path cannot break the ``*`` run)."""
+    anchored = rule.endswith("$")
+    core = rule[:-1] if anchored else rule
+    esc = lambda seg: "".join("\\" + c if c in _RX_SPECIALS else c
+                              for c in seg)
+    body = ".*".join(esc(seg) for seg in core.split("*"))
+    return "(?s)^" + body + ("$" if anchored else "")
+
+
+def rule_match_len(path: str, rule: str) -> int:
+    """Octet length of ``rule`` if it matches ``path``, else -1 — the
+    pure-Python spec the JVM folds must agree with."""
+    if not is_wildcard_rule(rule):
+        return len(rule) if path.startswith(rule) else -1
+    return len(rule) if _re.match(glob_to_regex(rule), path) else -1
 
 
 def parse_robots_txt(body: str, user_agent: str = "*"):
@@ -102,34 +146,70 @@ def parse_robots_txt(body: str, user_agent: str = "*"):
 
 
 def is_blocked(path: str, disallow: list, allow: list) -> bool:
-    """RFC 9309 precedence: the longest matching prefix wins; an Allow match
-    of equal length beats Disallow. Pure-Python twin of the engine's JVM
-    predicate (crawler politeness join) for the oracle/tests."""
-    d = max((len(p) for p in disallow or [] if path.startswith(p)), default=0)
-    a = max((len(p) for p in allow or [] if path.startswith(p)), default=0)
-    return d > a
+    """RFC 9309 precedence: the longest matching rule wins; an Allow match
+    of equal length beats Disallow. Rules may carry ``*``/``$`` wildcards.
+    Pure-Python twin of the engine's JVM predicate (crawler politeness
+    join) for the oracle/tests."""
+    d = max((rule_match_len(path, p) for p in disallow or []), default=-1)
+    a = max((rule_match_len(path, p) for p in allow or []), default=-1)
+    return d > max(a, 0)
+
+
+def _split_wild(rules: list) -> tuple[list, list, list]:
+    """(plain_prefixes, wild_regexes, wild_rule_lens) for one rule list."""
+    plain = [r for r in rules if not is_wildcard_rule(r)]
+    wild = [r for r in rules if is_wildcard_rule(r)]
+    return plain, [glob_to_regex(r) for r in wild], [len(r) for r in wild]
 
 
 def make_parse_robots(user_agent: str = "*"):
     @pandas_udf(ROBOTS_STRUCT)
     def parse_robots_udf(body: pd.Series) -> pd.DataFrame:
-        dis_out, alw_out, delay_out = [], [], []
+        cols: dict = {f.name: [] for f in ROBOTS_STRUCT.fields}
         for b in body:
             if b is None:
-                dis_out.append([])
-                alw_out.append([])
-                delay_out.append(0)
-                continue
-            if isinstance(b, (bytes, bytearray)):
-                b = bytes(b).decode("utf-8", errors="replace")
-            d, a, ms = parse_robots_txt(b, user_agent)
-            dis_out.append(d)
-            alw_out.append(a)
-            delay_out.append(ms)
-        return pd.DataFrame({"disallow_prefixes": dis_out,
-                             "allow_prefixes": alw_out,
-                             "crawl_delay_ms": delay_out})
+                d, a, ms = [], [], 0
+            else:
+                if isinstance(b, (bytes, bytearray)):
+                    b = bytes(b).decode("utf-8", errors="replace")
+                d, a, ms = parse_robots_txt(b, user_agent)
+            dp, dwr, dwl = _split_wild(d)
+            ap, awr, awl = _split_wild(a)
+            cols["disallow_prefixes"].append(dp)
+            cols["allow_prefixes"].append(ap)
+            cols["crawl_delay_ms"].append(ms)
+            cols["disallow_wild_rx"].append(dwr)
+            cols["disallow_wild_len"].append(dwl)
+            cols["allow_wild_rx"].append(awr)
+            cols["allow_wild_len"].append(awl)
+        return pd.DataFrame(cols)
     return parse_robots_udf
+
+
+def best_match_len(path: Column, prefixes: Column,
+                   wild_rx: Column | None = None,
+                   wild_len: Column | None = None) -> Column:
+    """JVM fold: the longest rule length matching ``path`` (0 when none) —
+    plain prefixes via startswith, wildcard rules via their pre-translated
+    per-row regexes (``regexp_like`` with a column pattern). Equal to
+    ``max(rule_match_len(path, r) for r in rules)`` by the equivalence
+    test; runs inside whole-stage codegen, no UDF."""
+    empty_s = F.array().cast("array<string>")
+    best = F.aggregate(
+        F.coalesce(prefixes, empty_s), F.lit(0).cast("long"),
+        lambda acc, p: F.when(path.startswith(p)
+                              & (F.length(p) > acc),
+                              F.length(p).cast("long")).otherwise(acc))
+    if wild_rx is None:
+        return best
+    pairs = F.zip_with(F.coalesce(wild_rx, empty_s),
+                       F.coalesce(wild_len, F.array().cast("array<long>")),
+                       lambda r, l: F.struct(r.alias("rx"), l.alias("rl")))
+    return F.aggregate(
+        pairs, best,
+        lambda acc, x: F.when(
+            F.call_function("regexp_like", path, x["rx"])
+            & (x["rl"] > acc), x["rl"]).otherwise(acc))
 
 
 def robots_from_pages(pages: DataFrame, user_agent: str = "*") -> DataFrame:
@@ -156,7 +236,8 @@ def robots_from_pages(pages: DataFrame, user_agent: str = "*") -> DataFrame:
             .select("host",
                     F.col("r.disallow_prefixes").alias("disallow_prefixes"),
                     F.col("r.allow_prefixes").alias("allow_prefixes"),
-                    F.col("r.crawl_delay_ms").alias("crawl_delay_ms")))
+                    F.col("r.crawl_delay_ms").alias("crawl_delay_ms"),
+                    *[F.col(f"r.{c}").alias(c) for c in WILD_COLS]))
 
 
 def robots_refresh(robots_meta: DataFrame, now_ts, max_age_hours: int = 24,

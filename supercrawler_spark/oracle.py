@@ -72,16 +72,15 @@ def oracle_bfs(
             res.frontier_by_depth.setdefault(0, []).append(c)
 
     def _robots_blocked(url: str) -> bool:
-        # RFC 9309 longest-match precedence (Allow beats Disallow on ties) —
-        # mirrors operators/robots.is_blocked and the engine's JVM fold
+        # RFC 9309 longest-match precedence (Allow beats Disallow on ties,
+        # */$ wildcard rules included) — delegates to the same pure-Python
+        # spec the engine's JVM fold is equivalence-tested against
+        from supercrawler_spark.operators.robots import is_blocked
         h = url_host(url)
         if h is None or h not in disallow:
             return False
         path = url.split(h, 1)[1]
-        d = max((len(p) for p in disallow[h] if path.startswith(p)), default=0)
-        a = max((len(p) for p in allow.get(h, []) if path.startswith(p)),
-                default=0)
-        return d > a
+        return is_blocked(path, disallow[h], allow.get(h, []))
 
     while queue:
         url, depth = queue.popleft()

@@ -160,3 +160,134 @@ def test_polite_crawl_from_parsed_robots(spark, corpus_sf0001,
               robots="auto")
     sc = {r["url"] for r in c.seen.select("url").collect()}
     assert sc == sa
+
+
+# ---- RFC 9309 §2.2.3 wildcard rules (* and $) ------------------------------
+
+def test_wildcard_match_battery():
+    """The de-facto-standard wildcard cases (as published in the RFC and
+    Google's robots.txt documentation)."""
+    from supercrawler_spark.operators.robots import is_blocked, rule_match_len
+
+    # /fish* == /fish (prefix), matches subpaths and suffixes
+    for path in ("/fish", "/fishheads", "/fish.php", "/fish/salmon.html"):
+        assert rule_match_len(path, "/fish*") == 6, path
+    assert rule_match_len("/Fish.asp", "/fish*") == -1  # case-sensitive
+    # /*.php: any path containing .php
+    for path in ("/index.php", "/folder/filename.php",
+                 "/folder/filename.php?parameters", "/index.php/"):
+        assert rule_match_len(path, "/*.php") == 6, path
+    assert rule_match_len("/", "/*.php") == -1
+    assert rule_match_len("/windows.PHP", "/*.php") == -1
+    # /*.php$: must END with .php
+    assert rule_match_len("/filename.php", "/*.php$") == 7
+    assert rule_match_len("/folder/filename.php", "/*.php$") == 7
+    assert rule_match_len("/filename.php?parameters", "/*.php$") == -1
+    assert rule_match_len("/filename.php5", "/*.php$") == -1
+    # /fish*.php: .php somewhere after /fish
+    assert rule_match_len("/fish.php", "/fish*.php") == 10
+    assert rule_match_len("/fishheads/catfish.php?p=1", "/fish*.php") == 10
+    assert rule_match_len("/Fish.PHP", "/fish*.php") == -1
+    # precedence: longest RULE wins, allow beats disallow on ties
+    assert not is_blocked("/page", ["/"], ["/p"])
+    assert not is_blocked("/folder/page", ["/folder"], ["/folder"])
+    assert is_blocked("/page.htm", ["/*.htm"], ["/page"])   # 6 > 5
+    assert not is_blocked("/", ["/"], ["/$"])                # 2 > 1
+    assert is_blocked("/other", ["/"], ["/$"])               # $ anchors
+    # regex metacharacters in paths are literal in rules
+    assert rule_match_len("/a.b/c", "/a.b/*") == 6
+    assert rule_match_len("/aXb/c", "/a.b/*") == -1
+
+
+def test_parse_splits_wildcard_rules():
+    from supercrawler_spark.operators.robots import (_split_wild,
+                                                     parse_robots_txt)
+    body = ("User-agent: *\nDisallow: /private\nDisallow: /*.php$\n"
+            "Allow: /public*html\nAllow: /open\n")
+    d, a, ms = parse_robots_txt(body)
+    assert d == ["/private", "/*.php$"] and a == ["/public*html", "/open"]
+    dp, dwr, dwl = _split_wild(d)
+    assert dp == ["/private"] and dwl == [7]
+    assert dwr == ["(?s)^/.*\\.php$"]
+    ap, awr, awl = _split_wild(a)
+    assert ap == ["/open"] and awl == [12]
+
+
+def test_jvm_fold_equals_python_spec(spark):
+    """best_match_len (the engine's codegen fold) must agree with the
+    pure-Python rule_match_len spec on a rules x paths matrix that
+    exercises prefixes, *-runs, $-anchors and regex metacharacters."""
+    from supercrawler_spark.operators.robots import (best_match_len,
+                                                     is_blocked, _split_wild)
+    disallow = ["/private", "/*.php$", "/fish*", "/a.b/*", "/*?session"]
+    allow = ["/fish/ok", "/private/pub*", "/$"]
+    paths = ["/", "/private", "/private/pub/x", "/index.php",
+             "/index.php5", "/fish", "/fishheads/catfish.php",
+             "/fish/ok/page", "/a.b/c", "/aXb/c", "/page?session=1",
+             "/other"]
+    dp, dwr, dwl = _split_wild(disallow)
+    ap, awr, awl = _split_wild(allow)
+    rows = [(p, dp, dwr, dwl, ap, awr, awl) for p in paths]
+    df = spark.createDataFrame(
+        rows, "path STRING, dp ARRAY<STRING>, dwr ARRAY<STRING>, "
+              "dwl ARRAY<BIGINT>, ap ARRAY<STRING>, awr ARRAY<STRING>, "
+              "awl ARRAY<BIGINT>")
+    out = df.select(
+        "path",
+        best_match_len(F.col("path"), F.col("dp"), F.col("dwr"),
+                       F.col("dwl")).alias("d"),
+        best_match_len(F.col("path"), F.col("ap"), F.col("awr"),
+                       F.col("awl")).alias("a")).collect()
+    from supercrawler_spark.operators.robots import rule_match_len
+    for r in out:
+        exp_d = max((rule_match_len(r["path"], x) for x in disallow),
+                    default=-1)
+        exp_a = max((rule_match_len(r["path"], x) for x in allow),
+                    default=-1)
+        assert r["d"] == max(exp_d, 0), r
+        assert r["a"] == max(exp_a, 0), r
+        assert (r["d"] > r["a"]) == is_blocked(r["path"], disallow, allow), r
+
+
+def test_polite_crawl_with_wildcard_rules_matches_oracle(spark):
+    """End-to-end: a politeness crawl whose robots.txt carries wildcard
+    rules blocks exactly the urls the pure-Python BFS oracle blocks."""
+    from supercrawler_spark.oracle import oracle_bfs
+    from supercrawler_spark.operators.robots import robots_from_pages
+
+    host = "w.example.com"
+    body = ("User-agent: *\nDisallow: /*.php$\nDisallow: /trap*\n"
+            "Allow: /trapdoor\n")
+    site = {
+        f"https://{host}/": ["a.php", "b.html", "trap/x", "trapdoor",
+                             "c.php?x=1"],
+        f"https://{host}/b.html": ["deep.php"],
+    }
+    pages_rows = [(f"https://{host}/robots.txt", body.encode())]
+    for url, links in site.items():
+        html = "<html><head></head><body>" + "".join(
+            f'<a href="/{l}">x</a>' for l in links) + "</body></html>"
+        pages_rows.append((url, html.encode()))
+    for l in ["a.php", "trap/x", "trapdoor", "c.php?x=1", "deep.php"]:
+        pages_rows.append((f"https://{host}/{l}",
+                           b"<html><head></head><body>leaf</body></html>"))
+    pages = spark.createDataFrame(pages_rows, "url STRING, html BINARY")
+    seeds = spark.createDataFrame([(f"https://{host}/", 0)],
+                                  "url STRING, seed_order LONG")
+    robots_tbl = robots_from_pages(pages)
+    import tempfile
+    cfg = CrawlConfig(crawl_depth=2, num_buckets=4, politeness=True)
+    res = crawl(spark, pages, seeds, cfg,
+                store_dir=tempfile.mkdtemp(prefix="robwild_"),
+                robots=robots_tbl)
+    blocked = int(res.metrics.agg(F.sum("robots_blocked")).collect()[0][0])
+    oracle_pages = {u: h.decode() for u, h in pages_rows}
+    orc = oracle_bfs(
+        oracle_pages, [f"https://{host}/"], crawl_depth=2,
+        robots=[{"host": host,
+                 "disallow_prefixes": ["/*.php$", "/trap*"],
+                 "allow_prefixes": ["/trapdoor"],
+                 "crawl_delay_ms": 0}])
+    exp_blocked = sum(m["robots_blocked"]
+                      for m in orc.metrics_by_depth.values())
+    assert blocked == exp_blocked > 0
