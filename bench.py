@@ -873,6 +873,7 @@ def main() -> None:
         "cpus": cpus,
     }
     for key in ("crawl_scan_urls_per_sec", "crawl_scan_urls",
+                "frontier_rehearsal_urls_per_sec",
                 "lsh_ann_recall_at3",
                 "lsh_ann_multiprobe_recall_at3", "ivf_ann_recall_at3",
                 "ivf_trained_recall_at3", "ivfpq_recall_at3_l2",
