@@ -121,12 +121,18 @@ def repair_str(s: str, passes: int = 1) -> str:
     return s
 
 
-def _repair_col(col: Column, passes: int) -> Column:
+def repair_col(col: Column, passes: int = 1) -> Column:
+    """The repair chain as a bare Column expression — for callers that
+    rewrite text in place inside an existing projection (e.g. the corpus
+    pipeline's pre-tokenization repair stage) without a join."""
     for _ in range(passes):
         col = reduce(
             lambda c, p: F.replace(c, F.lit(p[0]), F.lit(p[1])),
             MOJIBAKE_MAP, col)
     return col
+
+
+_repair_col = repair_col
 
 
 def fix_mojibake(docs: DataFrame, text_col: str = "text",

@@ -1,7 +1,7 @@
 """End-to-end training-corpus preparation: the operators composed the way a
 real pre-training data run chains them.
 
-    raw docs ─ quality gate ─ exact dedup ─ near-dup resolve ─
+    raw docs ─ [mojibake repair] ─ quality gate ─ exact dedup ─ near-dup resolve ─
       [semantic dedup] ─ benchmark decontamination ─ [DSIR selection] ─
         [PII scrub] ─ [line dedup] ─ deterministic shuffle/export
 
@@ -40,6 +40,13 @@ from supercrawler_spark.operators import trainmix as _trainmix
 
 @dataclass
 class CorpusPipelineConfig:
+    # encoding repair BEFORE anything tokenizes: mojibake ("cafÃ©") poisons
+    # shingles, token counts and langid, so the chain runs first when on.
+    # A pure in-place projection (no join, no shuffle) — the one justified
+    # exception to the rewrite-once-at-the-end rule, because every later
+    # stage reads the text it fixes.
+    repair_mojibake: bool = False
+    mojibake_passes: int = 1
     min_tokens: int = 20
     max_punct_ratio: float = 0.2
     langs: tuple = ("en",)
@@ -94,6 +101,14 @@ def prepare_training_corpus(docs: DataFrame,
 def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
     n_input = docs.count()
     report["input_docs"] = n_input
+
+    # 0. optional encoding repair — in-place column rewrite at scan speed
+    if cfg.repair_mojibake:
+        from supercrawler_spark.operators.mojibake import repair_col
+        fixed = repair_col(F.col(text_col), passes=cfg.mojibake_passes)
+        report["mojibake_repaired"] = docs.agg(F.count_if(
+            fixed != F.col(text_col)).alias("n")).collect()[0]["n"]
+        docs = docs.withColumn(text_col, fixed)
 
     # 1. quality gate — single scan; survivors as a narrow id list
     gate = _tq.filter_corpus(docs, cfg.min_tokens, cfg.max_punct_ratio,

@@ -158,3 +158,29 @@ def test_pipeline_dsir_selection_stage(spark):
     cfg2 = CorpusPipelineConfig(near_dedup=False, dsir_target_n=10)
     out3, rep3 = prepare_training_corpus(docs.drop("lang"), config=cfg2)
     assert rep3["dsir_selected"] == out3.count() >= 1
+
+
+def test_pipeline_mojibake_repair_unlocks_dedup(spark):
+    """With repair on, two docs identical up to double-encoding dedup to
+    one; with repair off they both survive (different bytes)."""
+    from supercrawler_spark.operators.mojibake import corrupt_str
+    from supercrawler_spark.pipeline import (CorpusPipelineConfig,
+                                             prepare_training_corpus)
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "café résumé naïve coöperate ") * 3
+    rows = [(0, base, "en", "s"), (1, corrupt_str(base), "en", "s"),
+            (2, base + "tail words here for distinctness", "en", "s")]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING")
+    cfg_on = CorpusPipelineConfig(repair_mojibake=True, near_dedup=False)
+    out_on, rep_on = prepare_training_corpus(docs, config=cfg_on)
+    assert rep_on["mojibake_repaired"] == 1
+    ids_on = {r["doc_id"] for r in out_on.select("doc_id").collect()}
+    assert len(ids_on & {0, 1}) == 1          # exact dedup collapsed them
+    texts_on = {r["text"] for r in out_on.collect()}
+    assert all("Ã" not in t for t in texts_on)
+    cfg_off = CorpusPipelineConfig(repair_mojibake=False, near_dedup=False)
+    out_off, rep_off = prepare_training_corpus(docs, config=cfg_off)
+    assert "mojibake_repaired" not in rep_off
+    assert {r["doc_id"] for r in out_off.select("doc_id").collect()} \
+        >= {0, 1}
