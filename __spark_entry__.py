@@ -4415,11 +4415,13 @@ s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
              SUM(ln(y_cnt) * ln(y_cnt)) AS syy
       FROM top)
 SELECT n_ranks,
-       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
-       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+       round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0), 6) AS slope,
+       round((sy - ((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0)) * sx)
+             / nullif(n, 0), 6)
          AS intercept,
        round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
-             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+             / (nullif(n*sxx - sx*sx, 0) * nullif(n*syy - sy*sy, 0)), 6)
+         AS r2
 FROM s"""
     from supercrawler_spark.operators.mojibake import (
         MOJIBAKE_SNIPPET as _moji_snip, SUSPECT_RE as _moji_sus,

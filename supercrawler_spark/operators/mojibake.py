@@ -26,11 +26,13 @@ Why a chain is safe here (unit-tested invariants):
   the lead-byte images of 0xC2-0xC6 — Â Ã Ä Å Æ — while 3-byte images
   start with â and continue with 0x80-0xBF images, disjoint alphabets at
   the position that matters), so application order cannot split a match;
-- replacement outputs are single characters that never form a new image
-  with their neighbours mid-chain for the repair direction (images need a
-  lead char followed by a continuation-image char; a repaired good char
-  adjacent to an unrepaired lead char is exactly the NEXT layer of a
-  double encoding, which the next pass handles by design).
+- each pass peels AT LEAST one layer of a nested double encoding; chain
+  order may peel MORE than one in the same pass (when an inner image's
+  replacement lands before a later chain step that recognizes the newly
+  exposed outer image — e.g. "ÃƒÂ©" fully repairs in one pass because the
+  inner image sorts later in chain order, see
+  test_double_encoding_peels_layers). The guarantee ``passes`` buys is a
+  lower bound on layers peeled, never an upper bound.
 """
 
 from __future__ import annotations

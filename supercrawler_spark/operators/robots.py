@@ -54,15 +54,21 @@ def is_wildcard_rule(rule: str) -> bool:
 
 
 def glob_to_regex(rule: str) -> str:
-    """RFC 9309 rule -> anchored regex, portable across java.util.regex,
-    RE2, and Python ``re`` (only ``\\<punct>`` escapes and ``.*``; ``(?s)``
-    so a stray newline in a path cannot break the ``*`` run)."""
+    """RFC 9309 rule -> anchored regex for java.util.regex / RE2 (only
+    ``\\<punct>`` escapes, ``.*``, and a final ``\\z``; ``(?s)`` so a stray
+    newline in a path cannot break the ``*`` run).
+
+    The end anchor is ``\\z`` (absolute end of input), NOT ``$``: in both
+    Java and Python, ``$`` also matches just before a trailing newline, so
+    a path ending in ``\\n`` (e.g. ``/x.php\\n``) would wrongly satisfy
+    ``/*.php$``. Python ``re`` (< 3.14) spells absolute-end ``\\Z``;
+    :func:`rule_match_len` rewrites the suffix for the Python flavor."""
     anchored = rule.endswith("$")
     core = rule[:-1] if anchored else rule
     esc = lambda seg: "".join("\\" + c if c in _RX_SPECIALS else c
                               for c in seg)
     body = ".*".join(esc(seg) for seg in core.split("*"))
-    return "(?s)^" + body + ("$" if anchored else "")
+    return "(?s)^" + body + ("\\z" if anchored else "")
 
 
 def rule_match_len(path: str, rule: str) -> int:
@@ -70,7 +76,10 @@ def rule_match_len(path: str, rule: str) -> int:
     pure-Python spec the JVM folds must agree with."""
     if not is_wildcard_rule(rule):
         return len(rule) if path.startswith(rule) else -1
-    return len(rule) if _re.match(glob_to_regex(rule), path) else -1
+    rx = glob_to_regex(rule)
+    if rx.endswith("\\z"):  # Python re spells absolute-end \Z, Java \z
+        rx = rx[:-2] + "\\Z"
+    return len(rule) if _re.match(rx, path) else -1
 
 
 def parse_robots_txt(body: str, user_agent: str = "*"):
@@ -193,7 +202,15 @@ def best_match_len(path: Column, prefixes: Column,
     plain prefixes via startswith, wildcard rules via their pre-translated
     per-row regexes (``regexp_like`` with a column pattern). Equal to
     ``max(rule_match_len(path, r) for r in rules)`` by the equivalence
-    test; runs inside whole-stage codegen, no UDF."""
+    test; runs inside whole-stage codegen, no UDF.
+
+    Cost note: a column pattern is non-foldable, so Spark compiles each
+    wildcard regex per (url x rule) evaluation instead of caching one
+    Pattern. Wildcard rules are rare (most robots files are plain
+    prefixes, which take the startswith arm), so this is fine at crawl
+    scale; if a wildcard-heavy host ever dominates a profile, pre-join
+    the distinct (host, rule) match table or cap wildcard rules per host
+    before this fold."""
     empty_s = F.array().cast("array<string>")
     best = F.aggregate(
         F.coalesce(prefixes, empty_s), F.lit(0).cast("long"),

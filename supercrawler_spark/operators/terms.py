@@ -219,10 +219,13 @@ def zipf_fit(docs: DataFrame, top_n: int = 100, skip_ranks: int = 0,
         F.sum(y * y).alias("syy"))
     n = F.col("n").cast("double")
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # nullif-guard the denominators: on a degenerate corpus (< 2 ranks, or
+    # all-equal counts => vary = 0) the fit is undefined, and NULL is the
+    # one value Spark and the DuckDB oracle agree on for x/0
+    varx = F.nullif(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    vary = F.nullif(n * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
     slope = cov / varx
-    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.nullif(n, F.lit(0.0))
     r2 = (cov * cov) / (varx * vary)
     return agg.select(
         F.col("n").alias("n_ranks"),

@@ -102,13 +102,20 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
     n_input = docs.count()
     report["input_docs"] = n_input
 
-    # 0. optional encoding repair — in-place column rewrite at scan speed
+    # 0. optional encoding repair — in-place column rewrite at scan speed.
+    # The repaired-count metric rides the quality-gate scan as an observe()
+    # aggregate instead of launching a dedicated full-corpus job: the
+    # replace chain is cheap per row but not free, and evaluating it twice
+    # (once for the report, once for the rewrite) doubled stage 0's cost.
+    moji_obs = None
     if cfg.repair_mojibake:
+        from pyspark.sql import Observation
         from supercrawler_spark.operators.mojibake import repair_col
         fixed = repair_col(F.col(text_col), passes=cfg.mojibake_passes)
-        report["mojibake_repaired"] = docs.agg(F.count_if(
-            fixed != F.col(text_col)).alias("n")).collect()[0]["n"]
-        docs = docs.withColumn(text_col, fixed)
+        moji_obs = Observation("mojibake_repaired")
+        docs = (docs.observe(moji_obs,
+                             F.count_if(fixed != F.col(text_col)).alias("n"))
+                .withColumn(text_col, fixed))
 
     # 1. quality gate — single scan; survivors as a narrow id list
     gate = _tq.filter_corpus(docs, cfg.min_tokens, cfg.max_punct_ratio,
@@ -122,6 +129,9 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
                     id_col, "left_semi")
     n_gate = keep_ids.count()
     report["quality_gate_dropped"] = n_input - n_gate
+    if moji_obs is not None:
+        # populated by the keep_ids.count() action over the observed scan
+        report["mojibake_repaired"] = moji_obs.get["n"]
 
     # 2. exact dedup — drop every non-keeper of a duplicate-text group
     groups = _dedup.exact_dedup(cur, text_col, id_col)

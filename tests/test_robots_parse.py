@@ -208,9 +208,23 @@ def test_parse_splits_wildcard_rules():
     assert d == ["/private", "/*.php$"] and a == ["/public*html", "/open"]
     dp, dwr, dwl = _split_wild(d)
     assert dp == ["/private"] and dwl == [7]
-    assert dwr == ["(?s)^/.*\\.php$"]
+    assert dwr == ["(?s)^/.*\\.php\\z"]
     ap, awr, awl = _split_wild(a)
     assert ap == ["/open"] and awl == [12]
+
+
+def test_dollar_anchor_is_absolute_end_of_path():
+    """RFC end-of-path semantics: '$' anchors at the ABSOLUTE end. A path
+    ending in a stray newline ('/x.php\\n') must NOT satisfy '/*.php$' —
+    regex '$' in both Java and Python would match before that final
+    newline, which is why glob_to_regex emits \\z (\\Z in the Python
+    flavor) instead."""
+    from supercrawler_spark.operators.robots import rule_match_len
+    assert rule_match_len("/x.php", "/*.php$") == 7
+    assert rule_match_len("/x.php\n", "/*.php$") == -1
+    assert rule_match_len("/x.php\nmore", "/*.php$") == -1
+    # '*' runs still cross newlines ((?s) DOTALL): non-anchored rule
+    assert rule_match_len("/a\nb/x.php", "/*.php") == len("/*.php")
 
 
 def test_jvm_fold_equals_python_spec(spark):
@@ -224,7 +238,7 @@ def test_jvm_fold_equals_python_spec(spark):
     paths = ["/", "/private", "/private/pub/x", "/index.php",
              "/index.php5", "/fish", "/fishheads/catfish.php",
              "/fish/ok/page", "/a.b/c", "/aXb/c", "/page?session=1",
-             "/other"]
+             "/other", "/x.php\n", "/index.php\nextra"]
     dp, dwr, dwl = _split_wild(disallow)
     ap, awr, awl = _split_wild(allow)
     rows = [(p, dp, dwr, dwl, ap, awr, awl) for p in paths]

@@ -188,6 +188,25 @@ def test_zipf_fit_recovers_power_law(spark):
     assert abs(r["slope"]) < 1e-6
 
 
+def test_zipf_fit_degenerate_corpora_yield_null_not_nan(spark):
+    """nullif-guarded denominators: a 1-rank corpus (varx = 0) and an
+    all-equal-count corpus (vary = 0) must return NULL for the undefined
+    fields — never NaN/Inf, which would diverge from the DuckDB oracle's
+    nullif arithmetic."""
+    from supercrawler_spark.operators.terms import zipf_fit
+    one = spark.createDataFrame([(0, "solo solo solo")],
+                                "doc_id LONG, text STRING")
+    r = zipf_fit(one, top_n=10).collect()[0]
+    assert r["n_ranks"] == 1
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+    uni = spark.createDataFrame(
+        [(0, " ".join(f"u{i}" for i in range(8)))],
+        "doc_id LONG, text STRING")
+    r = zipf_fit(uni, top_n=10).collect()[0]
+    assert r["slope"] == 0.0  # cov = 0, varx > 0
+    assert r["r2"] is None    # vary = 0 -> guarded NULL, not NaN
+
+
 def test_zipf_fit_skip_ranks_drops_head(spark):
     """skip_ranks removes the flat function-word head from the fit: a
     corpus with 5 equally-hot stopwords atop a Zipf tail fits closer to
