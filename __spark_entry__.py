@@ -1615,11 +1615,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's coverage policy: the correctness gate
     # evaluates the FIRST 50 entries, so the window below is curated to
     # hold the crawl core (SURVEY §2) plus the most load-bearing pipeline
-    # stages (decontaminate, line_dedup, pagerank, sessionize,
-    # snapshot_diff, cdx_index, quality_classifier). Near-twin variants
-    # (capped/multiprobe/exact-baseline/rollup flavors) sit after the
-    # window and ride on tests/test_oracle_parity.py, which mirrors the
-    # driver's strictness including int-vs-float dtype drift.
+    # stages. Round 4 rotated eight never-driver-gated flagships INTO the
+    # window (dedup_clusters_star, remove_duplicate_spans, trustrank,
+    # perplexity_buckets, ivfpq_ann_topk, ivf_ann_topk_trained,
+    # fix_mojibake, token_budget_select) in place of near-twin rows whose
+    # machinery stays covered by an in-window sibling (minhash_signatures
+    # by minhash_lsh_pairs, simhash by simhash_near_pairs, kmeans_assign
+    # by ivf_ann_topk_trained, duplicate_spans by remove_duplicate_spans,
+    # ivf/pq by their trained/composed variants, …). Out-of-window rows
+    # ride on tests/test_oracle_parity.py, which mirrors the driver's
+    # strictness including int-vs-float dtype drift.
     return {
         "crawl_seen": q_crawl_seen,
         "scope_semi_join": q_scope_semi_join,
@@ -1632,20 +1637,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "doc_key": q_doc_key,
         "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "pack_sequences": q_pack_sequences,
         "unigram_logprob": q_unigram_logprob,
-        "duplicate_spans": q_duplicate_spans,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
         "trap_signals": q_trap_signals,
-        "kmeans_assign": q_kmeans_assign,
-        "simhash": q_simhash,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "langid": q_langid,
-        "fingerprint": q_fingerprint,
         "script_detect": q_script_detect,
         "normalize_text": q_normalize_text,
         "filter_corpus": q_filter_corpus,
@@ -1655,11 +1655,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "source_stats": q_source_stats,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "resolve_duplicates": q_resolve_duplicates,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "pq_ann_topk": q_pq_ann_topk,
+        "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "robots_parse": q_robots_parse,
         "multimodal_features": q_multimodal_features,
@@ -1667,11 +1668,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "line_dedup": q_line_dedup,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
+        "perplexity_buckets": q_perplexity_buckets,
+        "fix_mojibake": q_fix_mojibake,
+        "token_budget_select": q_token_budget_select,
         "sessionize": q_sessionize,
         "snapshot_diff": q_snapshot_diff,
         "cdx_index": q_cdx_index,
         "quality_classifier": q_quality_classifier,
         # ---- end of the driver's 50-query window ----
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_spans": q_duplicate_spans,
+        "kmeans_assign": q_kmeans_assign,
+        "fingerprint": q_fingerprint,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
         "minhash_lsh_pairs_capped": q_minhash_lsh_pairs_capped,
         "minhash_lsh_pairs_salted": q_minhash_lsh_pairs_salted,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -1682,8 +1695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_multiprobe": q_lsh_ann_multiprobe,
         "l2_topk": q_l2_topk,
         "pq_ann_topk_trained": q_pq_ann_topk_trained,
-        "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
-        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "frame_sample": q_frame_sample,
         "shuffle_corpus": q_shuffle_corpus,
         "stratified_sample": q_stratified_sample,
@@ -1732,9 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "score_calibration": q_score_calibration,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
         "bm25_topk": q_bm25_topk,
-        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_clusters_blocks": q_dedup_clusters_blocks,
         "cdc_segments": q_cdc_segments,
         "cdc_dup_stats": q_cdc_dup_stats,
@@ -1743,16 +1752,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "pld_stats": q_pld_stats,
         "host_budget": q_host_budget,
-        "perplexity_buckets": q_perplexity_buckets,
         "paragraph_dedup": q_paragraph_dedup,
         "opic": q_opic,
         "key_skew_stats": q_key_skew_stats,
-        "trustrank": q_trustrank,
         "domain_kl": q_domain_kl,
         "fetch_waves": q_fetch_waves,
         "temperature_mix": q_temperature_mix,
-        "token_budget_select": q_token_budget_select,
-        "fix_mojibake": q_fix_mojibake,
         "hard_negatives": q_hard_negatives,
         "zipf_fit": q_zipf_fit,
     }
