@@ -34,11 +34,12 @@ Implementation notes on parity:
     queued and LAZILY reconstructed around the next content insertion
     (never eager — an empty clone would fabricate elements and
     duplicate <a href> extraction), cancelled by their own later end
-    tag. REMAINING DIVERGENCE CLASSES (documented, not silently
-    wrong): (1) formatting closed by an IMPLIED block close (e.g.
-    ``<p><b>x<p>y``) is not re-queued — html5ever keeps "y" bold, we
-    drop the marker; text bytes and order are identical either way;
-    (2) html/head/body synthesis — fragment HTML without an
+    tag. Formatting cut by an IMPLIED close (``<p><b>x<p>y``) is
+    re-queued the same way — html5ever keeps such elements in the
+    active formatting list — bounded by WHATWG markers (td/th/
+    caption/table) so table-cell formatting never leaks across
+    cells. REMAINING DIVERGENCE CLASS (documented, not silently
+    wrong): html/head/body synthesis — fragment HTML without an
     explicit body still takes the "could not parse body" branch
     (synthetic corpus always writes explicit html/head/body).
   - Rust ``str::len`` is bytes; the ``len > 10`` loose-text rule and the
@@ -142,6 +143,11 @@ _CLEAR_TO_CONTEXT = {"td", "th", "tr"}
 # elements around the following content — z renders inside a fresh <i>.
 _FORMATTING = {"a", "b", "big", "code", "em", "font", "i", "nobr", "s",
                "small", "strike", "strong", "tt", "u"}
+# elements that push a MARKER onto the active formatting list (WHATWG
+# "insert a marker at the end of the list"): formatting opened inside
+# never reconstructs outside
+_FMT_MARKERS = {"table", "td", "th", "caption", "applet", "marquee",
+                "object", "template"}
 
 
 @dataclass
@@ -177,11 +183,29 @@ class Node:
 
     def descendants(self):
         """All descendant elements, document order, excluding self
-        (scraper's ``element.select(sel)`` scope)."""
-        for child in self.children:
-            if child.is_element:
-                yield child
-                yield from child.descendants()
+        (scraper's ``element.select(sel)`` scope).
+
+        Memoized as a flat preorder list: the extraction kernel runs ~9
+        selector passes per page (title, metas, body, main-content, ToC,
+        related links, anchors) and the tree is immutable after parse, so
+        one iterative walk feeds every pass — the recursive-generator
+        re-walks were ~20% of per-page CPU at crawl scale."""
+        flat = self.__dict__.get("_flat")
+        if flat is None:
+            # iterative preorder: children pushed reversed so pops come
+            # out in document order
+            flat = []
+            stack = [c for c in reversed(self.children) if c.tag is not None]
+            while stack:
+                node = stack.pop()
+                flat.append(node)
+                kids = node.children
+                for i in range(len(kids) - 1, -1, -1):
+                    c = kids[i]
+                    if c.tag is not None:
+                        stack.append(c)
+            self.__dict__["_flat"] = flat
+        return flat
 
     def select(self, pred):
         return [el for el in self.descendants() if pred(el)]
@@ -213,12 +237,30 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(clone)
         self._pending_fmt = []
 
+    def _queue_open_formatting(self, cut: int) -> None:
+        """Formatting elements popped by an implied close or left open
+        above an explicit close stay in html5ever's list of active
+        formatting elements — only their own end tag or the adoption
+        agency removes them — so the next content insertion reconstructs
+        them (``<p><b>x<p>y`` keeps y bold). Queue them outermost-first,
+        STOPPING at the first marker element (td/th/caption/table/…):
+        WHATWG pushes a marker onto the active list when entering those,
+        and closing them clears the list back to the marker, so
+        formatting opened inside a table cell never leaks past it."""
+        for el in self.stack[cut:]:
+            t = el.tag
+            if t in _FMT_MARKERS:
+                break
+            if t in _FORMATTING:
+                self._pending_fmt.append((t, el.attrs))
+
     def _open(self, tag, attrs, self_closing):
         tag = tag.lower()
         # implied </p> (html5ever): block-level start closes an open <p>
         if tag in _P_CLOSERS:
             for i in range(len(self.stack) - 1, 0, -1):
                 if self.stack[i].tag == "p":
+                    self._queue_open_formatting(i)
                     del self.stack[i:]
                     break
                 if self.stack[i].tag in ("body", "html", "#document",
@@ -261,6 +303,12 @@ class _TreeBuilder(HTMLParser):
                 # table must not pop document structure.
                 cut = barrier_i + 1
             if cut is not None:
+                if tag not in ("td", "th", "tr"):
+                    # cell/row closes clear the active-formatting list up
+                    # to the cell's marker (WHATWG) — formatting must NOT
+                    # leak across table cells; li/dt/dd/option closes keep
+                    # the list, so their formatting reconstructs
+                    self._queue_open_formatting(cut)
                 del self.stack[cut:]
         # WHATWG: a heading start tag pops a still-open heading (parse
         # error recovery — <h1>a<h2>b becomes siblings, never nesting)
@@ -310,10 +358,11 @@ class _TreeBuilder(HTMLParser):
                 # and queued for lazy reconstruction (original nesting
                 # order) so following CONTENT keeps their formatting —
                 # html5ever's recovery for misnested inline markup like
-                # <b>x<i>y</b>z</i>. Non-formatting elements stay closed.
-                self._pending_fmt.extend(
-                    (el.tag, el.attrs) for el in self.stack[i + 1:]
-                    if el.tag in _FORMATTING)
+                # <b>x<i>y</b>z</i>. Non-formatting elements stay closed;
+                # a closed MARKER element (td/table/…) clears its own
+                # formatting instead of queueing it.
+                if tag not in _FMT_MARKERS:
+                    self._queue_open_formatting(i + 1)
                 del self.stack[i:]
                 return
         if tag in _FORMATTING:
@@ -353,10 +402,162 @@ class _TreeBuilder(HTMLParser):
             parent.children.append(node)
 
 
+# --------------------------------------------------------------------------
+# Fast tokenizer — strict-grammar twin of stdlib html.parser
+# --------------------------------------------------------------------------
+# The stdlib tokenizer is ~60% of per-page extraction CPU (generic chunked
+# feeding, per-token updatepos line accounting, tolerant multi-regex attr
+# scanning). This tokenizer drives the SAME _TreeBuilder events over a
+# STRICT grammar that is a subset of html.parser's tolerant one: whenever
+# it matches, the (event, payload) stream is identical by construction;
+# on ANY construct outside the strict grammar (slash-separated attrs,
+# unterminated comments, marked sections <![, bogus end tags, values with
+# '=' / '<' / backtick, …) it raises and parse_html re-parses the whole
+# page with html.parser — bytes-exact behavior at the slow path's cost.
+# tests/test_refspec.py::test_fast_tokenizer_* pin tree-equality across
+# the corpus generator, the golden fixtures, and an adversarial battery.
+
+from html import unescape as _unescape
+
+
+class _TokenizerFallback(Exception):
+    """Raised when input leaves the strict grammar — caller re-parses with
+    the stdlib tokenizer."""
+
+
+_FAST_START_RE = re.compile(
+    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)'                 # tag name
+    r'((?:\s+[a-zA-Z_:][-.a-zA-Z0-9:_]*'           # attr name
+    r'(?:\s*=\s*(?:"[^"]*"|\'[^\']*\'|[^\s>\'"=<`]+))?)*)'  # attr value
+    r'\s*(/?)>')
+_FAST_ATTR_RE = re.compile(
+    r'\s+([a-zA-Z_:][-.a-zA-Z0-9:_]*)'
+    r'(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>\'"=<`]+))?')
+_FAST_END_RE = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+_COMMENT_CLOSE_RE = re.compile(r'--\s*>')          # html.parser commentclose
+_CDATA_CLOSE_RE = {                                # html.parser `interesting`
+    "script": re.compile(r'</\s*script', re.IGNORECASE),
+    "style": re.compile(r'</\s*style', re.IGNORECASE),
+}
+
+
+def _cdata_fast(builder, html: str, i: int, elem: str) -> int:
+    """Raw-text (script/style) content: emit raw data up to the first
+    ``</elem`` (html.parser never unescapes cdata), close, return the
+    resume position. -1 ≙ unclosed raw text: html.parser discards it at
+    close() (no flush while cdata_elem is set) — so do we."""
+    m = _CDATA_CLOSE_RE[elem].search(html, i)
+    if m is None:
+        return -1
+    j = m.start()
+    if j > i:
+        builder.handle_data(html[i:j])
+    m2 = _FAST_END_RE.match(html, j)
+    if m2 is None or m2.group(1).lower() != elem:
+        # `</scriptmore>` etc: html.parser treats it as cdata DATA and
+        # stays in cdata mode — outside the strict grammar
+        raise _TokenizerFallback
+    builder.handle_endtag(elem)
+    return m2.end()
+
+
+def _feed_fast(builder, html: str) -> None:
+    n = len(html)
+    i = 0
+    hd = builder.handle_data
+    find = html.find
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            chunk = html[i:]
+            hd(_unescape(chunk) if "&" in chunk else chunk)
+            return
+        if j > i:
+            chunk = html[i:j]
+            hd(_unescape(chunk) if "&" in chunk else chunk)
+        c = html[j + 1:j + 2]
+        if c and ("a" <= c <= "z" or "A" <= c <= "Z"):
+            m = _FAST_START_RE.match(html, j)
+            if m is None:
+                raise _TokenizerFallback
+            tag = m.group(1).lower()
+            attrs = []
+            rawattrs = m.group(2)
+            if rawattrs:
+                for am in _FAST_ATTR_RE.finditer(rawattrs):
+                    val = am.group(2)
+                    if val is not None:
+                        if val[0] in "\"'":
+                            val = val[1:-1]
+                        if val and "&" in val:
+                            val = _unescape(val)
+                    attrs.append((am.group(1).lower(), val))
+            if m.group(3):
+                builder.handle_startendtag(tag, attrs)
+                i = m.end()
+            else:
+                builder.handle_starttag(tag, attrs)
+                i = m.end()
+                if tag in ("script", "style"):
+                    i = _cdata_fast(builder, html, i, tag)
+                    if i < 0:
+                        return
+            continue
+        if c == "/":
+            if html[j:j + 3] == "</>":
+                i = j + 3     # html.parser end-tag-open-state: dropped
+                continue
+            m = _FAST_END_RE.match(html, j)
+            if m is None:
+                raise _TokenizerFallback
+            builder.handle_endtag(m.group(1).lower())
+            i = m.end()
+            continue
+        if c == "!":
+            if html[j + 1:j + 4] == "!--":
+                m = _COMMENT_CLOSE_RE.search(html, j + 4)
+                if m is None:
+                    raise _TokenizerFallback
+                i = m.end()   # comment ignored (builder has no handler)
+                continue
+            if html[j + 1:j + 3] == "![":
+                raise _TokenizerFallback   # marked section
+            g = find(">", j + 2)
+            if g < 0:
+                raise _TokenizerFallback
+            i = g + 1         # doctype / bogus comment: skip past '>'
+            continue
+        if c == "?":
+            g = find(">", j + 2)
+            if g < 0:
+                raise _TokenizerFallback
+            i = g + 1         # processing instruction: ignored
+            continue
+        hd("<")               # bare '<' (incl. at EOF): literal data
+        i = j + 1
+
+
 def parse_html(html: str) -> Node:
     """Parse to a document node. html5ever always synthesizes html/head/body;
     on well-formed fixtures the explicit tags are present so no synthesis is
-    needed — we only locate them."""
+    needed — we only locate them.
+
+    Fast path: the strict tokenizer above; any input outside its grammar
+    re-parses from scratch with stdlib html.parser (identical events on
+    the common grammar, tolerant recovery on the rest)."""
+    builder = _TreeBuilder()
+    try:
+        _feed_fast(builder, html)
+    except _TokenizerFallback:
+        builder = _TreeBuilder()
+        builder.feed(html)
+        builder.close()
+    return builder.root
+
+
+def parse_html_stdlib(html: str) -> Node:
+    """The stdlib-tokenizer path, exposed for the fast-path equivalence
+    tests (tests/test_refspec.py pins tree equality over the corpus)."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
@@ -619,38 +820,70 @@ _MAIN_CONTENT_IDS = {"content", "main-content"}
 def _is_main_content(el: Node) -> bool:
     # selector group: main, article, [role='main'], .content, #content,
     # .main-content, #main-content, .post, .entry, .article-body, .page-content
-    if el.tag in ("main", "article"):
+    # (hot path: evaluated once per element per page — dict gets inline,
+    # no attr()/classes() method-call overhead)
+    tag = el.tag
+    if tag == "main" or tag == "article":
         return True
-    if el.attr("role") == "main":
+    attrs = el.attrs
+    if not attrs:
+        return False
+    if attrs.get("role") == "main":
         return True
-    if any(c in _MAIN_CONTENT_CLASSES for c in el.classes()):
+    cls = attrs.get("class")
+    if cls and any(c in _MAIN_CONTENT_CLASSES for c in cls.split()):
         return True
-    if (el.attr("id") or "") in _MAIN_CONTENT_IDS:
-        return True
-    return False
+    return attrs.get("id") in _MAIN_CONTENT_IDS
 
 
-def _meta_first(root: Node, names=(), props=(), itemprops=()) -> Optional[str]:
-    """First <meta> in document order matching any alternative; its content."""
-    el = root.select_first(
-        lambda e: e.tag == "meta"
-        and (
-            (e.attr("name") or "") in names
-            or (e.attr("property") or "") in props
-            or (e.attr("itemprop") or "") in itemprops
-        )
-    )
-    if el is None:
-        return None
-    return el.attr("content")
+def _meta_first(metas, names=(), props=(), itemprops=()) -> Optional[str]:
+    """First <meta> of ``metas`` (document order) matching any alternative;
+    its content. ``metas`` is the pre-collected meta list from
+    ``_page_index`` — one tree pass serves all four meta selector groups."""
+    for e in metas:
+        a = e.attrs
+        if ((a.get("name") or "") in names
+                or (a.get("property") or "") in props
+                or (a.get("itemprop") or "") in itemprops):
+            return a.get("content")
+    return None
 
 
-def _opt_meta(root: Node, **kw) -> Optional[str]:
-    val = _meta_first(root, **kw)
+def _opt_meta(metas, **kw) -> Optional[str]:
+    val = _meta_first(metas, **kw)
     if val is None:
         return None
     val = val.strip()
     return val or None
+
+
+def _page_index(doc: Node):
+    """ONE preorder pass collecting everything the frontmatter/selector
+    stage needs: (title_el, body_el, metas, canonical_link_el, main_el,
+    related_links). Each slot keeps the FIRST document-order match,
+    exactly like the per-selector ``select_first`` walks it replaces
+    (scraper resolves every selector group in document order)."""
+    title_el = body_el = link_el = main_el = None
+    metas: list[Node] = []
+    related: list[Node] = []
+    for el in doc.descendants():
+        tag = el.tag
+        if tag == "meta":
+            metas.append(el)
+        elif tag == "title":
+            if title_el is None:
+                title_el = el
+        elif tag == "body":
+            if body_el is None:
+                body_el = el
+        elif tag == "link":
+            if link_el is None and el.attrs.get("rel") == "canonical":
+                link_el = el
+        elif tag == "a" and _is_related_link(el):
+            related.append(el)
+        if main_el is None and _is_main_content(el):
+            main_el = el
+    return title_el, body_el, metas, link_el, main_el, related
 
 
 _HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
@@ -699,9 +932,11 @@ def _clean_to_mdx_inner(content: str, source_url: str) -> str:
 def _clean_to_mdx_from_doc(doc: Node, source_url: str) -> str:
     mdx: list[str] = []
 
+    # one pass resolves every frontmatter selector group in document order
+    title_el, body, metas, link_el, main_content, related = _page_index(doc)
+
     # title (rs:371-375)
     title = "Untitled"
-    title_el = find_first(doc, "title")
     if title_el is not None:
         t = title_el.all_text().strip()
         if t:
@@ -709,10 +944,9 @@ def _clean_to_mdx_from_doc(doc: Node, source_url: str) -> str:
 
     # description (rs:377-396)
     description = _opt_meta(
-        doc, names=("description",), props=("og:description", "twitter:description")
+        metas, names=("description",), props=("og:description", "twitter:description")
     )
     if description is None:
-        body = find_first(doc, "body")
         if body is not None:
             p = body.select_first(lambda el: el.tag == "p")
             if p is not None:
@@ -725,16 +959,15 @@ def _clean_to_mdx_from_doc(doc: Node, source_url: str) -> str:
     if description is None:
         description = "No description available"
 
-    keywords = _opt_meta(doc, names=("keywords",), props=("article:tag",)) \
+    keywords = _opt_meta(metas, names=("keywords",), props=("article:tag",)) \
         or "No keywords available"
-    author = _opt_meta(doc, names=("author",), props=("article:author",))
+    author = _opt_meta(metas, names=("author",), props=("article:author",))
     published_date = _opt_meta(
-        doc, props=("article:published_time", "og:updated_time"),
+        metas, props=("article:published_time", "og:updated_time"),
         itemprops=("datePublished",),
     )
 
     canonical_url = None
-    link_el = doc.select_first(lambda el: el.tag == "link" and el.attr("rel") == "canonical")
     if link_el is not None:
         href = (link_el.attr("href") or "").strip()
         if href:
@@ -752,9 +985,6 @@ def _clean_to_mdx_from_doc(doc: Node, source_url: str) -> str:
         mdx.append(f'date: "{_escape_quotes(published_date)}"\n')
     mdx.append(f'canonicalUrl: "{_escape_quotes(canonical_url or source_url)}"\n')
     mdx.append("---\n\n")
-
-    body = find_first(doc, "body")
-    main_content = doc.select_first(_is_main_content)
 
     # ToC marker (rs:442-450)
     scope = main_content or body
@@ -775,7 +1005,6 @@ def _clean_to_mdx_from_doc(doc: Node, source_url: str) -> str:
                     mdx.append(trimmed)
                     mdx.append("\n\n")
 
-        related = doc.select(_is_related_link)
         if related:
             rel_parts = ["\n## Related Resources\n\n"]
             link_count = 0

@@ -3,6 +3,8 @@ from the cited reference code paths (SURVEY.md §2.6, src/supercrawler.rs)."""
 
 import pytest
 
+from supercrawler_spark import refspec
+
 from supercrawler_spark.refspec import (
     clean_to_mdx,
     element_to_markdown,
@@ -536,3 +538,126 @@ def test_join_relative_forms():
     assert rust_url_join(base, "../up") == "https://e.com/d1/up"
     assert rust_url_join(base, "a#f", strip_fragment=True) == "https://e.com/d1/d2/a"
     assert rust_url_join(base, "") == "https://e.com/d1/d2/page?old=1"
+
+
+# --------------------------------------------------------------------------
+# Fast tokenizer ≡ stdlib tokenizer (parse_html vs parse_html_stdlib)
+# --------------------------------------------------------------------------
+
+def _tree_sig(node):
+    """Full structural signature: (tag, sorted attrs, text, children)."""
+    return (node.tag,
+            tuple(sorted(node.attrs.items())) if node.is_element else None,
+            None if node.is_element else node.text,
+            tuple(_tree_sig(c) for c in node.children))
+
+
+def _assert_same_tree(html):
+    fast = refspec.parse_html(html)
+    slow = refspec.parse_html_stdlib(html)
+    assert _tree_sig(fast) == _tree_sig(slow), html[:200]
+
+
+TRICKY_HTML = [
+    # strict-grammar pages (fast path must take them)
+    '<html><head><title>T &amp; U</title></head><body><p>a&lt;b</p></body></html>',
+    '<body><a href="/x?a=1&amp;b=2">l</a><img src=pic.png alt="A &quot;q&quot;"></body>',
+    "<body><a href='s.html' rel=nofollow>x</a><br/><hr /></body>",
+    '<body><script>var a = "<b>not bold</b>";</script><p>after</p></body>',
+    '<body><style>p > a { color: red }</style><p>styled</p></body>',
+    '<body><SCRIPT TYPE="text/javascript">x < y && z</SCRIPT>ok</body>',
+    '<!DOCTYPE html><html><body><!-- a comment --><p>c</p></body></html>',
+    '<body><p>1 < 2 and 3 > 2</p></body>',            # bare '<' as data
+    '<body><p>tail<',                                  # lone '<' at EOF
+    '<body><input type=checkbox checked><p>v</p></body>',  # valueless attr
+    '<body><a href="">empty</a><a href=x/>slashval</a></body>',
+    '<body><p>&#65;&#x42;&amp;&nbsp;&unknown;</p></body>',
+    '<?xml version="1.0"?><body><p>pi</p></body>',
+    '<body></><p>after-empty-end</p></body>',          # </> dropped
+    '<body><script>never closed',                      # unclosed cdata: dropped
+    '<body><p>a</p></body><!-- unterminated',          # fallback: comment
+    '<body><td></p art=1></body>',                     # fallback: bogus end tag
+    '<body><p class=a=b>x</p></body>',                 # fallback: '=' in value
+    '<body><p data-x=`tick`>x</p></body>',             # fallback: backtick
+    '<body><a/href=x>y</a></body>',                    # fallback: slash-sep attrs
+    '<body><![CDATA[raw]]><p>m</p></body>',            # fallback: marked section
+    '<body><a b="x>y">gt-in-quotes</a></body>',
+    '<body><script>x</scripty></script>ok</body>',     # fallback: cdata bogus end
+    '<div a="1" a="2">dup</div>',
+    '<body><p>multi\nline\ntext</p></body>',
+    '<body><em>x<strong>y</em>z</strong></body>',      # adoption agency path
+    '<table><tr><td>a<td>b<tr><td>c</table>',          # implied closes
+    '<p>one<p>two<div>three</div>',
+    '<body><A HREF="/UP">caps</A></body>',
+]
+
+
+def test_fast_tokenizer_matches_stdlib_on_battery():
+    for html in TRICKY_HTML:
+        _assert_same_tree(html)
+
+
+def test_fast_tokenizer_takes_fast_path_on_clean_page():
+    """The strict grammar must actually cover a normal page (no fallback),
+    otherwise the fast path is dead code."""
+    html = ('<html><head><title>t</title><meta name="description" '
+            'content="d"></head><body><p>hello &amp; goodbye</p>'
+            '<a href="/x">l</a><script>var i=0;</script></body></html>')
+    builder = refspec._TreeBuilder()
+    refspec._feed_fast(builder, html)   # must not raise
+    assert _tree_sig(builder.root) == _tree_sig(refspec.parse_html_stdlib(html))
+
+
+def test_fast_tokenizer_matches_stdlib_on_corpus():
+    """Every page of the synthetic corpus must parse to the identical tree
+    on both tokenizer paths, and extract_page_fields must be byte-identical."""
+    from supercrawler_spark.sources import synth
+    corpus = synth.generate_corpus(0.001, with_goldens=False)
+    for p in corpus.pages:
+        _assert_same_tree(p.html)
+
+
+def _render_body(body_html):
+    """Whole-body MDX (frontmatter stripped) — unlike ``render`` above,
+    which renders only the first body element."""
+    full = f"<html><head></head><body>{body_html}</body></html>"
+    return clean_to_mdx(full, "https://e.com/").split("---\n\n", 1)[1]
+
+
+def test_implied_close_requeues_formatting():
+    """html5ever keeps formatting cut by an IMPLIED block close in the
+    active formatting list — `<p><b>x<p>y` renders y bold (divergence
+    class (1) from rounds 2-3, now closed)."""
+    assert _render_body("<p><b>x<p>y") == \
+        _render_body("<p><b>x</b></p><p><b>y</b></p>")
+    assert "**y**" in _render_body("<p><b>x<p>y")
+    # nested formatting re-queues outermost-first
+    assert "***y***" in _render_body("<p><b><i>x<p>y")
+    # explicit close BEFORE the implied close: nothing re-queued
+    assert "**y**" not in _render_body("<p><b>x</b><p>y")
+    # pending entry cancelled by its own later end tag
+    assert "**y**" not in _render_body("<p><b>x<p></b>y")
+    # li sibling-implied closes carry formatting into the next li
+    assert _render_body("<ul><li><em>a<li>b</ul>") == \
+        _render_body("<ul><li><em>a</em></li><li><em>b</em></li></ul>")
+    # block start closing <p> carries formatting into the block: the
+    # malformed input must equal its well-formed html5ever twin (a bare
+    # <i> under a container renders PLAIN per the reference's
+    # process_element, so twin-equality is the parity statement)
+    assert _render_body("<p><i>x<div>eleven bytes plus</div>") == \
+        _render_body("<p><i>x</i></p><div><i>eleven bytes plus</i></div>")
+
+
+def test_formatting_never_leaks_across_table_cells():
+    """WHATWG markers: formatting opened inside a td must not reconstruct
+    in the next cell, nor escape a closed table."""
+    # td -> td implied close: second cell NOT bold
+    got = _render_body("<table><tr><td><b>x<td>y</table>")
+    assert "**x**" in got and "**y**" not in got
+    # </table> with the cell's <b> still open: following text NOT bold
+    got = _render_body("<table><tr><td><b>x</table>here is the aftertext")
+    assert "here is the aftertext" in got and \
+        "**here is the aftertext**" not in got
+    # tr -> tr implied close across rows: not bold
+    got = _render_body("<table><tr><td><b>x<tr><td>y</table>")
+    assert "**y**" not in got
