@@ -508,6 +508,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "byte_len", "payload_hash")
 
 
+def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media metadata from synthesized BMP/GIF/WAV/PPM payloads
+    (operators/multimodal.parse_media_header — pure-Python fixed-layout
+    header parse, no libraries): the oracle re-derives every field
+    arithmetically from doc_id, so a parse that misreads any header byte
+    fails the gate. NULL numerics are coalesced to -1 on both sides to
+    keep int64 dtype parity."""
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    neg = F.lit(-1).cast("long")
+    return feats.select(
+        "media_id", "media_type", "byte_len", "header_fmt",
+        F.coalesce("header_width", neg).alias("header_width"),
+        F.coalesce("header_height", neg).alias("header_height"),
+        F.coalesce("sample_rate", neg).alias("sample_rate"),
+        F.coalesce("channels", neg).alias("channels"))
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan over the media projection: one row per
     planned frame (media_id, frame_idx, frame_offset_ms)."""
@@ -1696,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_topk": q_l2_topk,
         "pq_ann_topk_trained": q_pq_ann_topk_trained,
         "frame_sample": q_frame_sample,
+        "media_headers": q_media_headers,
         "shuffle_corpus": q_shuffle_corpus,
         "stratified_sample": q_stratified_sample,
         "weighted_epochs": q_weighted_epochs,
@@ -3143,6 +3162,32 @@ SELECT doc_id AS media_id,
             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
        md5(text) AS payload_hash
+FROM documents""",
+        # synth_media builds real BMP/GIF/WAV/PPM bytes from doc_id; every
+        # parsed header field and the exact container byte length are pure
+        # doc_id arithmetic (ppm: 'P6\n'+'# synthetic\n'+w+' '+h+'\n255\n'
+        # = 21 + digits(w) + digits(h))
+        "media_headers": """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'audio/wav'
+            ELSE 'image/x-portable-pixmap' END AS media_type,
+       CAST(CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 54 WHEN 1 THEN 14 WHEN 2 THEN 44
+            ELSE 21 + length(CAST(doc_id % 97 + 1 AS VARCHAR))
+                    + length(CAST(doc_id % 53 + 1 AS VARCHAR)) END
+            AS BIGINT) AS byte_len,
+       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'wav' ELSE 'ppm' END AS header_fmt,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN -1
+                 ELSE doc_id % 97 + 1 END AS BIGINT) AS header_width,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN -1
+                 ELSE doc_id % 53 + 1 END AS BIGINT) AS header_height,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 + (doc_id % 8) * 1000
+                 ELSE -1 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 2 + 1
+                 ELSE -1 END AS BIGINT) AS channels
 FROM documents""",
         # videos are doc_id % 3 == 2 (docs_as_media); meta_width =
         # char length; n_frames = floor(width / 10); zero-frame videos emit

@@ -2,9 +2,13 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 ``media_type`` and metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages. The decode step is
+frame-sample run as Arrow-batched ``mapInPandas`` stages. Header-level
+metadata (width/height/sample_rate/channels) is REAL for BMP, PNG, GIF,
+the netpbm family, and RIFF/WAV via ``parse_media_header`` — a pure-Python
+fixed-layout parse needing no libraries, oracle-verified on synthesized
+payloads (``synth_media``). Only the full pixel/sample decode remains
 STUBBED (no image/audio libraries ship in this sandbox — see
-``_decode_image``), but the Spark-side plumbing is real and tested: schema,
+``_decode_image``); the Spark-side plumbing is real and tested: schema,
 partitioning, UDF signature, bounded batch shape.
 
 At 100 TB the binary column dominates I/O: keep it in its own parquet column
@@ -38,6 +42,12 @@ FEATURE_SCHEMA = StructType([
     StructField("byte_len", LongType()),
     StructField("payload_hash", StringType()),
     StructField("feature", ArrayType(FloatType())),
+    # real header fields (pure-Python parse, NULL when unparseable)
+    StructField("header_fmt", StringType()),
+    StructField("header_width", LongType()),
+    StructField("header_height", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("channels", LongType()),
 ])
 
 _HAVE_PIL = False
@@ -60,6 +70,112 @@ def _decode_image(payload: bytes):
         "feature extraction below uses a deterministic byte-level fake")
 
 
+def parse_media_header(raw: bytes) -> dict:
+    """REAL media metadata from a pure-Python header parse — no image/audio
+    libraries needed for the container formats whose headers are fixed-layout
+    (BMP, PNG IHDR, GIF, binary/ASCII PPM-family, RIFF/WAV). Formats beyond
+    these (JPEG entropy-coded scans, MP4 atoms, …) still return all-NULL and
+    ride the byte-feature fallback; that remaining decode surface is the
+    declared sandbox stub (``_decode_image``). Returns
+    {fmt, width, height, sample_rate, channels} with None for unknown."""
+    out = {"fmt": None, "width": None, "height": None,
+           "sample_rate": None, "channels": None}
+    try:
+        if raw[:2] == b"BM" and len(raw) >= 26:
+            # BITMAPINFOHEADER: biWidth/biHeight int32 LE at offsets 18/22
+            # (negative height = top-down DIB; magnitude is the pixel height)
+            out["fmt"] = "bmp"
+            out["width"] = int.from_bytes(raw[18:22], "little", signed=True)
+            out["height"] = abs(
+                int.from_bytes(raw[22:26], "little", signed=True))
+        elif (raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) >= 24
+              and raw[12:16] == b"IHDR"):
+            out["fmt"] = "png"
+            out["width"] = int.from_bytes(raw[16:20], "big")
+            out["height"] = int.from_bytes(raw[20:24], "big")
+        elif raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+            # logical screen descriptor: u16 LE width/height at 6/8
+            out["fmt"] = "gif"
+            out["width"] = int.from_bytes(raw[6:8], "little")
+            out["height"] = int.from_bytes(raw[8:10], "little")
+        elif raw[:1] == b"P" and raw[1:2] in b"123456" and len(raw) > 2:
+            # netpbm (PBM/PGM/PPM, ASCII + binary): whitespace-separated
+            # tokens after the magic, '#' comments to end-of-line
+            toks, i, n = [], 2, len(raw)
+            while i < n and len(toks) < 2:
+                c = raw[i:i + 1]
+                if c == b"#":
+                    j = raw.find(b"\n", i)
+                    i = n if j < 0 else j + 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < n and not raw[j:j + 1].isspace():
+                        j += 1
+                    toks.append(raw[i:j])
+                    i = j
+            if len(toks) == 2:
+                out["fmt"] = "ppm"
+                out["width"] = int(toks[0])
+                out["height"] = int(toks[1])
+        elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            i = 12                       # walk RIFF chunks to 'fmt '
+            while i + 8 <= len(raw):
+                cid = raw[i:i + 4]
+                sz = int.from_bytes(raw[i + 4:i + 8], "little")
+                if cid == b"fmt " and i + 16 <= len(raw):
+                    out["fmt"] = "wav"
+                    out["channels"] = int.from_bytes(
+                        raw[i + 10:i + 12], "little")
+                    out["sample_rate"] = int.from_bytes(
+                        raw[i + 12:i + 16], "little")
+                    break
+                i += 8 + sz + (sz & 1)   # chunks are word-aligned
+    except Exception:
+        # corrupt/truncated headers: metadata stays NULL, never raises —
+        # one bad payload must not kill the mapInPandas stage
+        return {"fmt": None, "width": None, "height": None,
+                "sample_rate": None, "channels": None}
+    return out
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Minimal valid BMP (54-byte BITMAPINFOHEADER, no pixel data needed
+    for header parsing) — deterministic test/bench payload."""
+    ihdr = (b"\x28\x00\x00\x00"
+            + int(width).to_bytes(4, "little", signed=True)
+            + int(height).to_bytes(4, "little", signed=True)
+            + b"\x01\x00\x18\x00" + b"\x00" * 24)
+    return b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4 \
+        + (54).to_bytes(4, "little") + ihdr
+
+
+def make_gif(width: int, height: int) -> bytes:
+    return (b"GIF89a" + int(width).to_bytes(2, "little")
+            + int(height).to_bytes(2, "little") + b"\x00\x00\x00\x3b")
+
+
+def make_wav(sample_rate: int, channels: int,
+             bits: int = 16, n_samples: int = 0) -> bytes:
+    byte_rate = sample_rate * channels * bits // 8
+    block = channels * bits // 8
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")
+           + int(channels).to_bytes(2, "little")
+           + int(sample_rate).to_bytes(4, "little")
+           + byte_rate.to_bytes(4, "little")
+           + block.to_bytes(2, "little") + int(bits).to_bytes(2, "little"))
+    data = b"data" + (n_samples * block).to_bytes(4, "little") \
+        + b"\x00" * (n_samples * block)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def make_ppm(width: int, height: int) -> bytes:
+    return f"P6\n# synthetic\n{width} {height}\n255\n".encode()
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature: byte-histogram moments. Replaces the
     model-based embedding while keeping shapes/types/partitioning real."""
@@ -80,14 +196,23 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         import hashlib
         for pdf in batches:
             feats, hashes, lens = [], [], []
+            fmts, widths, heights, rates, chans = [], [], [], [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 raw = bytes(payload) if payload is not None else b""
                 lens.append(len(raw))
                 hashes.append(hashlib.md5(raw).hexdigest())
-                # image decode only for image payloads; ANY decode failure
-                # (stub NotImplementedError here, UnidentifiedImageError /
-                # OSError with PIL installed on corrupt bytes) falls back to
-                # the deterministic fake — one bad payload must never kill
+                # REAL metadata where the container header allows a pure-
+                # Python parse (BMP/PNG/GIF/PPM/WAV); NULLs otherwise
+                hdr = parse_media_header(raw)
+                fmts.append(hdr["fmt"])
+                widths.append(hdr["width"])
+                heights.append(hdr["height"])
+                rates.append(hdr["sample_rate"])
+                chans.append(hdr["channels"])
+                # full pixel decode only for image payloads; ANY decode
+                # failure (stub NotImplementedError here, PIL errors on
+                # corrupt bytes when installed) falls back to the
+                # deterministic fake — one bad payload must never kill
                 # the whole mapInPandas stage
                 if isinstance(mtype, str) and mtype.startswith("image/"):
                     try:
@@ -101,9 +226,50 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 "byte_len": lens,
                 "payload_hash": hashes,
                 "feature": feats,
+                "header_fmt": fmts,
+                "header_width": pd.array(widths, dtype="Int64"),
+                "header_height": pd.array(heights, dtype="Int64"),
+                "sample_rate": pd.array(rates, dtype="Int64"),
+                "channels": pd.array(chans, dtype="Int64"),
             })
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media payloads per doc_id (BMP / GIF / WAV /
+    PPM round-robin) whose header fields are pure functions of the id —
+    so an oracle can assert the parsed metadata with arithmetic alone,
+    proving the header parser actually read the bytes."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "media_type": [], "payload": [],
+                    "meta_width": [], "meta_height": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 97 + 1, did % 53 + 1
+                kind = did % 4
+                if kind == 0:
+                    mt, payload = "image/bmp", make_bmp(w, h)
+                elif kind == 1:
+                    mt, payload = "image/gif", make_gif(w, h)
+                elif kind == 2:
+                    rate = 8000 + (did % 8) * 1000
+                    mt, payload = "audio/wav", make_wav(rate, did % 2 + 1)
+                else:
+                    mt, payload = "image/x-portable-pixmap", make_ppm(w, h)
+                rows["media_id"].append(did)
+                rows["media_type"].append(mt)
+                rows["payload"].append(payload)
+                rows["meta_width"].append(None)
+                rows["meta_height"].append(None)
+            out = pd.DataFrame(rows)
+            out["meta_width"] = pd.array(out["meta_width"], dtype="Int64")
+            out["meta_height"] = pd.array(out["meta_height"], dtype="Int64")
+            yield out
+
+    return docs.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

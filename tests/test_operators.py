@@ -335,3 +335,64 @@ def test_mask_api_key_reference_branches():
         assert hidden and hidden not in masked
     rep = credential_report(("SOME_UNSET_VAR_XYZ",))
     assert rep == {"SOME_UNSET_VAR_XYZ": "not found"}
+
+
+def test_parse_media_header_formats():
+    """Pure-Python header parse must read real field values from each
+    supported container, and return all-NULL on anything else."""
+    p = multimodal.parse_media_header
+    h = p(multimodal.make_bmp(640, 480))
+    assert (h["fmt"], h["width"], h["height"]) == ("bmp", 640, 480)
+    assert h["sample_rate"] is None and h["channels"] is None
+    h = p(multimodal.make_gif(13, 7))
+    assert (h["fmt"], h["width"], h["height"]) == ("gif", 13, 7)
+    h = p(multimodal.make_wav(44100, 2))
+    assert (h["fmt"], h["sample_rate"], h["channels"]) == ("wav", 44100, 2)
+    assert h["width"] is None
+    h = p(multimodal.make_ppm(300, 200))
+    assert (h["fmt"], h["width"], h["height"]) == ("ppm", 300, 200)
+    # PNG IHDR (big-endian dims)
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (800).to_bytes(4, "big") + (600).to_bytes(4, "big")
+           + b"\x08\x02\x00\x00\x00")
+    h = p(png)
+    assert (h["fmt"], h["width"], h["height"]) == ("png", 800, 600)
+    # top-down BMP: negative height, magnitude reported
+    bmp = bytearray(multimodal.make_bmp(10, 20))
+    bmp[22:26] = (-20).to_bytes(4, "little", signed=True)
+    assert p(bytes(bmp))["height"] == 20
+    # netpbm comments + ASCII variant
+    assert p(b"P3\n# c1\n# c2\n 12\t34\n255\n")["width"] == 12
+    # unknown / corrupt / truncated: never raises, all-NULL
+    for junk in (b"", b"BM", b"GIF89a\x01", b"RIFF\x00\x00\x00\x00WAVE",
+                 b"\xff\xd8\xff\xe0jpeg", b"P6\n# only comment",
+                 b"P9\n1 2\n", b"\x89PNG\r\n\x1a\nXXXXIHDR"):
+        h = p(junk)
+        assert h["width"] is None and h["sample_rate"] is None, junk
+
+
+def test_synth_media_headers_roundtrip(spark, docs):
+    """synth_media payloads must round-trip through extract_features with
+    the exact header fields the synthesis arithmetic predicts."""
+    media = multimodal.synth_media(docs.limit(40))
+    rows = multimodal.extract_features(media).collect()
+    assert len(rows) == 40
+    for r in rows:
+        did = r["media_id"]
+        kind = did % 4
+        w, h = did % 97 + 1, did % 53 + 1
+        if kind == 0:
+            assert (r["header_fmt"], r["header_width"],
+                    r["header_height"]) == ("bmp", w, h)
+            assert r["byte_len"] == 54
+        elif kind == 1:
+            assert (r["header_fmt"], r["header_width"],
+                    r["header_height"]) == ("gif", w, h)
+        elif kind == 2:
+            assert r["header_fmt"] == "wav"
+            assert r["sample_rate"] == 8000 + (did % 8) * 1000
+            assert r["channels"] == did % 2 + 1
+            assert r["header_width"] is None
+        else:
+            assert (r["header_fmt"], r["header_width"],
+                    r["header_height"]) == ("ppm", w, h)
