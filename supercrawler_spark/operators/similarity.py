@@ -525,9 +525,13 @@ def pq_ann_topk_trained(embeddings: DataFrame, queries: DataFrame,
     query — the only full-width reads), and exact squared-L2 re-ranks the
     final top-k. Output becomes (query_id, neighbor_id, rank, d2). This
     is how production PQ systems (IVF-ADC) close the quantization-recall
-    gap while still scanning only codes: measured recall@3 0.03 (fixed
-    codebook) → 0.37 (trained, pure ADC) → 0.87 (trained + rerank 32)
-    on the worst-case random bench embeddings.
+    gap while still scanning only codes: measured recall@3 on the
+    worst-case random bench embeddings (sf0.1, 2000 vectors) 0.03 (fixed
+    codebook) → 0.73 (trained 32 codes/1 Lloyd round + rerank 32) →
+    **0.92** (trained 64 codes/5 rounds + rerank 32). Extra Lloyd rounds
+    and codes cost ONLY offline training scans — the query-time budget
+    (16 codes scanned per vector, 32 rerank fetches) is unchanged, which
+    is why deeper training is the right recall lever at 10^10 vectors.
 
     The codebook collapses to ONE broadcast row (m_sub arrays of
     k_codes × ds doubles); corpus encoding stays a scan-speed projection
