@@ -11,6 +11,9 @@ directories are simply orphaned, never referenced).
 With an Iceberg runtime this maps 1:1 onto table snapshots + a bucket(B, url)
 partition transform; no Iceberg jar ships with this sandbox's PySpark, so the
 parquet+manifest backend below provides the same semantics (SURVEY.md §7.0).
+tests/test_iceberg_backend.py pins the real-backend contract (round commit ==
+snapshot, resume == VERSION AS OF, aborted writes invisible) and auto-skips
+unless an iceberg-spark-runtime jar is present (SPARK_GRAFT_ICEBERG_JAR).
 The ``seen`` set is stored as per-round deltas, each repartitioned by
 ``pmod(xxhash64(url), B)`` so the anti-join reads co-bucketed data; deltas
 are compacted every ``compact_every`` rounds to bound read amplification.
