@@ -815,6 +815,99 @@ def main() -> None:
 
     bench("frontier_rehearsal", frontier_rehearsal_bench)
 
+    def _stage_shuffle_writes():
+        """(stageId, attemptId) -> shuffle write bytes from the live
+        AppStatusStore (py4j; best-effort — {} if the private API moves)."""
+        try:
+            sc = spark.sparkContext
+            jvm, gw = sc._jvm, sc._gateway
+            store = sc._jsc.sc().statusStore()
+            stages = store.stageList(
+                jvm.java.util.ArrayList(), False, False,
+                gw.new_array(jvm.double, 0), jvm.java.util.ArrayList())
+            return {(stages.apply(i).stageId(), stages.apply(i).attemptId()):
+                    stages.apply(i).shuffleWriteBytes()
+                    for i in range(stages.size())}
+        except Exception:
+            return {}
+
+    def dedup_rehearsal_bench():
+        """Dedup-path rehearsal at millions of docs (the frontier
+        rehearsal's twin for the MinHash pipeline): JVM-side synthesis of
+        narrow 10-token docs -> word-shingles -> md5 minhash signatures ->
+        LSH band keys -> non-singleton block membership -> bipartite
+        min-label connected components (dedup_clusters_blocks) with keeper
+        flags. The corpus embeds known structure asserted at volume: 1% of
+        docs share one boilerplate text (an n/100-member hot block — the
+        case where the pairwise path would need k^2 join rows and salting,
+        and the bipartite path provably costs k rows, which is why this
+        scale path needs no salt at all), 20% form distinct identical-text
+        dup pairs, and the rest are unique (singleton blocks, excluded by
+        contract). Assertions match what MinHash-LSH actually guarantees:
+        RECALL is exact (identical text -> identical signatures -> same
+        band keys, so every true pair MUST co-cluster and the boiler block
+        MUST be one cluster), while a small spurious-merge tail is allowed
+        and MEASURED (the 30-bit hash space is a DuckDB-oracle-parity
+        constraint — a cluster deployment without the oracle twin would
+        widen p toward 59 bits, the BIGINT-safe limit — and all num_hashes
+        functions are affine transforms of one base md5 hash, so base-hash
+        birthday collisions correlate across a band; the count grows with
+        the SQUARE of distinct shingles per the birthday law, measured
+        0.02% of docs at n=200k / ~0.5% at n=5M, and production near-dup
+        flows filter merge candidates through minhash_jaccard_estimate
+        before collapsing). Also reports shuffle-write volume (total + peak
+        single stage) from the status store, so the 100 TB claim carries
+        measured bytes, not just a plan audit."""
+        from supercrawler_spark.operators.clusters import dedup_clusters_blocks
+        n = int(os.environ.get("SPARK_GRAFT_DEDUP_N", "5000000"))
+        assert n % 100 == 0
+        r = F.col("id") % 10
+        base = F.when(r == 2, F.col("id") - 1).otherwise(F.col("id"))
+        tok = F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda j: F.concat(F.lit("w"), (base * 13 + j).cast("string")))
+        text = F.when(
+            F.col("id") % 100 == 0,
+            F.lit("b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+        ).otherwise(F.concat_ws(" ", tok))
+        sdocs = spark.range(n).select(
+            F.col("id").alias("doc_id"), text.alias("text"))
+        before = _stage_shuffle_writes()
+        out = dedup_clusters_blocks(sdocs, num_hashes=8, band_size=2,
+                                    persist_result=True)
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.sum(F.col("is_keeper").cast("long")).alias("keepers"),
+        ).collect()[0]
+        after = _stage_shuffle_writes()
+        fresh = {k: v for k, v in after.items() if k not in before}
+        # exact recall: every identical-text pair (10k+1, 10k+2) co-clusters
+        pa = out.filter(F.col("doc_id") % 10 == 1).select(
+            F.col("doc_id").alias("a"), F.col("cluster_id").alias("ca"))
+        pb = out.filter(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") - 1).alias("a"), F.col("cluster_id").alias("cb"))
+        pair_hits = pa.join(pb, "a") \
+            .filter(F.col("ca") == F.col("cb")).count()
+        assert pair_hits == n // 10, (pair_hits, n // 10)
+        boiler = out.filter(F.col("doc_id") % 100 == 0).agg(
+            F.countDistinct("cluster_id").alias("c"),
+            F.count("*").alias("d")).collect()[0]
+        assert (boiler["c"], boiler["d"]) == (1, n // 100)
+        assert agg["clusters"] == agg["keepers"]  # one keeper per cluster
+        spurious = agg["docs"] - (n // 100 + 2 * (n // 10))
+        assert 0 <= spurious <= max(64, n // 100), spurious
+        out.unpersist()
+        extras["dedup_rehearsal_docs"] = n
+        extras["dedup_rehearsal_spurious_docs"] = int(spurious)
+        if fresh:
+            extras["dedup_rehearsal_shuffle_mb"] = round(
+                sum(fresh.values()) / 2**20, 1)
+            extras["dedup_rehearsal_peak_stage_shuffle_mb"] = round(
+                max(fresh.values()) / 2**20, 1)
+
+    bench("dedup_rehearsal", dedup_rehearsal_bench)
+
     def zipf_fit_bench():
         import __spark_entry__ as entry_mod
         row = entry_mod.q_zipf_fit(spark, sf_dir).collect()[0]
@@ -842,6 +935,10 @@ def main() -> None:
         extras["frontier_rehearsal_urls_per_sec"] = round(
             extras["frontier_rehearsal_urls"]
             / timings["frontier_rehearsal"], 1)
+    if "dedup_rehearsal" in timings:
+        extras["dedup_rehearsal_docs_per_sec"] = round(
+            extras["dedup_rehearsal_docs"]
+            / timings["dedup_rehearsal"], 1)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -877,6 +974,8 @@ def main() -> None:
     }
     for key in ("crawl_scan_urls_per_sec", "crawl_scan_urls",
                 "frontier_rehearsal_urls_per_sec",
+                "dedup_rehearsal_docs_per_sec",
+                "dedup_rehearsal_peak_stage_shuffle_mb",
                 "lsh_ann_recall_at3",
                 "lsh_ann_multiprobe_recall_at3", "ivf_ann_recall_at3",
                 "ivf_trained_recall_at3", "ivfpq_recall_at3_l2",

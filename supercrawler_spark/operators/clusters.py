@@ -212,7 +212,8 @@ def dedup_clusters(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
 def dedup_clusters_blocks(docs: DataFrame, num_hashes: int = 8,
                           band_size: int = 2, text_col: str = "text",
                           id_col: str = "doc_id",
-                          max_iters: int = 50) -> DataFrame:
+                          max_iters: int = 50,
+                          persist_result: bool = False) -> DataFrame:
     """Same output contract as ``dedup_clusters`` — (doc_id, cluster_id,
     is_keeper) over MinHash-LSH connectivity — resolved on the BIPARTITE
     doc↔band-block membership relation instead of the pairwise edge list.
@@ -288,6 +289,13 @@ def dedup_clusters_blocks(docs: DataFrame, num_hashes: int = 8,
     out = labels.select(
         "doc_id", F.col("cluster").alias("cluster_id"),
         (F.col("doc_id") == F.col("cluster")).alias("is_keeper"))
+    if persist_result:
+        # Materialize the projection WHILE labels/mem are still cached (a
+        # narrow scan of the final labels cache), so consumers that run
+        # several downstream actions don't re-execute the whole iteration
+        # chain from unpersisted lineage. Caller owns the unpersist.
+        out = out.persist()
+        out.count()
     mem.unpersist()
     labels.unpersist()
     return out
