@@ -853,13 +853,13 @@ def main() -> None:
         functions are affine transforms of one base md5 hash, so base-hash
         birthday collisions correlate across a band; the count grows with
         the SQUARE of distinct shingles per the birthday law, measured
-        0.02% of docs at n=200k / ~0.5% at n=5M, and production near-dup
+        0.02% of docs at n=200k / 0.64% at n=5M, and production near-dup
         flows filter merge candidates through minhash_jaccard_estimate
         before collapsing). Also reports shuffle-write volume (total + peak
         single stage) from the status store, so the 100 TB claim carries
         measured bytes, not just a plan audit."""
         from supercrawler_spark.operators.clusters import dedup_clusters_blocks
-        n = int(os.environ.get("SPARK_GRAFT_DEDUP_N", "5000000"))
+        n = int(os.environ.get("SPARK_GRAFT_DEDUP_N", "1000000"))
         assert n % 100 == 0
         r = F.col("id") % 10
         base = F.when(r == 2, F.col("id") - 1).otherwise(F.col("id"))

@@ -38,10 +38,13 @@ Implementation notes on parity:
     re-queued the same way — html5ever keeps such elements in the
     active formatting list — bounded by WHATWG markers (td/th/
     caption/table) so table-cell formatting never leaks across
-    cells. REMAINING DIVERGENCE CLASS (documented, not silently
-    wrong): html/head/body synthesis — fragment HTML without an
-    explicit body still takes the "could not parse body" branch
-    (synthetic corpus always writes explicit html/head/body).
+    cells. html/head/body are SYNTHESIZED per the WHATWG
+    before-html/before-head/in-head/after-head modes (fragment
+    input, head-only documents, even the empty string parse to
+    html>head>body exactly like html5ever; re-opened html/head/
+    body tags are ignored; </body> and </html> never pop — trailing
+    markup stays in the body subtree), closing the last documented
+    divergence class.
   - Rust ``str::len`` is bytes; the ``len > 10`` loose-text rule and the
     250-char description truncation use UTF-8 byte lengths here too.
   - CSS selector groups in scraper match in *document order* across the whole
@@ -217,11 +220,29 @@ class Node:
         return None
 
 
+# html/head/body synthesis (WHATWG before-html / before-head / in-head /
+# after-head insertion modes): tokens whose insertion point is one of these
+# containers may first synthesize missing document structure. Every other
+# insertion point skips the check entirely (one set lookup on the hot path).
+_SYNTH_TRIGGER = {"#document", "html", "head"}
+_DOC_TAGS = ("html", "head", "body")
+# start tags the "in head" mode keeps in <head> (spec: base basefont
+# bgsound link meta title style script noscript noframes template)
+_HEAD_ONLY = {"base", "basefont", "bgsound", "link", "meta", "title",
+              "style", "script", "noscript", "noframes", "template"}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node(tag="#document")
         self.stack = [self.root]
+        # the unique html/head/body elements (explicit or synthesized) —
+        # html5ever materializes all three for ANY input; re-opened tags
+        # merge attributes into these instead of nesting
+        self._html: Optional[Node] = None
+        self._head: Optional[Node] = None
+        self._body: Optional[Node] = None
         # active formatting elements awaiting reconstruction (adoption
         # agency): (tag, attrs) entries, outermost first. Materialized
         # LAZILY on the next content insertion, exactly like html5ever —
@@ -254,8 +275,80 @@ class _TreeBuilder(HTMLParser):
             if t in _FORMATTING:
                 self._pending_fmt.append((t, el.attrs))
 
+    def _synth(self, tag: str) -> None:
+        node = Node(tag=tag)
+        node.parent = self.stack[-1]
+        self.stack[-1].children.append(node)
+        self.stack.append(node)
+        setattr(self, "_" + tag, node)
+
+    def _ensure_context(self, tag=None, data=None) -> bool:
+        """WHATWG html/head/body synthesis (before-html / before-head /
+        in-head / after-head insertion modes reduced to tree shape):
+        html5ever materializes html, head and body for ANY input, so
+        fragment HTML like ``<p>hi`` parses to html>body>p — the
+        could-not-parse branch is dead in the reference and now here too.
+        Head-only tags before body go into (a possibly synthesized)
+        <head>; the first body-content token implies </head> and <body>.
+        Returns True when the token must be DROPPED (whitespace-only text
+        above body — the spec ignores it)."""
+        top = self.stack[-1].tag
+        if top == "#document":
+            if tag == "html":
+                return False
+            if data is not None and not data.strip():
+                return True
+            self._synth("html")
+            top = "html"
+        if top == "html":
+            if tag in ("head", "body"):
+                return False
+            if data is not None and not data.strip():
+                return True
+            if tag in _HEAD_ONLY and self._body is None:
+                if self._head is None:
+                    self._synth("head")
+                else:
+                    # after-head head-only token: spec re-enters the head
+                    # element; popped again by the next body-content token
+                    self.stack.append(self._head)
+                return False
+            if self._head is None:
+                self._synth("head")    # spec emits an empty head first
+                self.stack.pop()
+            self._synth("body")
+            return False
+        if top == "head" and self._body is None and (
+                (data is not None and data.strip())
+                or (tag is not None and tag not in _HEAD_ONLY)):
+            self.stack.pop()               # implied </head>
+            if tag != "body":
+                self._synth("body")
+        return False
+
+    def finish(self) -> None:
+        """EOF: guarantee html>head>body exist even for empty, whitespace-
+        only, or head-only documents — exactly html5ever's output shape."""
+        if self._body is None:
+            if self._html is None:
+                self._synth("html")
+            else:
+                while len(self.stack) > 1 and self.stack[-1] is not self._html:
+                    self.stack.pop()
+            if self._head is None:
+                self._synth("head")
+                self.stack.pop()
+            self._synth("body")
+
     def _open(self, tag, attrs, self_closing):
         tag = tag.lower()
+        if self.stack[-1].tag in _SYNTH_TRIGGER:
+            if tag in _DOC_TAGS and getattr(self, "_" + tag) is not None:
+                return  # re-opened html/head/body: html5ever merges attrs
+            if self._ensure_context(tag=tag):
+                return
+        elif tag in _DOC_TAGS:
+            return  # html/head/body start deeper in the tree: ignored
         # implied </p> (html5ever): block-level start closes an open <p>
         if tag in _P_CLOSERS:
             for i in range(len(self.stack) - 1, 0, -1):
@@ -320,6 +413,8 @@ class _TreeBuilder(HTMLParser):
             # start so the clone wraps it in the original nesting order
             self._reconstruct_formatting()
         node = Node(tag=tag, attrs={k.lower(): (v if v is not None else "") for k, v in attrs})
+        if tag in _DOC_TAGS:
+            setattr(self, "_" + tag, node)  # first occurrence (dups returned)
         if self.stack[-1].tag in _TABLE_CONTEXT and tag not in _TABLE_ALLOWED:
             parent, idx = self._foster_target()
             node.parent = parent
@@ -350,6 +445,12 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         tag = tag.lower()
         if tag in VOID_ELEMENTS:
+            return
+        if tag in ("body", "html"):
+            # html5ever: </body> / </html> only switch the insertion mode —
+            # the elements never leave the open stack, so trailing markup
+            # after </body> keeps inserting at the CURRENT node (it belongs
+            # to the body subtree, never to <html>)
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
@@ -385,6 +486,9 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
+            if (self.stack[-1].tag in _SYNTH_TRIGGER
+                    and self._ensure_context(data=data)):
+                return
             if (data.strip() and self._pending_fmt
                     and self.stack[-1].tag not in _TABLE_CONTEXT):
                 # reconstruct active formatting around the character run
@@ -538,9 +642,11 @@ def _feed_fast(builder, html: str) -> None:
 
 
 def parse_html(html: str) -> Node:
-    """Parse to a document node. html5ever always synthesizes html/head/body;
-    on well-formed fixtures the explicit tags are present so no synthesis is
-    needed — we only locate them.
+    """Parse to a document node. html5ever always synthesizes html/head/
+    body, and so does ``_TreeBuilder`` now (``_ensure_context``/
+    ``finish``): fragment input like ``<p>hi`` or even an empty string
+    parses to html>head>body, so the kernel's could-not-parse branch is
+    as dead here as it is in the reference.
 
     Fast path: the strict tokenizer above; any input outside its grammar
     re-parses from scratch with stdlib html.parser (identical events on
@@ -552,6 +658,7 @@ def parse_html(html: str) -> Node:
         builder = _TreeBuilder()
         builder.feed(html)
         builder.close()
+    builder.finish()
     return builder.root
 
 
@@ -561,6 +668,7 @@ def parse_html_stdlib(html: str) -> Node:
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
+    builder.finish()
     return builder.root
 
 

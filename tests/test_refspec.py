@@ -661,3 +661,84 @@ def test_formatting_never_leaks_across_table_cells():
     # tr -> tr implied close across rows: not bold
     got = _render_body("<table><tr><td><b>x<tr><td>y</table>")
     assert "**y**" not in got
+
+
+def _doc_shape(html):
+    """(tag, children-shapes) over elements + text markers, doc order."""
+    def shape(n):
+        if not n.is_element:
+            return ("#text", n.text)
+        return (n.tag, tuple(shape(c) for c in n.children))
+    return tuple(shape(c) for c in parse_html(html).children)
+
+
+def test_body_synthesis_fragment_and_empty():
+    """html5ever materializes html>head>body for ANY input (WHATWG
+    before-html/before-head/in-head/after-head modes); fragment HTML and
+    the empty string must parse to that shape — the could-not-parse
+    branch is dead in the reference and must be dead here."""
+    assert _doc_shape("") == (("html", (("head", ()), ("body", ()))),)
+    assert _doc_shape("   \n  ") == (("html", (("head", ()), ("body", ()))),)
+    frag = _doc_shape("<p>hello</p>")
+    assert frag == (("html", (("head", ()),
+                              ("body", (("p", (("#text", "hello"),)),)))),)
+    # bare text fragment
+    assert _doc_shape("plain") == \
+        (("html", (("head", ()), ("body", (("#text", "plain"),)))),)
+    # MDX must carry the fragment text, never the error branch
+    mdx = clean_to_mdx("<p>a fragment paragraph body</p>", "https://e.com/f")
+    assert "Could not parse" not in mdx
+    assert "a fragment paragraph body" in mdx
+    assert "Could not parse" not in clean_to_mdx("", "https://e.com/e")
+
+
+def test_head_synthesis_and_head_only_tags():
+    # head-only tags before body content go into a synthesized <head>;
+    # the first body-content token implies </head> + <body>
+    got = _doc_shape("<meta charset='u'><title>T</title><p>x")
+    assert got == (("html", (
+        ("head", (("meta", ()), ("title", (("#text", "T"),)))),
+        ("body", (("p", (("#text", "x"),)),)))),)
+    # explicit head, fragment body content after it
+    got = _doc_shape("<head><title>T</title></head><p>x")
+    assert got[0][1][0][0] == "head" and got[0][1][1][0] == "body"
+    # title-only document still ends with an (empty) body
+    assert _doc_shape("<title>T</title>")[0][1][1] == ("body", ())
+
+
+def test_trailing_content_after_body_close_stays_in_body():
+    """html5ever: </body>/</html> only switch insertion mode — trailing
+    markup keeps inserting at the current node inside the body subtree."""
+    doc = parse_html("<html><body><p>one para of text</p></body>"
+                     "<p>late arrival text</p></html>")
+    body = doc.select_first(lambda el: el.tag == "body")
+    assert [c.tag for c in body.children if c.is_element] == ["p", "p"]
+    # with an element still open at </body>, content continues inside it
+    doc = parse_html("<body><div>x</body>tail")
+    div = doc.select_first(lambda el: el.tag == "div")
+    assert div.all_text() == "xtail"
+    mdx = clean_to_mdx("<html><body><p>one para of text</p></body>"
+                       "<p>late arrival text here</p></html>",
+                       "https://e.com/t")
+    assert "late arrival text here" in mdx
+
+
+def test_duplicate_html_body_head_ignored():
+    # re-opened html/body/head merge into the first element (never nest)
+    doc = parse_html("<body><p>a</p><body class='x'><p>b</p></body></body>")
+    bodies = doc.select(lambda el: el.tag == "body")
+    assert len(bodies) == 1
+    assert [c.tag for c in bodies[0].children if c.is_element] == ["p", "p"]
+    doc = parse_html("<html><body>x</body></html><html><body>y</body></html>")
+    assert len(doc.select(lambda el: el.tag == "body")) == 1
+    assert doc.select_first(lambda el: el.tag == "body").all_text() == "xy"
+
+
+def test_body_synthesis_fast_path_equals_stdlib():
+    for html in ["", "   ", "<p>frag", "plain", "<title>T</title>",
+                 "<meta name='a' content='b'><p>x",
+                 "<body><div>x</body>tail",
+                 "<head><title>T</title></head><p>after",
+                 "<p>a<body class='late'>b"]:
+        assert _tree_sig(refspec.parse_html(html)) == \
+            _tree_sig(refspec.parse_html_stdlib(html)), html
