@@ -382,6 +382,15 @@ def q_resolve_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.resolve_duplicates(_docs(spark, sf_dir))
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster MinHash-agreement purity for the pair-free LSH
+    clustering path (clusters.cluster_purity): (cluster_id, n_members,
+    min_sim, avg_sim, n_suspect) — the precision dial that catches
+    band-collision merges the linear path admits by construction; oracle
+    reuses the transitive-closure CTE plus a keeper signature join."""
+    return clusters.cluster_purity(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
@@ -1782,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "hard_negatives": q_hard_negatives,
         "zipf_fit": q_zipf_fit,
+        "cluster_purity": q_cluster_purity,
     }
 
 
@@ -3095,6 +3105,27 @@ SELECT doc_id, cluster_id, quality,
             OVER (PARTITION BY cluster_id) AS BIGINT) AS keeper_id,
        rk = 1 AS keep
 FROM mq""",
+        "cluster_purity": _clusters_sql + """,
+cl AS (
+  SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id,
+         MIN(v) = u AS is_keeper
+  FROM reach GROUP BY u),
+sigm AS (
+  SELECT cl.doc_id, cl.cluster_id, cl.is_keeper, s.hash_id, s.min_hash
+  FROM cl JOIN sig s USING (doc_id)),
+agree AS (
+  SELECT m.doc_id, m.cluster_id,
+         SUM(CASE WHEN m.min_hash = k.min_hash THEN 1 ELSE 0 END) / 8.0 AS est
+  FROM sigm m
+  JOIN sigm k ON k.cluster_id = m.cluster_id AND k.is_keeper
+             AND k.hash_id = m.hash_id
+  WHERE NOT m.is_keeper
+  GROUP BY m.doc_id, m.cluster_id)
+SELECT cluster_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_members,
+       round(MIN(est), 6) AS min_sim,
+       round(AVG(est), 6) AS avg_sim,
+       CAST(SUM(CASE WHEN est < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+FROM agree GROUP BY cluster_id""",
         "cosine_topk": cosine_cte + """
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id

@@ -340,3 +340,47 @@ def test_blocks_cc_chain_through_shared_blocks(spark):
            for r in clusters.dedup_clusters_blocks(docs, num_hashes=8,
                                                    band_size=2).collect()}
     assert got == ref
+
+
+# ---------------------------------------------------------------- purity
+
+def test_cluster_purity_identical_and_planted_suspect(spark):
+    """Identical-text members agree on every minhash (est 1.0); a planted
+    wrong-cluster member (disjoint text) scores ~0 and flips n_suspect.
+    The injected clusters_df exercises the arithmetic without relying on
+    an actual band collision (which is rare by design)."""
+    rows = [
+        "alpha beta gamma delta epsilon zeta",   # 0 keeper
+        "alpha beta gamma delta epsilon zeta",   # 1 true dup of 0
+        "one two three four five six seven",     # 2 planted into cluster 0
+        "unrelated words entirely different here",  # 3 its own cluster
+        "unrelated words entirely different here",  # 4 true dup of 3
+    ]
+    docs = _docs(spark, rows)
+    planted = spark.createDataFrame(
+        [(0, 0, True), (1, 0, False), (2, 0, False),
+         (3, 3, True), (4, 3, False)],
+        "doc_id long, cluster_id long, is_keeper boolean")
+    out = {r["cluster_id"]: r for r in
+           clusters.cluster_purity(docs, clusters=planted).collect()}
+    c0, c3 = out[0], out[3]
+    assert c0["n_members"] == 3
+    assert c0["avg_sim"] < 1.0 and c0["min_sim"] < 0.5
+    assert c0["n_suspect"] == 1            # doc 2 cannot be supported
+    assert c3["n_members"] == 2
+    assert (c3["min_sim"], c3["avg_sim"], c3["n_suspect"]) == (1.0, 1.0, 0)
+
+
+def test_cluster_purity_end_to_end_blocks_path(spark):
+    """Default path (clusters from dedup_clusters_blocks): identical docs
+    cluster together and score est 1.0; singletons are omitted."""
+    rows = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different content with no shared shingles at all",
+    ]
+    out = clusters.cluster_purity(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_members"] == 2
+    assert (r["min_sim"], r["avg_sim"], r["n_suspect"]) == (1.0, 1.0, 0)
