@@ -130,19 +130,25 @@ tmpfs (the sandbox disk shows 5%+ steal-time noise).
 
 Why two pairs: Spark local mode co-schedules the JVM task threads AND the
 Python Arrow workers on the same host, so local[32] runs ~64 runnable
-entities on the VM's 32 physical cores while local[8] runs ~16 with idle
-cores to absorb them — the upper pair measures single-host
-oversubscription + shared memory bandwidth, not engine serialization.
-Evidence that the residual is hardware, not a serial bottleneck in the
-engine: (1) per-round phase timings (CrawlResult.phase_times) show every
-driver-visible phase either scaling with cores or constant-small (the
-largest fixed phase, seed_prep_write, is ~6s at BOTH levels); (2) the pure
-Python parse kernel alone (no Spark) scales 8->32 at ~0.86 efficiency on
-this VM and a pure-ALU burn loop at ~0.94, so the shared-memory-bandwidth
-ceiling exists below any Spark layer; (3) there is no driver-side loop over
-O(data): the only collects are a 32-row per-bucket stats aggregate and
-per-partition offset maps. A real 4N-executor cluster adds 4x hosts and 4x
-memory bandwidth — exactly the resource the upper pair exhausts on one box.
+entities on the VM's 32 cores while local[8] runs ~16 with idle cores to
+absorb them — the upper pair measures single-host memory-subsystem
+saturation, not engine serialization. Round-4 evidence triplet (2026-08-21,
+this VM, same day as the table): (1) a pure-ALU burn loop scales 8->32 at
+~1.03 (32 real cores exist); (2) the pure-Python extraction kernel ALONE
+(ProcessPoolExecutor, NO Spark) scales 8->32 at 0.376 — 10.1k -> 15.2k
+pages/s — so the ceiling is string/object memory traffic below any Spark
+layer (the round-3 kernel measured ~0.86 here: the round-4 tokenizer is
+~2x faster per page, which moves it closer to bandwidth-bound and LOWERS
+its multi-core ceiling — less CPU burned per byte moved); (3) per-round
+phase timings at sf1.0 show the Arrow extract phase itself saturating
+(44.8 s at local[8] vs 39.8 s at local[32]) while every other phase is
+constant-small or scaling, and there is no driver-side loop over O(data)
+(the only collects are a 32-row per-bucket stats aggregate and
+per-partition offset maps). The crawl's local[32] throughput (9.5k urls/s)
+sits at ~63% of the no-Spark kernel ceiling (15.2k), the remainder being
+Arrow transfer + JVM co-scheduling. A real 4N-executor cluster adds 4x
+hosts and 4x memory bandwidth — exactly the resource the upper pair
+exhausts on one box.
 
 Job: one full-width crawl round over the synthetic Common-Crawl-style corpus
 (sf={synth_sf}, {urls:,} pages, hot-host skew 40%): frontier -> bucket-pruned
