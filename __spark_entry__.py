@@ -1652,7 +1652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machinery stays covered by an in-window sibling (minhash_signatures
     # by minhash_lsh_pairs, simhash by simhash_near_pairs, kmeans_assign
     # by ivf_ann_topk_trained, duplicate_spans by remove_duplicate_spans,
-    # ivf/pq by their trained/composed variants, …). Out-of-window rows
+    # ivf/pq by their trained/composed variants, …). The round-4 addition
+    # cluster_purity took lsh_ann_topk's slot (ANN stays covered in-window
+    # by cosine_topk + ivf_ann_topk_trained + ivfpq_ann_topk; lsh machinery
+    # by minhash_lsh_pairs/embedding_near_dups). Out-of-window rows
     # ride on tests/test_oracle_parity.py, which mirrors the driver's
     # strictness including int-vs-float dtype drift.
     return {
@@ -1688,7 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "resolve_duplicates": q_resolve_duplicates,
         "cosine_topk": q_cosine_topk,
-        "lsh_ann_topk": q_lsh_ann_topk,
+        "cluster_purity": q_cluster_purity,
         "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1791,7 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "hard_negatives": q_hard_negatives,
         "zipf_fit": q_zipf_fit,
-        "cluster_purity": q_cluster_purity,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
