@@ -213,7 +213,8 @@ def dedup_clusters_blocks(docs: DataFrame, num_hashes: int = 8,
                           band_size: int = 2, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_iters: int = 50,
-                          persist_result: bool = False) -> DataFrame:
+                          persist_result: bool = False,
+                          p: int | None = None) -> DataFrame:
     """Same output contract as ``dedup_clusters`` — (doc_id, cluster_id,
     is_keeper) over MinHash-LSH connectivity — resolved on the BIPARTITE
     doc↔band-block membership relation instead of the pairwise edge list.
@@ -237,7 +238,12 @@ def dedup_clusters_blocks(docs: DataFrame, num_hashes: int = 8,
     non-convergence as in ``connected_components``."""
     from supercrawler_spark.operators import dedup as _dedup
 
-    sig = _dedup.minhash_signatures(docs, num_hashes, text_col, id_col)
+    # p: minhash modulus — default P_ORACLE (DuckDB-parity); pass
+    # dedup.P_WIDE on oracle-free cluster deployments to suppress the
+    # birthday-law band-collision merge tail (dedup.py constants doc)
+    sig = _dedup.minhash_signatures(
+        docs, num_hashes, text_col, id_col,
+        p=_dedup.P_ORACLE if p is None else p)
     bands = (sig
              .withColumn("band", (F.col("hash_id") / band_size).cast("long"))
              .groupBy("doc_id", "band")

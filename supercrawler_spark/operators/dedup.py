@@ -33,6 +33,19 @@ def _md5_long(col):
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
+# MinHash moduli. P_ORACLE (30-bit) is the default everywhere an oracle
+# twin exists: (2i+1)*h+b stays far below 2^63 in BOTH engines and DuckDB
+# raises on BIGINT overflow where the JVM would wrap. P_WIDE (~2^59,
+# verified prime, 15*p + b < 2^63 still BIGINT-safe) shrinks base-hash
+# birthday collisions — the source of LSH band-collision false merges,
+# which grow with the SQUARE of distinct corpus shingles — by ~6e8x; use
+# it on cluster deployments where no DuckDB twin runs row-for-row
+# (measured: the 5M-doc dedup_rehearsal's spurious tail drops 0.64% -> 0
+# at P_WIDE, BENCH/BASELINE.md).
+P_ORACLE = 1_000_000_007
+P_WIDE = 599_999_999_999_999_993
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text, keeping the
@@ -62,12 +75,14 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       p: int = P_ORACLE) -> DataFrame:
     """(doc_id, hash_id, min_hash): num_hashes permutation-free minhashes
     h_i(s) = (a_i * (md5long(s) mod p) + b_i) mod p, aggregated map-side.
-    p is 30-bit so a*h+b stays < 2^63 in BOTH engines (DuckDB raises on
-    BIGINT overflow where the JVM would silently wrap)."""
-    p = 1_000_000_007
+    Default p is 30-bit so a*h+b stays < 2^63 in BOTH engines (DuckDB
+    raises on BIGINT overflow where the JVM would silently wrap); pass
+    ``P_WIDE`` on oracle-free cluster deployments to suppress the
+    birthday-law band-collision tail (constants doc above)."""
     # one row per (doc, shingle); the num_hashes permutations become wide
     # columns min-aggregated per doc (map-side partial agg; no 8x explode),
     # then unpivoted back to (hash_id, min_hash) rows
@@ -86,13 +101,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
 
 def minhash_sig_array(docs: DataFrame, num_hashes: int = 8,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      p: int = P_ORACLE) -> DataFrame:
     """(doc_id, sig: array<long>) — the same minhash values as
     ``minhash_signatures`` packed into ONE array row per document, for
     consumers that need the whole signature downstream of a single
     aggregation (e.g. decontaminate_fuzzy carries it through the band
     explode so the corpus-wide shingle aggregation runs exactly once)."""
-    p = 1_000_000_007
     sh = shingles(docs, text_col, id_col) \
         .withColumn("h", _md5_long(F.col("shingle")) % p)
     mins = sh.groupBy("doc_id").agg(*[

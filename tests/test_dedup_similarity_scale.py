@@ -603,3 +603,46 @@ def test_rerank_negatives_composes_with_ann_shortlist(spark):
     via_rerank = similarity.rerank_negatives(cand, k=3, lo=0.2, hi=0.95)
     assert sorted(map(tuple, direct.collect())) \
         == sorted(map(tuple, via_rerank.collect()))
+
+
+def test_minhash_wide_modulus_contract(spark):
+    """P_WIDE (~2^59) is the oracle-free cluster modulus: values stay in
+    [0, p), identical docs share full signatures, and the default path is
+    untouched (P_ORACLE produces the historical 30-bit values)."""
+    from supercrawler_spark.operators.dedup import (
+        P_ORACLE, P_WIDE, minhash_sig_array, minhash_signatures)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),
+         (1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five")],
+        "doc_id long, text string")
+    assert 15 * P_WIDE + 120 < 2 ** 63          # a*h+b BIGINT-safe
+    wide = minhash_signatures(docs, p=P_WIDE).collect()
+    assert all(0 <= r["min_hash"] < P_WIDE for r in wide)
+    # wide hashes actually use the headroom (30-bit values would all be
+    # < 2^30; 8 hashes over 2 distinct texts make that astronomically
+    # unlikely at p~2^59)
+    assert max(r["min_hash"] for r in wide) >= 1 << 30
+    sigs = {r["doc_id"]: r["sig"]
+            for r in minhash_sig_array(docs, p=P_WIDE).collect()}
+    assert sigs[0] == sigs[1] and sigs[0] != sigs[2]
+    # default path unchanged: p omitted == P_ORACLE explicitly
+    a = sorted(map(tuple, minhash_signatures(docs).collect()))
+    b = sorted(map(tuple, minhash_signatures(docs, p=P_ORACLE).collect()))
+    assert a == b
+    assert all(v < P_ORACLE for r in minhash_sig_array(docs).collect()
+               for v in r["sig"])
+
+
+def test_dedup_clusters_blocks_wide_p_equiv_on_dups(spark):
+    """Clustering contract is modulus-independent for identical docs."""
+    from supercrawler_spark.operators import dedup
+    from supercrawler_spark.operators.clusters import dedup_clusters_blocks
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["x y z w v u", "x y z w v u", "a b c d e f",
+             "a b c d e f", "lone wolf text row here"])],
+        "doc_id long, text string")
+    got = sorted(map(tuple,
+                     dedup_clusters_blocks(docs, p=dedup.P_WIDE).collect()))
+    assert got == [(0, 0, True), (1, 0, False), (2, 2, True), (3, 2, False)]
