@@ -2242,6 +2242,12 @@ FROM r WHERE rank <= 3"""
     # shortlist-32 exact-L2 rerank identical to pq_trained_sql.
     _sqd64 = ("list_sum(list_transform(range(64), i -> "
               "(e.ev[i+1] - c.cv[i+1]) * (e.ev[i+1] - c.cv[i+1])))")
+    # NOTE: ivfpq keeps its round-3 PQ shape (32 seeds, ONE Lloyd update
+    # == the Spark call's k_codes=32/n_iters=2); the shared _K/_NUPD
+    # constants above belong to pq_ann_topk_trained, whose round-4 upgrade
+    # to 64/5 must NOT leak here (a seed-count mismatch is masked by the
+    # exact-L2 rerank at sf0.01 but caught by the sf0.1 sweep).
+    _K_IVFPQ = 32
     ivfpq_sql = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
            FROM embeddings),
@@ -2271,7 +2277,7 @@ probes AS (
 sub AS (SELECT e.vec_id, m.x AS m,
                list_slice(e.ev, m.x*{_DS}+1, m.x*{_DS}+{_DS}) AS sv
         FROM e, range({_M}) m(x)),
-seeds AS (SELECT vec_id, ev FROM e ORDER BY vec_id LIMIT {_K}),
+seeds AS (SELECT vec_id, ev FROM e ORDER BY vec_id LIMIT {_K_IVFPQ}),
 c0 AS (SELECT m.x AS m, s.vec_id AS cell,
               list_slice(s.ev, m.x*{_DS}+1, m.x*{_DS}+{_DS}) AS cv
        FROM seeds s, range({_M}) m(x)),
