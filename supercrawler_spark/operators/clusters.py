@@ -196,14 +196,16 @@ def connected_components_star(pairs: DataFrame, max_iters: int = 30,
 
 
 def dedup_clusters(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
-                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                   text_col: str = "text", id_col: str = "doc_id",
+                   p: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup clustering end-to-end: candidate pairs →
     connected components → (doc_id, cluster_id, is_keeper). ``is_keeper``
     marks the one document per cluster (min doc_id) a dedup pass would
     retain; filtering the corpus is then a broadcast-or-bucketed semi-join
-    on the keeper set."""
+    on the keeper set. ``p``: minhash modulus (default P_ORACLE for
+    DuckDB parity; dedup.P_WIDE on oracle-free deployments)."""
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes, band_size,
-                                    text_col, id_col)
+                                    text_col, id_col, p=p)
     cc = connected_components(pairs.select("a_id", "b_id"))
     return cc.select(
         "doc_id", "cluster_id",
@@ -309,7 +311,8 @@ def dedup_clusters_blocks(docs: DataFrame, num_hashes: int = 8,
 
 def resolve_duplicates(docs: DataFrame, clusters: DataFrame | None = None,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       p: int | None = None) -> DataFrame:
     """Quality-aware canonical selection per near-dup cluster: instead of
     ``dedup_clusters``'s positional min-id keeper, keep the HIGHEST-quality
     member (``textquality.quality_score`` composite; ties broken by min
@@ -325,7 +328,8 @@ def resolve_duplicates(docs: DataFrame, clusters: DataFrame | None = None,
     mirroring ``dedup_clusters`` (they are trivially their own keeper)."""
     from supercrawler_spark.operators.textquality import quality_score
     if clusters is None:
-        clusters = dedup_clusters(docs, text_col=text_col, id_col=id_col)
+        clusters = dedup_clusters(docs, text_col=text_col, id_col=id_col,
+                                  p=p)
     q = quality_score(docs, text_col, id_col).select("doc_id", "quality")
     m = clusters.select("doc_id", "cluster_id").join(q, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"),
@@ -343,7 +347,8 @@ def resolve_duplicates(docs: DataFrame, clusters: DataFrame | None = None,
 def cluster_purity(docs: DataFrame, clusters: DataFrame | None = None,
                    num_hashes: int = 8, band_size: int = 2,
                    text_col: str = "text", id_col: str = "doc_id",
-                   suspect_below: float = 0.5) -> DataFrame:
+                   suspect_below: float = 0.5,
+                   p: int | None = None) -> DataFrame:
     """Precision diagnostic for LSH clustering: per cluster, the MinHash
     signature agreement of every non-keeper member with the cluster keeper
     (an unbiased Jaccard estimate — Broder). Output one row per cluster:
@@ -368,10 +373,15 @@ def cluster_purity(docs: DataFrame, clusters: DataFrame | None = None,
     partial aggregation. Rows shuffled = cluster members, linear.
     est values are exact k/num_hashes binary fractions, so cross-engine
     float comparison is deterministic."""
+    # p: minhash modulus — must match the modulus the audited clustering
+    # ran with, or the purity estimate reintroduces the very collision
+    # tail a P_WIDE deployment chose to avoid (default P_ORACLE for
+    # DuckDB parity, as in dedup_clusters_blocks)
     if clusters is None:
         clusters = dedup_clusters_blocks(docs, num_hashes, band_size,
-                                         text_col, id_col)
-    sig = dedup.minhash_sig_array(docs, num_hashes, text_col, id_col)
+                                         text_col, id_col, p=p)
+    sig = dedup.minhash_sig_array(docs, num_hashes, text_col, id_col,
+                                  p=dedup.P_ORACLE if p is None else p)
     mem = clusters.join(sig, "doc_id")
     keep = (mem.filter(F.col("is_keeper"))
             .select("cluster_id", F.col("sig").alias("ksig")))

@@ -123,7 +123,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
                       text_col: str = "text", id_col: str = "doc_id",
                       max_bucket_size: int | None = None,
                       salt_buckets: int | None = None,
-                      salt_threshold: int = 64) -> DataFrame:
+                      salt_threshold: int = 64,
+                      p: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs whose signatures agree on at least one full
     band of ``band_size`` consecutive minhashes. Output (a_id, b_id, n_bands)
     with a_id < b_id.
@@ -150,8 +151,13 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, band_size: int = 2,
     k². Results are identical with salting on or off (parity-tested);
     replication cost (S× the hot rows, strings only) is paid only on the
     blocks that need it. Compose with ``max_bucket_size`` to still drop
-    truly degenerate mega-clusters and salt the middle range."""
-    sig = minhash_signatures(docs, num_hashes, text_col, id_col)
+    truly degenerate mega-clusters and salt the middle range.
+
+    ``p``: minhash modulus — default ``P_ORACLE`` (DuckDB parity); pass
+    ``P_WIDE`` on oracle-free deployments to suppress the birthday-law
+    band-collision tail (module constants doc)."""
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col,
+                             p=P_ORACLE if p is None else p)
     bands = (sig
              .withColumn("band", (F.col("hash_id") / band_size).cast("long"))
              .groupBy("doc_id", "band")

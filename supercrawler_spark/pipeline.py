@@ -51,6 +51,20 @@ class CorpusPipelineConfig:
     max_punct_ratio: float = 0.2
     langs: tuple = ("en",)
     near_dedup: bool = True
+    # Precision gate on the near-dup stage: audit every LSH cluster with
+    # ``cluster_purity`` (MinHash agreement of each member with the
+    # keeper) and EXEMPT clusters whose min_sim falls below
+    # purity_suspect_below from resolution — a spurious band-collision
+    # merge would otherwise silently delete a non-duplicate document at
+    # resolve time. At minhash_p=dedup.P_WIDE the collision tail is
+    # empty (measured: 0 spurious merges at 10M docs, BENCH/BASELINE.md)
+    # and the gate is a no-op; at narrower moduli it is the precision
+    # dial. Costs one extra narrow shuffle of (doc_id, sig) scalars.
+    purity_gate: bool = False
+    purity_suspect_below: float = 0.5
+    # minhash modulus for the near-dup stage (None = dedup.P_ORACLE for
+    # oracle parity; set dedup.P_WIDE on oracle-free deployments)
+    minhash_p: int | None = None
     # SemDeDup stage: hash_embed -> kmeans cells -> within-cell cosine
     semantic_dedup: bool = False
     semantic_k: int = 8
@@ -145,8 +159,30 @@ def _run_pipeline(docs, benchmark, cfg, text_col, id_col, report, caches):
 
     # 3. near-dup resolution — quality-aware keeper per LSH cluster
     if cfg.near_dedup:
-        res = _clusters.resolve_duplicates(cur, text_col=text_col,
-                                           id_col=id_col)
+        clusters = None
+        if cfg.purity_gate:
+            # Cluster once (persisted: the CC lineage would otherwise
+            # replay for purity AND resolution), audit with the SAME
+            # modulus the clustering ran with, and drop suspect clusters
+            # wholesale — their members are kept, not deduped, pending
+            # re-verification. Purity rows are one per cluster (tiny);
+            # the anti-join broadcasts.
+            clusters = _clusters.dedup_clusters(
+                cur, text_col=text_col, id_col=id_col,
+                p=cfg.minhash_p).persist()
+            caches.append(clusters)
+            purity = _clusters.cluster_purity(
+                cur, clusters=clusters, text_col=text_col, id_col=id_col,
+                suspect_below=cfg.purity_suspect_below, p=cfg.minhash_p)
+            suspect = (purity
+                       .filter(F.col("min_sim") < cfg.purity_suspect_below)
+                       .select("cluster_id").persist())
+            caches.append(suspect)
+            report["purity_suspect_clusters"] = suspect.count()
+            clusters = clusters.join(suspect, "cluster_id", "left_anti")
+        res = _clusters.resolve_duplicates(cur, clusters=clusters,
+                                           text_col=text_col,
+                                           id_col=id_col, p=cfg.minhash_p)
         # persist the tiny drop-list: its lineage is the full LSH + iterative
         # connected-components plan, which would otherwise re-execute for
         # the count, the anti-join, and every later stage built on cur

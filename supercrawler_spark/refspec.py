@@ -301,7 +301,15 @@ class _TreeBuilder(HTMLParser):
             self._synth("html")
             top = "html"
         if top == "html":
-            if tag in ("head", "body"):
+            if tag == "head":
+                return False
+            if tag == "body":
+                # before-head mode inserts a head for ANY token, an
+                # explicit <body> included — html5ever always yields
+                # html>head>body, so synthesize the missing head first
+                if self._head is None:
+                    self._synth("head")
+                    self.stack.pop()
                 return False
             if data is not None and not data.strip():
                 return True
@@ -340,15 +348,30 @@ class _TreeBuilder(HTMLParser):
                 self.stack.pop()
             self._synth("body")
 
+    def _merge_doc_attrs(self, tag: str, attrs) -> None:
+        """Re-opened <html>/<body>: WHATWG in-body mode keeps the existing
+        element but adds each token attribute NOT already present on it
+        (html5ever does the same). A duplicate <head> start tag is a parse
+        error the spec ignores entirely — no attribute merge."""
+        if tag == "head":
+            return
+        node = getattr(self, "_" + tag)
+        if node is None:
+            return
+        for k, v in attrs:
+            node.attrs.setdefault(k.lower(), v if v is not None else "")
+
     def _open(self, tag, attrs, self_closing):
         tag = tag.lower()
         if self.stack[-1].tag in _SYNTH_TRIGGER:
             if tag in _DOC_TAGS and getattr(self, "_" + tag) is not None:
-                return  # re-opened html/head/body: html5ever merges attrs
+                self._merge_doc_attrs(tag, attrs)
+                return
             if self._ensure_context(tag=tag):
                 return
         elif tag in _DOC_TAGS:
-            return  # html/head/body start deeper in the tree: ignored
+            self._merge_doc_attrs(tag, attrs)
+            return
         # implied </p> (html5ever): block-level start closes an open <p>
         if tag in _P_CLOSERS:
             for i in range(len(self.stack) - 1, 0, -1):

@@ -77,6 +77,56 @@ def test_pipeline_no_benchmark_no_pii(spark, raw):
     assert "someone@example.com" in row6["text"]
 
 
+# Engineered band-collision partner for GOOD at p=P_ORACLE: word-shingle
+# Jaccard is only 0.091, yet minhash band (hash pairs) collision occurs and
+# signature agreement with GOOD is 3/8 = 0.375 < 0.5 — a spurious LSH merge
+# the purity gate must catch. Found by deterministic search over md5-based
+# signatures (pure-Python mirror of dedup.minhash_signatures); pinned here.
+SPURIOUS_B = ("river0 quick brown meadow23 jumps river43 prairie8 lantern35 "
+              "forest37 orchard16 hollow48 runs far away into willow12 "
+              "willow24 breeze14 woods tonight with stone34 friend on the "
+              "copper5")
+
+
+def test_pipeline_purity_gate_protects_spurious_merge(spark):
+    """Without the gate, the engineered band collision merges two documents
+    whose real Jaccard is 0.09 and near-dup resolution silently deletes one
+    of them; with purity_gate=True the cluster's min_sim (0.375) falls
+    below suspect_below and BOTH documents survive."""
+    docs = spark.createDataFrame(
+        [(0, GOOD), (1, SPURIOUS_B), (2, B2)],
+        "doc_id long, text string")
+    base = dict(min_tokens=10, langs=("en",))
+    clean_off, rep_off = prepare_training_corpus(
+        docs, config=CorpusPipelineConfig(**base))
+    assert rep_off["near_dup_dropped"] == 1          # the silent deletion
+    assert {r["doc_id"] for r in clean_off.collect()} == {0, 2}
+
+    clean_on, rep_on = prepare_training_corpus(
+        docs, config=CorpusPipelineConfig(purity_gate=True, **base))
+    assert rep_on["purity_suspect_clusters"] == 1
+    assert rep_on["near_dup_dropped"] == 0
+    assert {r["doc_id"] for r in clean_on.collect()} == {0, 1, 2}
+
+
+def test_pipeline_purity_gate_noop_at_wide_modulus(spark, raw):
+    """At dedup.P_WIDE the band-collision tail is empty (no spurious
+    merges to exempt) and true near-dups agree far above suspect_below, so
+    the gate must change nothing: identical survivors, zero suspect
+    clusters, and the genuine near-dup (doc 4) still resolved away."""
+    from supercrawler_spark.operators import dedup
+    base = dict(min_tokens=10, minhash_p=dedup.P_WIDE)
+    clean_off, rep_off = prepare_training_corpus(
+        raw, config=CorpusPipelineConfig(**base))
+    clean_on, rep_on = prepare_training_corpus(
+        raw, config=CorpusPipelineConfig(purity_gate=True, **base))
+    assert rep_on["purity_suspect_clusters"] == 0
+    assert rep_on["near_dup_dropped"] == rep_off["near_dup_dropped"] >= 1
+    off = {r["doc_id"] for r in clean_off.collect()}
+    on = {r["doc_id"] for r in clean_on.collect()}
+    assert off == on and 4 not in on
+
+
 def test_pipeline_line_dedup_stage(spark):
     boiler = "subscribe to our newsletter for updates today friends"
     rows = [(i, GOOD + f" unique part {i}\n" + boiler) for i in range(4)]

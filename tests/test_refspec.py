@@ -734,11 +734,51 @@ def test_duplicate_html_body_head_ignored():
     assert doc.select_first(lambda el: el.tag == "body").all_text() == "xy"
 
 
+def test_explicit_body_without_head_synthesizes_head():
+    """before-head mode inserts a head for ANY token including <body>:
+    html5ever always yields html>head>body, even when the input opens
+    with an explicit <body> and never mentions <head>."""
+    assert _doc_shape("<body><p>x</p></body>") == \
+        (("html", (("head", ()), ("body", (("p", (("#text", "x"),)),)))),)
+    assert _doc_shape("<html><body><p>x") == \
+        (("html", (("head", ()), ("body", (("p", (("#text", "x"),)),)))),)
+    # explicit head still not duplicated
+    got = _doc_shape("<head></head><body><p>x")
+    assert got[0][1][0] == ("head", ())
+    assert sum(1 for c in parse_html("<body>x").children[0].children
+               if c.tag == "head") == 1
+
+
+def test_reopened_doc_tags_merge_missing_attrs():
+    """WHATWG in-body: a duplicate <html>/<body> start tag keeps the
+    existing element but adds each attribute not already present on it
+    (html5ever does the same); a duplicate <head> is ignored outright."""
+    doc = parse_html("<body class=a><p>x</p><body class=b id=z><p>y</p>")
+    body = doc.select_first(lambda el: el.tag == "body")
+    assert body.attrs == {"class": "a", "id": "z"}
+    doc = parse_html("<html lang=en><body>x</body></html>"
+                     "<html lang=fr data-k=v><body>y</body></html>")
+    html_el = doc.select_first(lambda el: el.tag == "html")
+    assert html_el.attrs == {"lang": "en", "data-k": "v"}
+    # duplicate head: attributes dropped, element unchanged
+    doc = parse_html("<head id=h1><title>T</title></head>"
+                     "<head id=h2 cls=x></head><p>x")
+    head = doc.select_first(lambda el: el.tag == "head")
+    assert head.attrs == {"id": "h1"}
+    # deep-in-tree duplicate body also merges
+    doc = parse_html("<body><div><body id=late>x</div>")
+    assert doc.select_first(lambda el: el.tag == "body").attrs == \
+        {"id": "late"}
+
+
 def test_body_synthesis_fast_path_equals_stdlib():
     for html in ["", "   ", "<p>frag", "plain", "<title>T</title>",
                  "<meta name='a' content='b'><p>x",
                  "<body><div>x</body>tail",
                  "<head><title>T</title></head><p>after",
+                 "<body><p>x</p></body>",
+                 "<body class=a>x<body class=b id=z>y",
+                 "<html lang=en><p>x</html><html lang=fr id=q>",
                  "<p>a<body class='late'>b"]:
         assert _tree_sig(refspec.parse_html(html)) == \
             _tree_sig(refspec.parse_html_stdlib(html)), html
