@@ -521,21 +521,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media metadata from synthesized BMP/GIF/WAV/PPM payloads
-    (operators/multimodal.parse_media_header — pure-Python fixed-layout
-    header parse, no libraries): the oracle re-derives every field
-    arithmetically from doc_id, so a parse that misreads any header byte
-    fails the gate. NULL numerics are coalesced to -1 on both sides to
-    keep int64 dtype parity."""
+    """REAL media metadata AND full-frame pixel stats from synthesized
+    BMP/GIF/WAV/PPM payloads (operators/multimodal.parse_media_header +
+    decode_pixels — pure-Python fixed-layout parse and uncompressed-raster
+    pixel decode, no libraries): the oracle re-derives every field
+    arithmetically from doc_id — payloads are constant-filled per channel,
+    so mean_r == doc_id%251 exactly and a decode that miscounts BMP row
+    padding or swaps the B,G,R sample order fails the gate. NULL numerics
+    are coalesced to -1/-1.0 on both sides to keep dtype parity."""
     media = multimodal.synth_media(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
     neg = F.lit(-1).cast("long")
+    negd = F.lit(-1.0).cast("double")
     return feats.select(
         "media_id", "media_type", "byte_len", "header_fmt",
         F.coalesce("header_width", neg).alias("header_width"),
         F.coalesce("header_height", neg).alias("header_height"),
         F.coalesce("sample_rate", neg).alias("sample_rate"),
-        F.coalesce("channels", neg).alias("channels"))
+        F.coalesce("channels", neg).alias("channels"),
+        F.coalesce("pix_pixels", neg).alias("pix_pixels"),
+        F.coalesce("pix_mean_r", negd).alias("pix_mean_r"),
+        F.coalesce("pix_mean_g", negd).alias("pix_mean_g"),
+        F.coalesce("pix_mean_b", negd).alias("pix_mean_b"))
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3229,9 +3236,13 @@ SELECT doc_id AS media_id,
             WHEN 2 THEN 'audio/wav'
             ELSE 'image/x-portable-pixmap' END AS media_type,
        CAST(CASE CAST(doc_id % 4 AS INT)
-            WHEN 0 THEN 54 WHEN 1 THEN 14 WHEN 2 THEN 44
+            WHEN 0 THEN 54 + (doc_id % 53 + 1)
+                         * (CAST(floor((3 * (doc_id % 97 + 1) + 3) / 4)
+                                 AS BIGINT) * 4)
+            WHEN 1 THEN 14 WHEN 2 THEN 44
             ELSE 21 + length(CAST(doc_id % 97 + 1 AS VARCHAR))
-                    + length(CAST(doc_id % 53 + 1 AS VARCHAR)) END
+                    + length(CAST(doc_id % 53 + 1 AS VARCHAR))
+                    + 3 * (doc_id % 97 + 1) * (doc_id % 53 + 1) END
             AS BIGINT) AS byte_len,
        CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif'
             WHEN 2 THEN 'wav' ELSE 'ppm' END AS header_fmt,
@@ -3242,7 +3253,16 @@ SELECT doc_id AS media_id,
        CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 + (doc_id % 8) * 1000
                  ELSE -1 END AS BIGINT) AS sample_rate,
        CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 2 + 1
-                 ELSE -1 END AS BIGINT) AS channels
+                 ELSE -1 END AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 4 IN (0, 3)
+                 THEN (doc_id % 97 + 1) * (doc_id % 53 + 1)
+                 ELSE -1 END AS BIGINT) AS pix_pixels,
+       CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN doc_id % 251
+                 ELSE -1 END AS DOUBLE) AS pix_mean_r,
+       CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN (7 * doc_id) % 251
+                 ELSE -1 END AS DOUBLE) AS pix_mean_g,
+       CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN (13 * doc_id) % 251
+                 ELSE -1 END AS DOUBLE) AS pix_mean_b
 FROM documents""",
         # videos are doc_id % 3 == 2 (docs_as_media); meta_width =
         # char length; n_frames = floor(width / 10); zero-frame videos emit

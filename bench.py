@@ -917,6 +917,130 @@ def main() -> None:
 
     bench("dedup_rehearsal", dedup_rehearsal_bench)
 
+    def ann_rehearsal_bench():
+        """ANN-path rehearsal at millions of vectors (dedup_rehearsal's
+        twin for the similarity ladder): JVM-side synthesis of a
+        planted-cluster corpus -> trained IVF-PQ end-to-end via the staged
+        index/query API (coarse k-means + PQ codebook training -> one-scan
+        corpus encode into the persisted code table -> nprobe cell-join
+        ADC scan -> exact rerank) -> recall@10 against the exact
+        brute-force baseline on the same query set.
+
+        The corpus embeds known structure asserted at volume: n/20 planted
+        centers in [-1,1]^dim with ±eps per-coordinate jitter, so every
+        vector has 19 same-center mates and (by high-dimensional
+        concentration: inter-center distance ~sqrt(2*dim/3) >> intra
+        ~eps*sqrt(2*dim/3)) a query's exact top-10 is same-center —
+        asserted, which makes recall a real measurement, not a tautology.
+        Recall losses are then exactly the production failure modes: a
+        jittered mate assigned across a coarse Voronoi boundary into an
+        unprobed cell, or ADC quantization reordering the shortlist tail.
+
+        Phases are timed separately because their 10^10-vector economics
+        differ: training is a fixed offline cost, encode is the one
+        full-width corpus scan (per-vector cost is THE scale number — the
+        code table it emits is ~m_sub small ints/vector, cell-keyed, so it
+        partition-prunes on probe), and query cost is per-batch. The
+        exact baseline's wall clock doubles as the honesty check that the
+        ANN path actually beats brute force at this scale. Shuffle-write
+        volume (total + peak stage) comes from the status store as in
+        dedup_rehearsal."""
+        from supercrawler_spark.operators import similarity as _sim
+        n = int(os.environ.get("SPARK_GRAFT_ANN_N", "1000000"))
+        dim = int(os.environ.get("SPARK_GRAFT_ANN_DIM", "32"))
+        n_q = int(os.environ.get("SPARK_GRAFT_ANN_Q", "24"))
+        per = 20                       # members per planted center
+        n_centers = n // per
+        eps = 0.25
+        k = 10
+        # m_sub=8 (ds=4) over m_sub=4: SAME encode op count
+        # (m_sub*k_codes*ds invariant) but a 32^8 vs 32^4 code space —
+        # measured recall@10 at 1M vectors 0.84 -> 1.00; the ADC-
+        # resolution lever that costs no extra table lookups per probe
+        n_cells, m_sub, k_codes, nprobe, rerank_n = 64, 8, 32, 8, 64
+
+        def u(base_expr, salt):
+            # deterministic uniform [-1,1] per (row, coordinate) from
+            # xxhash64 — pure JVM expression synthesis, no Python
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (F.pmod(
+                    F.xxhash64(base_expr * dim + j, F.lit(salt)),
+                    F.lit(2001)) - 1000) / 1000.0)
+
+        ctr = F.col("id") % n_centers   # id % C: seed ids hit C distinct
+        vec = F.zip_with(u(ctr, 1), u(F.col("id"), 2),
+                         lambda a, b: a + eps * b)
+        corpus = spark.range(n).select(F.col("id").alias("vec_id"),
+                                       vec.alias("embedding"))
+        step = n // n_q
+        queries = corpus.filter((F.col("vec_id") % step == 7)
+                                & (F.col("vec_id") < step * n_q))
+
+        before = _stage_shuffle_writes()
+        t0 = time.monotonic()
+        codes, cents_row, cb_row = _sim.ivfpq_index(
+            corpus, n_cells=n_cells, m_sub=m_sub, k_codes=k_codes,
+            n_iters=2, dim=dim)
+        cents_row = cents_row.persist()
+        cb_row = cb_row.persist()
+        cents_row.count()
+        cb_row.count()
+        t_train = time.monotonic() - t0
+        t0 = time.monotonic()
+        codes = codes.persist()
+        n_codes = codes.count()
+        t_encode = time.monotonic() - t0
+        assert n_codes == n, n_codes
+        t0 = time.monotonic()
+        ann = _sim.ivfpq_query(codes, cents_row, cb_row, corpus, queries,
+                               k=k, nprobe=nprobe, m_sub=m_sub,
+                               rerank=rerank_n, dim=dim).collect()
+        t_query = time.monotonic() - t0
+        t0 = time.monotonic()
+        exact = _sim.l2_topk(corpus, queries, k=k).collect()
+        t_exact = time.monotonic() - t0
+        after = _stage_shuffle_writes()
+        fresh = {kk: v for kk, v in after.items() if kk not in before}
+        for df in (codes, cents_row, cb_row):
+            df.unpersist()
+
+        from collections import defaultdict
+        ex, an = defaultdict(set), defaultdict(set)
+        same_center = 0
+        for r in exact:
+            ex[r["query_id"]].add(r["neighbor_id"])
+            same_center += int(
+                r["neighbor_id"] % n_centers == r["query_id"] % n_centers)
+        for r in ann:
+            an[r["query_id"]].add(r["neighbor_id"])
+        assert len(ex) == n_q, len(ex)
+        # planted structure holds at volume: exact top-k is same-center
+        frac_same = same_center / (n_q * k)
+        assert frac_same >= 0.95, frac_same
+        recall = sum(len(ex[q] & an.get(q, set())) / k for q in ex) / n_q
+        # floor with margin under the measured value (1.00 at 1M with
+        # m_sub=8/n_cells=64 — see BENCH/BASELINE.md)
+        assert recall >= 0.90, recall
+        extras["ann_rehearsal_vectors"] = n
+        extras["ann_rehearsal_dim"] = dim
+        extras["ann_rehearsal_queries"] = n_q
+        extras["ann_rehearsal_recall_at10"] = round(recall, 4)
+        extras["ann_rehearsal_train_sec"] = round(t_train, 2)
+        extras["ann_rehearsal_encode_sec"] = round(t_encode, 2)
+        extras["ann_rehearsal_encode_us_per_vec"] = round(
+            t_encode / n * 1e6, 2)
+        extras["ann_rehearsal_query_sec"] = round(t_query, 2)
+        extras["ann_rehearsal_exact_sec"] = round(t_exact, 2)
+        extras["ann_rehearsal_exact_over_ann"] = round(t_exact / t_query, 2)
+        if fresh:
+            extras["ann_rehearsal_shuffle_mb"] = round(
+                sum(fresh.values()) / 2**20, 1)
+            extras["ann_rehearsal_peak_stage_shuffle_mb"] = round(
+                max(fresh.values()) / 2**20, 1)
+
+    bench("ann_rehearsal", ann_rehearsal_bench)
+
     def zipf_fit_bench():
         import __spark_entry__ as entry_mod
         row = entry_mod.q_zipf_fit(spark, sf_dir).collect()[0]
@@ -985,6 +1109,9 @@ def main() -> None:
                 "frontier_rehearsal_urls_per_sec",
                 "dedup_rehearsal_docs_per_sec",
                 "dedup_rehearsal_peak_stage_shuffle_mb",
+                "ann_rehearsal_vectors", "ann_rehearsal_recall_at10",
+                "ann_rehearsal_encode_us_per_vec",
+                "ann_rehearsal_exact_over_ann",
                 "lsh_ann_recall_at3",
                 "lsh_ann_multiprobe_recall_at3", "ivf_ann_recall_at3",
                 "ivf_trained_recall_at3", "ivfpq_recall_at3_l2",

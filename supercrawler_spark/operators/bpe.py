@@ -72,11 +72,32 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def learn_bpe(docs: DataFrame, k: int = 3,
-              text_col: str = "text") -> list[tuple[int, str, str, int]]:
+              text_col: str = "text",
+              batch: int = 64) -> list[tuple[int, str, str, int]]:
     """Learn ``k`` BPE merges; returns [(step, lhs, rhs, pair_count)].
     Ties break on (lhs, rhs) ascending so the merge sequence — and
     everything encoded with it — is fully deterministic. Stops early if no
-    pair remains (vocabulary fully merged)."""
+    pair remains (vocabulary fully merged).
+
+    ``batch`` collects the top-``batch`` candidate pairs per driver round
+    trip and applies the longest SAFE prefix in one go — cutting the
+    per-merge collect round trips (the one driver-synchronous cost of
+    distributed BPE) while staying EXACTLY equal to the 1-merge-per-round
+    greedy (equality-fuzzed in tests/test_bpe.py; ``batch=1`` is the
+    plain loop). A later candidate is applied only when the snapshot
+    provably still ranks it first after the earlier applied merges:
+
+    - its count is unchanged — merging (l,r) only ever DECREASES counts of
+      pairs shaped (x,l) or (r,y), so a candidate is stale iff its rhs is
+      some applied lhs or its lhs is some applied rhs;
+    - no pair CREATED by an applied merge can outrank it — each occurrence
+      of a new pair (x, lr) / (lr, y) maps 1:1 to an old occurrence of
+      (x, l) / (r, y), so new-pair counts are bounded by the snapshot
+      counts of those adjacent forms (and by the last collected count for
+      pairs below the collected horizon); the candidate must STRICTLY
+      exceed that bound (a tie could re-order against the new pair's
+      unknown string sort key).
+    """
     vocab = (docs.select(F.explode(_tokens(text_col)).alias("word"))
              .groupBy("word").agg(F.count("*").cast("long").alias("freq"))
              .withColumn("seg", _seg(F.col("word")))
@@ -84,16 +105,38 @@ def learn_bpe(docs: DataFrame, k: int = 3,
     try:
         merges: list[tuple[int, str, str, int]] = []
         cur = vocab
-        for step in range(1, k + 1):
-            best = (_pair_counts(cur)
-                    .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                    .limit(1).collect())
-            if not best:
+        while len(merges) < k:
+            top = (_pair_counts(cur)
+                   .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                   .limit(max(1, batch)).collect())
+            if not top:
                 break
-            b = best[0]
-            merges.append((step, b["l"], b["r"], b["cnt"]))
-            cur = cur.withColumn("seg",
-                                 _apply_merge(F.col("seg"), b["l"], b["r"]))
+            # complete snapshot: nothing exists below the collected horizon
+            complete = len(top) < max(1, batch)
+            cnt_min = top[-1]["cnt"]
+            applied: list[tuple[str, str]] = []
+            for b in top:
+                if len(merges) >= k:
+                    break
+                if applied:
+                    if any(b["r"] == jl or b["l"] == jr
+                           for jl, jr in applied):
+                        break               # count possibly decreased
+                    bound = max((p["cnt"] for p in top
+                                 for jl, jr in applied
+                                 if p["r"] == jl or p["l"] == jr),
+                                default=0)
+                    if not complete:
+                        bound = max(bound, cnt_min)
+                    if b["cnt"] <= bound:
+                        break               # a created pair could outrank
+                applied.append((b["l"], b["r"]))
+                merges.append((len(merges) + 1, b["l"], b["r"], b["cnt"]))
+            for l, r in applied:
+                # applied merges are mutually symbol-disjoint (stale rule),
+                # so the stacked replaces commute
+                cur = cur.withColumn("seg",
+                                     _apply_merge(F.col("seg"), l, r))
         return merges
     finally:
         vocab.unpersist()

@@ -6,10 +6,14 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages. Header-level
 metadata (width/height/sample_rate/channels) is REAL for BMP, PNG, GIF,
 the netpbm family, and RIFF/WAV via ``parse_media_header`` — a pure-Python
 fixed-layout parse needing no libraries, oracle-verified on synthesized
-payloads (``synth_media``). Only the full pixel/sample decode remains
-STUBBED (no image/audio libraries ship in this sandbox — see
-``_decode_image``); the Spark-side plumbing is real and tested: schema,
-partitioning, UDF signature, bounded batch shape.
+payloads (``synth_media``). Full-frame pixel decode is REAL for the
+uncompressed raster formats (24-bit BI_RGB BMP and binary P6 PPM —
+``decode_pixels``: padding- and channel-order-aware stats over the actual
+pixel array, arithmetic-oracle-verified). Only COMPRESSED codecs
+(PNG/GIF/JPEG frames, audio sample decode) remain stubbed (no image/audio
+libraries ship in this sandbox — see ``_decode_image``); the Spark-side
+plumbing is real and tested: schema, partitioning, UDF signature, bounded
+batch shape.
 
 At 100 TB the binary column dominates I/O: keep it in its own parquet column
 (column pruning skips it unless a stage needs bytes), partition by content
@@ -24,8 +28,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, DoubleType, FloatType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType([
@@ -48,6 +52,14 @@ FEATURE_SCHEMA = StructType([
     StructField("header_height", LongType()),
     StructField("sample_rate", LongType()),
     StructField("channels", LongType()),
+    # real full-frame pixel stats for UNCOMPRESSED formats (24-bit BI_RGB
+    # BMP, binary P6 PPM) — pure-Python/numpy decode of the actual pixel
+    # array, padding-aware; NULL for compressed codecs (the remaining
+    # declared stub) and non-images
+    StructField("pix_pixels", LongType()),
+    StructField("pix_mean_r", DoubleType()),
+    StructField("pix_mean_g", DoubleType()),
+    StructField("pix_mean_b", DoubleType()),
 ])
 
 _HAVE_PIL = False
@@ -59,15 +71,95 @@ except ImportError:
 
 
 def _decode_image(payload: bytes):
-    """Real decode requires an image library (not in this sandbox)."""
+    """Decode for COMPRESSED codecs (PNG/GIF/JPEG frames) requires an
+    image library, not available in this sandbox — that is the one
+    remaining declared stub. Uncompressed formats (24-bit BI_RGB BMP,
+    binary P6 PPM) do NOT hit this path: ``decode_pixels`` below reads
+    their pixel arrays directly."""
     if _HAVE_PIL:  # pragma: no cover
         import io
 
         from PIL import Image  # type: ignore
         return Image.open(io.BytesIO(payload))
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this sandbox; "
-        "feature extraction below uses a deterministic byte-level fake")
+        "compressed-image decode requires PIL/opencv — not available in "
+        "this sandbox; uncompressed BMP/PPM decode is real (decode_pixels)")
+
+
+def decode_pixels(raw: bytes) -> dict | None:
+    """REAL full-frame pixel decode for the uncompressed raster formats —
+    no libraries, just layout arithmetic over the actual pixel bytes:
+
+    - 24-bit uncompressed BMP (BITMAPINFOHEADER, biCompression=BI_RGB):
+      pixel array at the offset from the file header, rows stored
+      bottom-up (or top-down when biHeight<0 — irrelevant for channel
+      stats), each row 3*width bytes zero-PADDED to a 4-byte boundary,
+      samples in B,G,R order. A decoder that sums padding bytes as pixels
+      or swaps the channel order produces wrong means — both are asserted
+      against arithmetic oracles on synthesized payloads.
+    - binary PPM (P6, maxval<=255): header tokens (width height maxval,
+      '#' comments allowed), ONE whitespace byte, then width*height RGB
+      triplets, no padding.
+
+    Returns {n_pixels, mean_r, mean_g, mean_b} (means rounded to 6
+    decimals) or None when the payload is not one of these layouts
+    (compressed codecs stay with the declared ``_decode_image`` stub)."""
+    try:
+        import numpy as np
+        if raw[:2] == b"BM" and len(raw) >= 54:
+            off = int.from_bytes(raw[10:14], "little")
+            w = int.from_bytes(raw[18:22], "little", signed=True)
+            h = abs(int.from_bytes(raw[22:26], "little", signed=True))
+            bpp = int.from_bytes(raw[28:30], "little")
+            comp = int.from_bytes(raw[30:34], "little")
+            if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+                return None
+            stride = (3 * w + 3) // 4 * 4
+            if off + stride * h > len(raw):
+                return None
+            rows = np.frombuffer(
+                raw, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)[:, :3 * w]       # drop the padding bytes
+            px = rows.reshape(-1, 3).astype(np.int64)
+            s = px.sum(axis=0)
+            n = w * h
+            return {"n_pixels": n,                 # BMP stores B,G,R
+                    "mean_r": round(float(s[2]) / n, 6),
+                    "mean_g": round(float(s[1]) / n, 6),
+                    "mean_b": round(float(s[0]) / n, 6)}
+        if raw[:2] == b"P6":
+            toks, i, n_raw = [], 2, len(raw)
+            while i < n_raw and len(toks) < 3:
+                c = raw[i:i + 1]
+                if c == b"#":
+                    j = raw.find(b"\n", i)
+                    i = n_raw if j < 0 else j + 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < n_raw and not raw[j:j + 1].isspace():
+                        j += 1
+                    toks.append(raw[i:j])
+                    i = j
+            if len(toks) < 3:
+                return None
+            w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+            i += 1                                  # single ws after maxval
+            if maxval > 255 or w <= 0 or h <= 0 or i + 3 * w * h > n_raw:
+                return None
+            px = np.frombuffer(raw, dtype=np.uint8, count=3 * w * h,
+                               offset=i).reshape(-1, 3).astype(np.int64)
+            s = px.sum(axis=0)
+            n = w * h
+            return {"n_pixels": n,                  # PPM stores R,G,B
+                    "mean_r": round(float(s[0]) / n, 6),
+                    "mean_g": round(float(s[1]) / n, 6),
+                    "mean_b": round(float(s[2]) / n, 6)}
+    except Exception:
+        # truncated/corrupt pixel arrays: stats stay NULL, never raise
+        return None
+    return None
 
 
 def parse_media_header(raw: bytes) -> dict:
@@ -140,15 +232,27 @@ def parse_media_header(raw: bytes) -> dict:
     return out
 
 
-def make_bmp(width: int, height: int) -> bytes:
-    """Minimal valid BMP (54-byte BITMAPINFOHEADER, no pixel data needed
-    for header parsing) — deterministic test/bench payload."""
+def make_bmp(width: int, height: int,
+             pix: tuple[int, int, int] | None = None) -> bytes:
+    """Valid 24-bit BI_RGB BMP — deterministic test/bench payload. With
+    ``pix=(r,g,b)`` the real pixel array is emitted (rows bottom-up,
+    B,G,R samples, rows zero-padded to 4-byte boundaries) so the mean of
+    every channel is exactly the constant — an arithmetic oracle that
+    fails if a decoder misreads padding or channel order. ``pix=None``
+    keeps the historical header-only 54-byte payload."""
     ihdr = (b"\x28\x00\x00\x00"
             + int(width).to_bytes(4, "little", signed=True)
             + int(height).to_bytes(4, "little", signed=True)
             + b"\x01\x00\x18\x00" + b"\x00" * 24)
-    return b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4 \
-        + (54).to_bytes(4, "little") + ihdr
+    body = b""
+    if pix is not None:
+        r, g, b = pix
+        row = bytes((b, g, r)) * width
+        row += b"\x00" * ((3 * width + 3) // 4 * 4 - 3 * width)
+        body = row * height
+    total = 54 + len(body)
+    return (b"BM" + total.to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little") + ihdr + body)
 
 
 def make_gif(width: int, height: int) -> bytes:
@@ -172,8 +276,15 @@ def make_wav(sample_rate: int, channels: int,
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def make_ppm(width: int, height: int) -> bytes:
-    return f"P6\n# synthetic\n{width} {height}\n255\n".encode()
+def make_ppm(width: int, height: int,
+             pix: tuple[int, int, int] | None = None) -> bytes:
+    """Binary P6 PPM; with ``pix=(r,g,b)`` the width*height RGB triplets
+    follow the header (no padding — PPM is packed), None keeps the
+    historical header-only payload."""
+    head = f"P6\n# synthetic\n{width} {height}\n255\n".encode()
+    if pix is None:
+        return head
+    return head + bytes(pix) * (width * height)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -197,6 +308,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in batches:
             feats, hashes, lens = [], [], []
             fmts, widths, heights, rates, chans = [], [], [], [], []
+            npx, mr, mg, mb = [], [], [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 raw = bytes(payload) if payload is not None else b""
                 lens.append(len(raw))
@@ -209,16 +321,23 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 heights.append(hdr["height"])
                 rates.append(hdr["sample_rate"])
                 chans.append(hdr["channels"])
-                # full pixel decode only for image payloads; ANY decode
-                # failure (stub NotImplementedError here, PIL errors on
-                # corrupt bytes when installed) falls back to the
-                # deterministic fake — one bad payload must never kill
-                # the whole mapInPandas stage
-                if isinstance(mtype, str) and mtype.startswith("image/"):
+                # REAL full-frame decode for the uncompressed raster
+                # formats; compressed codecs try the library path (the
+                # declared sandbox stub) and fall back to the byte-level
+                # fake — one bad payload must never kill the whole
+                # mapInPandas stage
+                px = None
+                if hdr["fmt"] in ("bmp", "ppm"):
+                    px = decode_pixels(raw)
+                elif isinstance(mtype, str) and mtype.startswith("image/"):
                     try:
                         _decode_image(raw)
                     except Exception:
                         pass
+                npx.append(px["n_pixels"] if px else None)
+                mr.append(px["mean_r"] if px else None)
+                mg.append(px["mean_g"] if px else None)
+                mb.append(px["mean_b"] if px else None)
                 feats.append(_fake_feature(raw, dim))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
@@ -231,6 +350,10 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 "header_height": pd.array(heights, dtype="Int64"),
                 "sample_rate": pd.array(rates, dtype="Int64"),
                 "channels": pd.array(chans, dtype="Int64"),
+                "pix_pixels": pd.array(npx, dtype="Int64"),
+                "pix_mean_r": pd.array(mr, dtype="Float64"),
+                "pix_mean_g": pd.array(mg, dtype="Float64"),
+                "pix_mean_b": pd.array(mb, dtype="Float64"),
             })
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
@@ -250,15 +373,20 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 did = int(did)
                 w, h = did % 97 + 1, did % 53 + 1
                 kind = did % 4
+                # constant-fill pixel channels, distinct per channel so a
+                # swapped-channel or padding-counting decode fails the
+                # arithmetic oracle (mean_r == did%251 exactly, etc.)
+                pix = (did % 251, 7 * did % 251, 13 * did % 251)
                 if kind == 0:
-                    mt, payload = "image/bmp", make_bmp(w, h)
+                    mt, payload = "image/bmp", make_bmp(w, h, pix=pix)
                 elif kind == 1:
                     mt, payload = "image/gif", make_gif(w, h)
                 elif kind == 2:
                     rate = 8000 + (did % 8) * 1000
                     mt, payload = "audio/wav", make_wav(rate, did % 2 + 1)
                 else:
-                    mt, payload = "image/x-portable-pixmap", make_ppm(w, h)
+                    mt, payload = "image/x-portable-pixmap", \
+                        make_ppm(w, h, pix=pix)
                 rows["media_id"].append(did)
                 rows["media_type"].append(mt)
                 rows["payload"].append(payload)

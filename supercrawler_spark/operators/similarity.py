@@ -606,7 +606,12 @@ def pq_ann_topk_trained(embeddings: DataFrame, queries: DataFrame,
                    lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
         F.lit(0.0), lambda acc, v: acc + v)
-    rr = (shortlist.join(F.broadcast(qv), "query_id")
+    # R rows/query: ALWAYS the broadcast side of the vector fetch — at
+    # millions of corpus vectors Spark's estimate for the synthesized/
+    # filtered corpus side can otherwise flip this to a sort-merge join
+    # that shuffles every full-width vector (measured: a 723 MB stage at
+    # 5M x 32d before the hint)
+    rr = (F.broadcast(shortlist.join(F.broadcast(qv), "query_id"))
           .join(nv, "neighbor_id")
           .withColumn("d2", d2))
     w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"),
@@ -617,43 +622,13 @@ def pq_ann_topk_trained(embeddings: DataFrame, queries: DataFrame,
                     F.round("d2", 6).alias("d2")))
 
 
-def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
-                   n_cells: int = 16, nprobe: int = 4, m_sub: int = 16,
-                   k_codes: int = 32, n_iters: int = 2,
-                   rerank: int | None = 32, id_col: str = "vec_id",
-                   vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    """IVF-PQ top-k — the production ANN composition (FAISS ``IVFPQ`` with
-    ``by_residual=False``): a TRAINED coarse quantizer restricts the scan
-    to ``nprobe`` inverted lists, a TRAINED product quantizer scores the
-    survivors by ADC table lookups over their codes (never their vectors),
-    and an exact squared-L2 rerank over the per-query shortlist closes the
-    quantization gap. Output (query_id, neighbor_id, rank, d2); with
-    ``rerank=None`` the ADC order is final and the column is ``adist``.
-
-    Scale shape — the part each piece alone doesn't have: corpus vectors
-    are read by ONE scan that emits (cell, codes) under two broadcast
-    quantizers (k-means centroids + PQ codebooks); the ADC scan is a
-    cell-equi-join against nprobe/n_cells of the code table (the full-PQ
-    path cross-joins every code row); only the rerank's R rows per query
-    ever fetch original vectors back. At 10^10 vectors the code table is
-    ~m_sub bytes/vector and cell-partitioned, so a probe is a
-    partition-pruned scan of compressed codes. Bit-for-bit DuckDB oracle
-    twin in ``__spark_entry__.oracle_sql['ivfpq_ann_topk']``."""
-    from supercrawler_spark.operators.kmeans import _prep, kmeans_centroids
-    assert dim % m_sub == 0
-    ds = dim // m_sub
-    cents = kmeans_centroids(embeddings, n_cells, n_iters, dim,
-                             id_col, vec_col)
-    cents_row = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
-    cb = pq_train_codebooks(embeddings, m_sub, k_codes, n_iters, dim,
-                            id_col, vec_col)
-    cb_row = cb.groupBy().agg(*[
-        F.transform(
-            F.sort_array(F.collect_list(
-                F.when(F.col("m") == m, F.struct("code", "cv")))),
-            lambda s: s["cv"]).alias(f"_cb{m}")
-        for m in range(m_sub)])
-
+def _ivfpq_dist_fns(m_sub: int, ds: int):
+    """The two quantizer-distance expression builders shared by index
+    build and query: ``sub_dists`` maps a vector's m-th subvector to its
+    k_codes squared-L2 distances against codebook column ``_cb{m}``;
+    ``cell_dists`` maps a vector to (dist, cell) structs against the
+    coarse-centroid column ``cs``. Pure expression factories — the
+    columns they reference come from the broadcast quantizer rows."""
     def sub_dists(vec_col_, m):
         sub = F.slice(vec_col_, m * ds + 1, ds)
         return F.transform(
@@ -672,7 +647,43 @@ def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                                        lambda x, y: (x - y) * (x - y)),
                             F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
                 c["cell"].alias("cell")))
+    return sub_dists, cell_dists
 
+
+def ivfpq_index(embeddings: DataFrame, n_cells: int = 16, m_sub: int = 16,
+                k_codes: int = 32, n_iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int = 64
+                ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ index build — train both quantizers and encode the corpus.
+    Returns ``(codes, cents_row, cb_row)``: the compressed code table
+    (neighbor_id, cell, codes: array<long>) and the two one-row broadcast
+    quantizer tables (coarse centroids / PQ codebooks) that
+    :func:`ivfpq_query` needs. This is the index-once-query-many half of
+    the production pattern: persist (or write) ``codes`` and the two
+    quantizer rows, then answer every later query batch from them without
+    re-touching corpus vectors — training cost is offline and amortized.
+
+    Scale shape: corpus vectors are read by ONE scan that emits
+    (cell, codes) under two broadcast quantizers; the code table is
+    ~m_sub small ints per vector and cell-keyed, so it cell-partitions on
+    write and a probe becomes a partition-pruned scan of compressed
+    codes."""
+    from supercrawler_spark.operators.kmeans import _prep, kmeans_centroids
+    assert dim % m_sub == 0
+    ds = dim // m_sub
+    cents = kmeans_centroids(embeddings, n_cells, n_iters, dim,
+                             id_col, vec_col)
+    cents_row = cents.agg(F.collect_list(F.struct("cell", "cv")).alias("cs"))
+    cb = pq_train_codebooks(embeddings, m_sub, k_codes, n_iters, dim,
+                            id_col, vec_col)
+    cb_row = cb.groupBy().agg(*[
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("m") == m, F.struct("code", "cv")))),
+            lambda s: s["cv"]).alias(f"_cb{m}")
+        for m in range(m_sub)])
+    sub_dists, cell_dists = _ivfpq_dist_fns(m_sub, ds)
     # ONE corpus scan under both broadcast quantizers -> (cell, codes)
     e = _prep(embeddings, dim, id_col, vec_col)
     enc = (e.crossJoin(F.broadcast(cents_row)).crossJoin(F.broadcast(cb_row))
@@ -685,7 +696,58 @@ def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
         (F.array_position(F.col(f"_d{m}"), F.array_min(F.col(f"_d{m}")))
          - 1).cast("long")
         for m in range(m_sub)])
-    n = enc.select("neighbor_id", "cell", codes.alias("codes"))
+    return (enc.select("neighbor_id", "cell", codes.alias("codes")),
+            cents_row, cb_row)
+
+
+def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                   n_cells: int = 16, nprobe: int = 4, m_sub: int = 16,
+                   k_codes: int = 32, n_iters: int = 2,
+                   rerank: int | None = 32, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """IVF-PQ top-k — the production ANN composition (FAISS ``IVFPQ`` with
+    ``by_residual=False``): a TRAINED coarse quantizer restricts the scan
+    to ``nprobe`` inverted lists, a TRAINED product quantizer scores the
+    survivors by ADC table lookups over their codes (never their vectors),
+    and an exact squared-L2 rerank over the per-query shortlist closes the
+    quantization gap. Output (query_id, neighbor_id, rank, d2); with
+    ``rerank=None`` the ADC order is final and the column is ``adist``.
+
+    One-shot composition of :func:`ivfpq_index` + :func:`ivfpq_query`
+    (index-once-query-many callers persist the index half instead).
+    At 10^10 vectors the code table is ~m_sub bytes/vector and
+    cell-partitioned, so a probe is a partition-pruned scan of compressed
+    codes; only the rerank's R rows per query ever fetch original vectors
+    back. Bit-for-bit DuckDB oracle twin in
+    ``__spark_entry__.oracle_sql['ivfpq_ann_topk']``; measured at 1M+
+    synthesized vectors in bench.py's ``ann_rehearsal`` cell."""
+    n, cents_row, cb_row = ivfpq_index(embeddings, n_cells, m_sub, k_codes,
+                                       n_iters, id_col, vec_col, dim)
+    return ivfpq_query(n, cents_row, cb_row, embeddings, queries, k=k,
+                       nprobe=nprobe, m_sub=m_sub, rerank=rerank,
+                       id_col=id_col, vec_col=vec_col, dim=dim)
+
+
+def ivfpq_query(codes: DataFrame, cents_row: DataFrame, cb_row: DataFrame,
+                embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                nprobe: int = 4, m_sub: int = 16,
+                rerank: int | None = 32, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Query half of IVF-PQ against a prebuilt :func:`ivfpq_index`:
+    per query, probe the ``nprobe`` nearest coarse cells, ADC-score that
+    slice of the code table from the query's per-subspace distance
+    tables, and (optionally) exact-rerank the top-``rerank`` shortlist —
+    ``embeddings`` is only touched for those R full-width fetches per
+    query (pass the same corpus the index was built from).
+
+    Scale shape: the probed-cell rows (nprobe per query, carrying the ADC
+    tables) broadcast into a cell equi-join — the corpus-side code table
+    never shuffles; per-query top-k is a WindowGroupLimit-pruned rank."""
+    from supercrawler_spark.operators.kmeans import _prep
+    assert dim % m_sub == 0
+    ds = dim // m_sub
+    sub_dists, cell_dists = _ivfpq_dist_fns(m_sub, ds)
+    n = codes
 
     # queries: probed cells carry the per-query ADC tables (nprobe small
     # rows per query — broadcast side of the cell join)
@@ -728,7 +790,12 @@ def ivfpq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                    lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
         F.lit(0.0), lambda acc, v: acc + v)
-    rr = (shortlist.join(F.broadcast(qv), "query_id")
+    # R rows/query: ALWAYS the broadcast side of the vector fetch — at
+    # millions of corpus vectors Spark's estimate for the synthesized/
+    # filtered corpus side can otherwise flip this to a sort-merge join
+    # that shuffles every full-width vector (measured: a 723 MB stage at
+    # 5M x 32d before the hint)
+    rr = (F.broadcast(shortlist.join(F.broadcast(qv), "query_id"))
           .join(nv, "neighbor_id")
           .withColumn("d2", d2))
     w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"),
@@ -745,7 +812,14 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     the metric-matched exact baseline for ``pq_ann_topk`` (PQ quantizes
     L2, not cosine; comparing its recall against a cosine baseline would
     conflate metric disagreement with quantization loss). Output
-    (query_id, neighbor_id, rank, d2)."""
+    (query_id, neighbor_id, rank, d2).
+
+    The query side carries an explicit broadcast hint: it is
+    definitionally the small side of a brute-force scan, but when it is
+    derived by a filter over a large synthesized/scanned corpus Spark's
+    size estimate follows the PARENT relation, and a nested-loop join
+    that buffers the corpus side OOMs at millions of vectors (observed at
+    1M x 32d on an 8g driver before the hint)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     n = embeddings.select(F.col(id_col).alias("neighbor_id"),
@@ -755,7 +829,7 @@ def l2_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                    lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
         F.lit(0.0), lambda acc, v: acc + v)
-    scored = (q.join(n, F.col("query_id") != F.col("neighbor_id"))
+    scored = (F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
               .withColumn("d2", d2))
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"),
                                                F.asc("neighbor_id"))

@@ -100,6 +100,38 @@ def test_merge_replace_equals_greedy_fuzz(spark):
                 assert got[i] == greedy(list(w), l, r), (w, l, r)
 
 
+def test_batched_equals_one_per_round(spark):
+    """The safe-batch prefix rule must reproduce the 1-merge-per-round
+    greedy EXACTLY — counts included — on corpora engineered to hit the
+    unsafe cases (created-pair outranking, stale counts, ties, runs) and
+    on random ones."""
+    import random
+    corpora = [
+        # created pair outranks the snapshot's #2: after (a,b), new pair
+        # (x, ab) has count 9 > (c,d)'s 8 — batch must stop after merge 1
+        ["xab " * 9 + "cd " * 8],
+        # stale counts: (a,b) then (b,c) share symbol b
+        ["abc abc abc bc bc"],
+        # ties + lexicographic ordering
+        ["xy ab xy ab"],
+        # adjacent runs (l == r)
+        ["aaaa aaa aa a b ab"],
+        ["the cat sat on the mat the cat ran"],
+    ]
+    rng = random.Random(7)
+    for _ in range(4):
+        words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                 for _ in range(30)]
+        corpora.append([" ".join(words)])
+    for texts in corpora:
+        docs = _docs(spark, texts)
+        ref = learn_bpe(docs, k=6, batch=1)
+        got = learn_bpe(docs, k=6, batch=64)
+        assert got == ref, (texts, got, ref)
+        got3 = learn_bpe(docs, k=6, batch=3)
+        assert got3 == ref, (texts, got3, ref)
+
+
 def test_unicode_words(spark):
     docs = _docs(spark, ["日本 日本 日本語"])
     m = learn_bpe(docs, k=1)

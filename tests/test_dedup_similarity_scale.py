@@ -564,6 +564,35 @@ def test_ivfpq_recovers_twins_and_beats_pure_adc(spark):
         assert rank1[(i, 1)] == 1000 + i, "twin not recovered at rank 1"
 
 
+def test_ivfpq_staged_index_query_equals_oneshot(spark):
+    """The index-once-query-many split (ivfpq_index + ivfpq_query) must
+    return exactly what the one-shot composition returns — including when
+    the code table is persisted between build and query (the production
+    mode the ann_rehearsal bench measures) and across two different query
+    batches against the same index."""
+    import random
+    rng = random.Random(44)
+    rows = [(i, [float(rng.uniform(-0.5, 0.5)) for _ in range(64)])
+            for i in range(90)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    kw = dict(m_sub=16, k_codes=32, n_cells=16, n_iters=2)
+    codes, cents_row, cb_row = similarity.ivfpq_index(
+        emb, n_cells=16, m_sub=16, k_codes=32, n_iters=2)
+    codes = codes.persist()
+    try:
+        assert codes.count() == 90
+        for lo, hi in ((0, 5), (40, 44)):
+            q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            got = sorted(map(tuple, similarity.ivfpq_query(
+                codes, cents_row, cb_row, emb, q, k=3, nprobe=4,
+                m_sub=16, rerank=16).collect()))
+            ref = sorted(map(tuple, similarity.ivfpq_ann_topk(
+                emb, q, k=3, nprobe=4, rerank=16, **kw).collect()))
+            assert got == ref
+    finally:
+        codes.unpersist()
+
+
 def test_hard_negatives_band_and_rank(spark):
     """Positives (sim >= hi) and easy negatives (sim < lo) are excluded;
     survivors rank by descending sim — checked against a tiny hand-built

@@ -381,10 +381,15 @@ def test_synth_media_headers_roundtrip(spark, docs):
         did = r["media_id"]
         kind = did % 4
         w, h = did % 97 + 1, did % 53 + 1
+        pix = (did % 251, 7 * did % 251, 13 * did % 251)
         if kind == 0:
             assert (r["header_fmt"], r["header_width"],
                     r["header_height"]) == ("bmp", w, h)
-            assert r["byte_len"] == 54
+            assert r["byte_len"] == 54 + h * ((3 * w + 3) // 4 * 4)
+            # real pixel decode: constant fill -> exact channel means
+            assert r["pix_pixels"] == w * h
+            assert (r["pix_mean_r"], r["pix_mean_g"],
+                    r["pix_mean_b"]) == pix
         elif kind == 1:
             assert (r["header_fmt"], r["header_width"],
                     r["header_height"]) == ("gif", w, h)
@@ -396,3 +401,43 @@ def test_synth_media_headers_roundtrip(spark, docs):
         else:
             assert (r["header_fmt"], r["header_width"],
                     r["header_height"]) == ("ppm", w, h)
+            assert r["pix_pixels"] == w * h
+            assert (r["pix_mean_r"], r["pix_mean_g"],
+                    r["pix_mean_b"]) == pix
+        if kind in (1, 2):      # compressed/audio: pixel stats stay NULL
+            assert r["pix_pixels"] is None and r["pix_mean_r"] is None
+
+
+def test_decode_pixels_layout_edge_cases():
+    """The decode must be padding- and channel-order-exact: BMP rows are
+    zero-padded to 4 bytes and store B,G,R — a decoder summing padding or
+    reading RGB order gets different means; PPM is packed RGB."""
+    from supercrawler_spark.operators.multimodal import (
+        decode_pixels, make_bmp, make_ppm)
+    # width 3: row is 9 bytes -> padded to 12 (3 padding zeros per row);
+    # distinct channels expose order swaps
+    d = decode_pixels(make_bmp(3, 2, pix=(200, 100, 50)))
+    assert d == {"n_pixels": 6, "mean_r": 200.0, "mean_g": 100.0,
+                 "mean_b": 50.0}
+    # width 4: zero padding — same means must come out (padding excluded)
+    d = decode_pixels(make_bmp(4, 3, pix=(9, 8, 7)))
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (9.0, 8.0, 7.0)
+    d = decode_pixels(make_ppm(5, 4, pix=(1, 2, 3)))
+    assert d == {"n_pixels": 20, "mean_r": 1.0, "mean_g": 2.0,
+                 "mean_b": 3.0}
+    # top-down BMP (negative height): same stats
+    raw = bytearray(make_bmp(3, 2, pix=(10, 20, 30)))
+    raw[22:26] = (-2).to_bytes(4, "little", signed=True)
+    d = decode_pixels(bytes(raw))
+    assert d["n_pixels"] == 6 and d["mean_r"] == 10.0
+    # non-decodable payloads: header-only BMP (truncated pixel array),
+    # non-24bpp, compressed formats, garbage
+    assert decode_pixels(make_bmp(8, 8)) is None
+    raw = bytearray(make_bmp(2, 2, pix=(1, 1, 1)))
+    raw[28:30] = (8).to_bytes(2, "little")          # 8bpp: not BI_RGB 24
+    assert decode_pixels(bytes(raw)) is None
+    assert decode_pixels(b"\x89PNG\r\n\x1a\nrest") is None
+    assert decode_pixels(b"") is None
+    assert decode_pixels(make_ppm(5, 4)) is None     # header-only PPM
+    # ASCII P3 is not the binary layout
+    assert decode_pixels(b"P3\n2 2\n255\n0 0 0 1 1 1 2 2 2 3 3 3") is None
