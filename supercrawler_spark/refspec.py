@@ -153,15 +153,32 @@ _FMT_MARKERS = {"table", "td", "th", "caption", "applet", "marquee",
                 "object", "template"}
 
 
-@dataclass
+# shared attrs dict for the (majority) attribute-less elements and for
+# text nodes: per-page allocation profiling showed the per-Node dict was
+# a top allocation site, and most nodes never carry attributes. NEVER
+# mutated — every writer must swap in a private dict first
+# (_merge_doc_attrs does).
+_EMPTY_ATTRS: dict = {}
+
+
+@dataclass(slots=True, eq=False)
 class Node:
-    """DOM node: element (tag set) or text (tag is None)."""
+    """DOM node: element (tag set) or text (tag is None).
+
+    ``slots=True``: a page allocates thousands of Nodes and the per-
+    instance ``__dict__`` was the kernel's single largest allocation
+    source (measured ~12 KB/page of the 35 KB/page total) — slots cut the
+    memory traffic behind the multi-core scaling ceiling. ``eq=False``:
+    identity equality — the tree uses ``is`` checks and
+    ``children.index`` for the foster-parent target, where value equality
+    could even match a deeply-identical EARLIER sibling."""
 
     tag: Optional[str]
     attrs: dict = field(default_factory=dict)
     children: list = field(default_factory=list)
     text: str = ""
     parent: Optional["Node"] = None
+    _flat: Optional[list] = field(default=None, init=False, repr=False)
 
     @property
     def is_element(self) -> bool:
@@ -193,7 +210,7 @@ class Node:
         related links, anchors) and the tree is immutable after parse, so
         one iterative walk feeds every pass — the recursive-generator
         re-walks were ~20% of per-page CPU at crawl scale."""
-        flat = self.__dict__.get("_flat")
+        flat = self._flat
         if flat is None:
             # iterative preorder: children pushed reversed so pops come
             # out in document order
@@ -207,7 +224,7 @@ class Node:
                     c = kids[i]
                     if c.tag is not None:
                         stack.append(c)
-            self.__dict__["_flat"] = flat
+            self._flat = flat
         return flat
 
     def select(self, pred):
@@ -358,6 +375,8 @@ class _TreeBuilder(HTMLParser):
         node = getattr(self, "_" + tag)
         if node is None:
             return
+        if node.attrs is _EMPTY_ATTRS:
+            node.attrs = {}
         for k, v in attrs:
             node.attrs.setdefault(k.lower(), v if v is not None else "")
 
@@ -435,7 +454,9 @@ class _TreeBuilder(HTMLParser):
             # reconstruct active formatting before a nested formatting
             # start so the clone wraps it in the original nesting order
             self._reconstruct_formatting()
-        node = Node(tag=tag, attrs={k.lower(): (v if v is not None else "") for k, v in attrs})
+        node = Node(tag=tag, attrs={
+            k.lower(): (v if v is not None else "") for k, v in attrs
+        } if attrs else _EMPTY_ATTRS)
         if tag in _DOC_TAGS:
             setattr(self, "_" + tag, node)  # first occurrence (dups returned)
         if self.stack[-1].tag in _TABLE_CONTEXT and tag not in _TABLE_ALLOWED:
@@ -517,7 +538,7 @@ class _TreeBuilder(HTMLParser):
                 # reconstruct active formatting around the character run
                 self._reconstruct_formatting()
             parent = self.stack[-1]
-            node = Node(tag=None, text=data)
+            node = Node(tag=None, text=data, attrs=_EMPTY_ATTRS)
             if parent.tag in _TABLE_CONTEXT and data.strip():
                 # foster-parent non-whitespace character runs out of table
                 # internals (whitespace-only runs stay in place, per spec)
