@@ -132,23 +132,23 @@ Why two pairs: Spark local mode co-schedules the JVM task threads AND the
 Python Arrow workers on the same host, so local[32] runs ~64 runnable
 entities on the VM's 32 cores while local[8] runs ~16 with idle cores to
 absorb them — the upper pair measures single-host memory-subsystem
-saturation, not engine serialization. Round-4 evidence triplet (2026-08-21,
-this VM, same day as the table): (1) a pure-ALU burn loop scales 8->32 at
-~1.03 (32 real cores exist); (2) the pure-Python extraction kernel ALONE
-(ProcessPoolExecutor, NO Spark) scales 8->32 at 0.376 — 10.1k -> 15.2k
-pages/s — so the ceiling is string/object memory traffic below any Spark
-layer (the round-3 kernel measured ~0.86 here: the round-4 tokenizer is
-~2x faster per page, which moves it closer to bandwidth-bound and LOWERS
-its multi-core ceiling — less CPU burned per byte moved); (3) per-round
-phase timings at sf1.0 show the Arrow extract phase itself saturating
-(44.8 s at local[8] vs 39.8 s at local[32]) while every other phase is
+saturation, not engine serialization. Evidence triplet (round-4, updated
+round-5 after the slotted-Node memory-traffic pass, 2026-08-21): (1) a
+pure-ALU burn loop scales 8->32 at ~1.03 (32 real cores exist); (2) the
+pure-Python extraction kernel ALONE (barrier-synchronized OS processes,
+NO Spark — scripts/kernel_profile.py --procs) scales 8->32 at 0.59 with a
+32-worker ceiling of 35.8k pages/s — up from round-4's 0.376 / 15.2k
+after the allocation-traffic cut, which is itself the proof the ceiling
+is string/object memory traffic below any Spark layer (less traffic =>
+higher ceiling, at unchanged arithmetic); (3) per-round phase timings at
+sf1.0 show the Arrow extract phase saturating while every other phase is
 constant-small or scaling, and there is no driver-side loop over O(data)
 (the only collects are a 32-row per-bucket stats aggregate and
-per-partition offset maps). The crawl's local[32] throughput (9.5k urls/s)
-sits at ~63% of the no-Spark kernel ceiling (15.2k), the remainder being
-Arrow transfer + JVM co-scheduling. A real 4N-executor cluster adds 4x
-hosts and 4x memory bandwidth — exactly the resource the upper pair
-exhausts on one box.
+per-partition offset maps). The crawl's local[32] throughput (17.9k
+urls/s this round, ~2x round 4) sits at ~50% of the no-Spark kernel
+ceiling (35.8k), the remainder being Arrow transfer + JVM co-scheduling.
+A real 4N-executor cluster adds 4x hosts and 4x memory bandwidth —
+exactly the resource the upper pair exhausts on one box.
 
 Job: one full-width crawl round over the synthetic Common-Crawl-style corpus
 (sf={synth_sf}, {urls:,} pages, hot-host skew 40%): frontier -> bucket-pruned
