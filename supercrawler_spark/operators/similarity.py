@@ -43,7 +43,11 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                        F.col(vec_col).alias("qv"))
     n = embeddings.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("nv"))
-    scored = (q.join(n, F.col("query_id") != F.col("neighbor_id"))
+    # query side explicitly broadcast: same bug class as l2_topk — when
+    # queries are a filter over a large synthesized corpus, Spark's size
+    # estimate follows the parent and the nested-loop join can buffer the
+    # corpus side (driver OOM at millions of vectors)
+    scored = (F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -221,7 +225,10 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
              .select("query_id", "qv", F.col("pc.c").alias("cell")))
     n = cells.select(F.col("vec_id").alias("neighbor_id"),
                      F.col("v").alias("nv"), "cell")
-    scored = (probe.join(n, "cell")
+    # probed-cell rows (nprobe per query) broadcast into the cell
+    # equi-join — the corpus side never shuffles (matches the trained
+    # variant's hinted plan)
+    scored = (F.broadcast(probe).join(n, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -275,7 +282,9 @@ def ivf_ann_topk_trained(embeddings: DataFrame, queries: DataFrame,
              .select("query_id", "qv",
                      F.explode(F.slice(ranked, 1, nprobe)).alias("pc"))
              .select("query_id", "qv", F.col("pc.cell").alias("cell")))
-    scored = (probe.join(cells, "cell")
+    # nprobe rows per query broadcast into the cell equi-join — the
+    # corpus-side cell table never shuffles
+    scored = (F.broadcast(probe).join(cells, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", cosine(F.col("qv"), F.col("nv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
